@@ -1,0 +1,261 @@
+"""KPI query corpus — Spark-native analogs of the reference's declared
+query surface (reference sql/queries.sql:1-59, SURVEY.md §2.11),
+expressed over the driver testdata per FIXTURES.md's mapping
+(events ≈ station_status, customer ≈ stations dimension).
+
+Each query function takes (spark, sf_dir) -> DataFrame; ORACLES holds
+the DuckDB-SQL twin with identical column aliases (the driver's
+compare sorts columns by name and hashes values).
+
+Plan-shape notes (verified via .explain("formatted")):
+- Q1/Q2's "latest snapshot" scalar-max (reference queries.sql:4-6,
+  operator J1) compiles to a 1-row aggregate broadcast to the fact
+  scan — no full shuffle.
+- Q2's dim join (J2) broadcasts the filtered customer dimension.
+- aggregates are partial (map-side) + final hash aggregates; no sort
+  is requested except under a LIMIT (top-k plans as
+  TakeOrderedAndProject, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+HOUR_ISO = "yyyy-MM-dd'T'HH:00:00"  # byte-format of reference queries.sql:48
+
+
+def q1_network_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network summary @ latest snapshot (reference sql/queries.sql:3-14).
+
+    Latest hour bucket stands in for the latest scrape batch: global
+    MAX (A1) -> join fact to the 1-row max (J1, broadcast) -> count
+    distinct + sums (A3/A4).
+    """
+    events = load(spark, sf_dir, "events")
+    with_hour = events.withColumn("h", F.date_trunc("hour", F.col("ts")))
+    latest = with_hour.agg(F.max("h").alias("h"))
+    snap = with_hour.join(F.broadcast(latest), "h")
+    return snap.agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q2_top10_value_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by value-to-balance ratio (reference
+    sql/queries.sql:16-31: occupancy% = 100*bikes/NULLIF(capacity,0),
+    positive-capacity guard P3, ROUND F1, top-k O1).
+
+    customer.c_acctbal plays `capacity`; the guard, the NULLIF
+    div-by-zero protection, and the rounded ratio are semantically
+    identical. Tie-broken by user_id so the top-10 SET is deterministic.
+    """
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 0)
+    )
+    totals = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    joined = totals.join(
+        F.broadcast(customer), totals.user_id == customer.c_custkey
+    )
+    ratio = F.round(
+        F.lit(100.0) * F.col("total_value") / F.nullif(F.col("c_acctbal"), F.lit(0.0)),
+        1,
+    )
+    return (
+        joined.select(
+            "user_id",
+            "c_name",
+            "total_value",
+            ratio.alias("value_per_balance_pct"),
+        )
+        .orderBy(F.desc("value_per_balance_pct"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def q3_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly availability profile per key (reference sql/queries.sql:33-42):
+    STRFTIME('%H') hour extraction (F3) + 2-key grouped AVG (A5).
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "user_id", F.date_format("ts", "HH").alias("hour")
+    ).agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q4_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weather-correlation analog (reference sql/queries.sql:44-59):
+    hour-bucket CTE aggregate (F4+A6) equi-joined to a second hourly
+    series (J4), hour key in the reference's exact ISO byte format
+    `SUBSTR(scraped_at,1,13) || ':00:00'`.
+
+    purchase-events/hour joined to view-events/hour stands in for
+    status/hour joined to weather_hourly.
+    """
+    events = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts")).alias("h")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(h)
+        .agg(
+            F.round(F.sum("value"), 4).alias("purchase_value"),
+            F.count(F.lit(1)).alias("purchases"),
+        )
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    return purchases.join(views, "h").select(
+        F.date_format("h", HOUR_ISO).alias("hour"),
+        "purchase_value",
+        "purchases",
+        "views",
+    )
+
+
+def f_haversine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance composed from native math functions — the
+    reference's utils.py:12-19 kernel (F7/U1) deliberately NOT done as
+    a UDF: radians/sin/cos/atan2/sqrt stay inside whole-stage codegen.
+
+    Pseudo-coordinates derived deterministically from c_custkey stand
+    in for station lat/lon (testdata has no geo columns).
+    """
+    customer = load(spark, sf_dir, "customer")
+    lat = F.lit(-30.0) + (F.col("c_custkey") % 100) * F.lit(0.01)
+    lon = F.lit(-51.2) + ((F.col("c_custkey") * 7) % 100) * F.lit(0.01)
+    clat, clon = F.lit(-30.0346), F.lit(-51.2177)
+    dlat = F.radians(lat - clat)
+    dlon = F.radians(lon - clon)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(clat))
+        * F.cos(F.radians(lat))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    dist_m = F.lit(2.0 * 6371000.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+    return customer.select(
+        "c_custkey",
+        F.round(lat, 6).alias("lat"),
+        F.round(lon, 6).alias("lon"),
+        F.round(dist_m, 2).alias("dist_center_m"),
+    )
+
+
+def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surgery (reference F12, etl_gbfs.py:123-125
+    vehicles_json): parse events.props JSON, extract + aggregate.
+    """
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES = {
+    "q1_network_summary": q1_network_summary,
+    "q2_top10_value_ratio": q2_top10_value_ratio,
+    "q3_hourly_profile": q3_hourly_profile,
+    "q4_hourly_correlation": q4_hourly_correlation,
+    "f_haversine_suite": f_haversine_suite,
+    "f_json_props": f_json_props,
+}
+
+ORACLES = {
+    "q1_network_summary": """
+        WITH last AS (SELECT max(date_trunc('hour', ts)) AS h FROM events)
+        SELECT count(DISTINCT user_id) AS active_users,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events, last
+        WHERE date_trunc('hour', ts) = last.h
+    """,
+    "q2_top10_value_ratio": """
+        WITH totals AS (
+            SELECT user_id, round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, c_name, total_value,
+               round(100.0 * total_value / nullif(c_acctbal, 0), 1)
+                   AS value_per_balance_pct
+        FROM totals JOIN customer ON user_id = c_custkey
+        WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+        ORDER BY value_per_balance_pct DESC, user_id ASC
+        LIMIT 10
+    """,
+    "q3_hourly_profile": """
+        SELECT user_id, strftime(ts, '%H') AS hour,
+               round(avg(value), 4) AS avg_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "q4_hourly_correlation": """
+        WITH p AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   round(sum(value), 4) AS purchase_value,
+                   count(*) AS purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), v AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS views
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        )
+        SELECT strftime(p.h, '%Y-%m-%dT%H:00:00') AS hour,
+               purchase_value, purchases, views
+        FROM p JOIN v ON p.h = v.h
+    """,
+    "f_haversine_suite": """
+        WITH pts AS (
+            SELECT c_custkey,
+                   -30.0::DOUBLE + (c_custkey % 100) * 0.01::DOUBLE AS lat,
+                   -51.2::DOUBLE + ((c_custkey * 7) % 100) * 0.01::DOUBLE AS lon
+            FROM customer
+        )
+        SELECT c_custkey,
+               round(lat, 6) AS lat,
+               round(lon, 6) AS lon,
+               round(
+                   2.0 * 6371000.0 * atan2(
+                       sqrt(
+                           sin(radians(lat - (-30.0346)) / 2)
+                               * sin(radians(lat - (-30.0346)) / 2)
+                           + cos(radians(-30.0346)) * cos(radians(lat))
+                               * sin(radians(lon - (-51.2177)) / 2)
+                               * sin(radians(lon - (-51.2177)) / 2)
+                       ),
+                       sqrt(1.0 - (
+                           sin(radians(lat - (-30.0346)) / 2)
+                               * sin(radians(lat - (-30.0346)) / 2)
+                           + cos(radians(-30.0346)) * cos(radians(lat))
+                               * sin(radians(lon - (-51.2177)) / 2)
+                               * sin(radians(lon - (-51.2177)) / 2)
+                       ))
+                   ), 2) AS dist_center_m
+        FROM pts
+    """,
+    "f_json_props": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                   AS k_avg,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,49 @@
+"""Parquet catalog over the driver testdata.
+
+Replaces the reference's SQL->pandas readers (utils.py:22-52, operator
+S11 in SURVEY.md §2.1) with schema-pinned columnar scans. Filters and
+projections applied downstream reach the parquet reader via Catalyst
+(PushedFilters / ReadSchema), which is the Spark-native analog of the
+reference's hand-built WHERE clauses (utils.py:40-48).
+
+Scale note: at 100 TB these would be partitioned/bucketed tables in a
+metastore; `load` keeps the same call shape either way, so operators
+never know the difference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TABLE_NAMES, TESTDATA
+from ..session import configure
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its pinned schema."""
+    if name not in TESTDATA:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pinned schema (never inferSchema): plans stay stable across scale
+    # factors and the scan prunes to exactly the referenced columns.
+    df = spark.read.schema(TESTDATA[name]).parquet(path)
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) -> read as raw nanos, floor to micros
+        # (same truncation DuckDB applies when casting TIMESTAMP_NS ->
+        # TIMESTAMP, so derived buckets/strings byte-match the oracle).
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -62,9 +62,10 @@ def q2_top10_value_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = events.groupBy("user_id").agg(
         F.round(F.sum("value"), 4).alias("total_value")
     )
-    joined = totals.join(
-        F.broadcast(customer), totals.user_id == customer.c_custkey
-    )
+    # No broadcast hint: the dimension grows with SF, so a forced
+    # broadcast risks OOM at sf100+. AQE's runtime size check picks
+    # broadcast-hash when the filtered dim is actually small.
+    joined = totals.join(customer, totals.user_id == customer.c_custkey)
     ratio = F.round(
         F.lit(100.0) * F.col("total_value") / F.nullif(F.col("c_acctbal"), F.lit(0.0)),
         1,
@@ -83,14 +84,25 @@ def q2_top10_value_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly availability profile per key (reference sql/queries.sql:33-42):
-    STRFTIME('%H') hour extraction (F3) + 2-key grouped AVG (A5).
+    USING-join to the dimension (J3), STRFTIME('%H') hour extraction
+    (F3), 3-key grouped AVG (A5), multi-key sort (O2).
+
+    The dim join mirrors `JOIN stations USING(station_id)` — the name
+    column rides along in the grouping key exactly as the reference
+    groups by `s.name`.
     """
     events = load(spark, sf_dir, "events")
-    return events.groupBy(
-        "user_id", F.date_format("ts", "HH").alias("hour")
-    ).agg(
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.count(F.lit(1)).alias("n_events"),
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return (
+        events.join(customer, "user_id")
+        .groupBy("user_id", "c_name", F.date_format("ts", "HH").alias("hour"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("c_name", "hour")
     )
 
 
@@ -102,27 +114,34 @@ def q4_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     purchase-events/hour joined to view-events/hour stands in for
     status/hour joined to weather_hourly.
+
+    Scale note: ONE scan of the fact with conditional aggregation,
+    not two scans + a shuffle join — the inner-join semantics of the
+    oracle (hours present in both series) are recovered by filtering
+    hours where either side is empty. At 100 TB this halves fact I/O
+    and removes an entire shuffle stage.
     """
     events = load(spark, sf_dir, "events")
     h = F.date_trunc("hour", F.col("ts")).alias("h")
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(h)
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    return (
+        events.groupBy(h)
         .agg(
-            F.round(F.sum("value"), 4).alias("purchase_value"),
-            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum(F.when(is_p, F.col("value"))), 4).alias(
+                "purchase_value"
+            ),
+            F.count(F.when(is_p, F.lit(1))).alias("purchases"),
+            F.count(F.when(is_v, F.lit(1))).alias("views"),
         )
-    )
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy(h)
-        .agg(F.count(F.lit(1)).alias("views"))
-    )
-    return purchases.join(views, "h").select(
-        F.date_format("h", HOUR_ISO).alias("hour"),
-        "purchase_value",
-        "purchases",
-        "views",
+        .filter((F.col("purchases") > 0) & (F.col("views") > 0))
+        .select(
+            F.date_format("h", HOUR_ISO).alias("hour"),
+            "purchase_value",
+            "purchases",
+            "views",
+        )
+        .orderBy("hour")
     )
 
 
@@ -161,10 +180,14 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     vehicles_json): parse events.props JSON, extract + aggregate.
     """
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return events.groupBy("event_type").agg(
-        F.sum(k).alias("k_sum"),
-        F.round(F.avg(k), 4).alias("k_avg"),
+    # Pre-project the extraction so the JSON string is parsed ONCE per
+    # row, not once per aggregate expression referencing it.
+    k = events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    return k.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.round(F.avg("k"), 4).alias("k_avg"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -202,10 +225,12 @@ ORACLES = {
         LIMIT 10
     """,
     "q3_hourly_profile": """
-        SELECT user_id, strftime(ts, '%H') AS hour,
+        SELECT user_id, c_name, strftime(ts, '%H') AS hour,
                round(avg(value), 4) AS avg_value,
                count(*) AS n_events
-        FROM events GROUP BY 1, 2
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2, 3
+        ORDER BY c_name, hour
     """,
     "q4_hourly_correlation": """
         WITH p AS (
@@ -220,6 +245,7 @@ ORACLES = {
         SELECT strftime(p.h, '%Y-%m-%dT%H:00:00') AS hour,
                purchase_value, purchases, views
         FROM p JOIN v ON p.h = v.h
+        ORDER BY hour
     """,
     "f_haversine_suite": """
         WITH pts AS (
@@ -251,8 +277,12 @@ ORACLES = {
         FROM pts
     """,
     "f_json_props": """
+        -- DuckDB widens integer SUM to HUGEINT (int128); Spark's sum
+        -- over int is bigint. Cast the sum's OUTPUT so the driver's
+        -- type-sensitive value hash sees bigint on both sides.
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS k_sum,
                round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
                    AS k_avg,
                count(*) AS n

@@ -24,11 +24,21 @@ from ..session import configure
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_CONFIGURED_FLAG = "spark.bikeAnalyzer.configured"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with its pinned schema."""
+    """Load one testdata table with its pinned schema.
+
+    `configure` mutates session-wide conf (timezone, AQE, Arrow,
+    nanosAsLong), so it runs once per session — guarded by a conf
+    sentinel — instead of on every table read.
+    """
     if name not in TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    configure(spark)
+    if spark.conf.get(_CONFIGURED_FLAG, None) != "true":
+        configure(spark)
+        spark.conf.set(_CONFIGURED_FLAG, "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Pinned schema (never inferSchema): plans stay stable across scale
     # factors and the scan prunes to exactly the referenced columns.

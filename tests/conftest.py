@@ -3,7 +3,7 @@ import pytest
 
 from bike_analyzer_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_SMOKE = "/root/testdata/sf0.001"
 SF_DIR_ORACLE = "/root/testdata/sf0.01"
 
 TABLES = (

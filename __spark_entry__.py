@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bike_analyzer_spark.operators import kpi
+from bike_analyzer_spark.operators import kpi, windows
 
-_MODULES = [kpi]
+_MODULES = [kpi, windows]
 
 
 def entry(spark: SparkSession) -> DataFrame:

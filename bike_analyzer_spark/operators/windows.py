@@ -1,0 +1,280 @@
+"""Window/delta layer — the per-key time-series idioms the reference
+builds all three dashboard analyses on (SURVEY.md §2.5, §2.4), mapped
+onto the driver testdata (events ≈ station_status: user_id plays
+station_id, value plays num_bikes_available, ts plays scraped_at).
+
+Operators covered (reference file:line):
+- W1 per-key lag-diff       od_inference.py:51-53, streamlit_app.py:185-186
+- A7 last-per-bucket        od_inference.py:51-52
+- W3 latest-snapshot filter sql/queries.sql:4-6
+- F6 N-minute floor bucket  od_inference.py:50
+- A8 sum of abs deltas      streamlit_app.py:187-188
+- A9 grouped mean           streamlit_app.py:273
+- A11 top-20 roll-up        streamlit_app.py:201
+- J5/J7 left join + fillna  streamlit_app.py:190, :274
+- F2/F8/F15 coalesce/abs/fillna
+
+Plan-shape notes (verified with .explain("formatted")):
+- W1 and the A8/A9 aggregates that follow it hash-partition on user_id
+  ONCE: the window's Exchange satisfies the downstream groupBy's
+  distribution requirement, so the delta→activity pipeline is a
+  single shuffle.
+- Timestamps are returned as epoch seconds/micros (bigint), never raw
+  timestamps: the driver compares against DuckDB reading parquet
+  TIMESTAMP_NS directly, and an integer epoch is the one encoding
+  both engines agree on byte-for-byte.
+- W3's `max(ts) OVER ()` window form compiles to a single-partition
+  Window node (every row moves to one task) — unusable at 100 TB. The
+  scale-safe plan for the same semantics is a 1-row aggregate
+  broadcast back to the fact scan, which is what this module does;
+  the empty-window form is deliberately rejected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+def lag_delta(events: DataFrame, minutes: int | None = None) -> DataFrame:
+    """W1: per-key inventory delta between consecutive snapshots.
+
+    Reference od_inference.py:51-53: sort by (key, time), diff, fillna(0).
+    When `minutes` is given, first collapses to the last value per
+    (key, N-minute bucket) (A7+F6) and diffs the bucket series — the
+    exact preprocessing `infer_flows` does before matching.
+    """
+    if minutes is not None:
+        events = last_per_bucket(events, minutes)
+        order = [F.col("bucket_s")]
+        val = F.col("last_value")
+    else:
+        # deterministic within-key order: ts can tie, event_id cannot
+        order = [F.col("ts"), F.col("event_id")]
+        val = F.col("value")
+    w = Window.partitionBy("user_id").orderBy(*order)
+    return events.withColumn(
+        "delta", F.round(F.coalesce(val - F.lag(val).over(w), F.lit(0.0)), 4)
+    )
+
+
+def last_per_bucket(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """A7+F6: last event value per (key, N-minute tumbling bucket).
+
+    Reference od_inference.py:50-52 (`dt.floor(freq)` then
+    `groupby(...).last()`). `max_by(struct(ts, event_id))` semantics via
+    row_number keeps the pick deterministic under ts ties.
+    """
+    bucket_s = (
+        F.floor(F.unix_timestamp("ts") / (60 * minutes)) * (60 * minutes)
+    ).cast("long")
+    w = Window.partitionBy("user_id", "bucket_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("bucket_s", bucket_s)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "bucket_s",
+            F.col("value").alias("last_value"),
+            "event_id",
+            "ts",
+        )
+    )
+
+
+def w1_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return lag_delta(events).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value"),
+        "delta",
+    )
+
+
+def a7_last_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return last_per_bucket(events, minutes=10).select(
+        "user_id",
+        "bucket_s",
+        F.round("last_value", 4).alias("last_value"),
+        "event_id",
+    )
+
+
+def w3_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: restrict the fact to its latest snapshot, per-type roll-up.
+
+    Same semantics as `max(h) OVER ()` + filter (reference
+    sql/queries.sql:4-6) with the scale-safe plan: 1-row max aggregate
+    broadcast back to the scan (see module docstring).
+    """
+    events = load(spark, sf_dir, "events")
+    with_hour = events.withColumn("h", F.date_trunc("hour", F.col("ts")))
+    latest = with_hour.agg(F.max("h").alias("h"))
+    return (
+        with_hour.join(F.broadcast(latest), "h")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _activity_by_user(events: DataFrame) -> DataFrame:
+    """A8: per-key activity = sum of |delta| (streamlit_app.py:187-188)."""
+    return (
+        lag_delta(events)
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.abs(F.col("delta"))), 4).alias("activity"))
+    )
+
+
+def a8_activity_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+J5+F15: activity left-joined onto the full dimension, absent
+    keys zero-filled (streamlit_app.py:186-190).
+    """
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    activity = _activity_by_user(events)
+    return (
+        customer.join(
+            activity, customer.c_custkey == activity.user_id, "left"
+        )
+        .na.fill({"activity": 0.0})
+        .select("c_custkey", "c_name", "activity")
+    )
+
+
+def a9_avg_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+J7: per-key mean left-joined onto the dimension with fillna
+    (streamlit_app.py:271-274 avg-bikes hotspots).
+    """
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    means = events.groupBy("user_id").agg(
+        F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    return (
+        customer.join(means, customer.c_custkey == means.user_id, "left")
+        .na.fill({"avg_value": 0.0})
+        .select("c_custkey", "c_name", "avg_value")
+    )
+
+
+def a11_top20_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+J6+O5: activity rolled up to the region grouping (nation
+    plays bairro), top-20 (streamlit_app.py:196-201).
+
+    nation is a fixed 25-row dimension — broadcast is always right.
+    customer grows with SF, so its join relies on AQE's size check.
+    """
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    activity = _activity_by_user(events)
+    return (
+        activity.join(customer, activity.user_id == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("activity"), 4).alias("activity"))
+        .orderBy(F.desc("activity"), F.asc("n_name"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "w1_lag_delta": w1_lag_delta,
+    "a7_last_per_bucket": a7_last_per_bucket,
+    "w3_latest_snapshot": w3_latest_snapshot,
+    "a8_activity_by_user": a8_activity_by_user,
+    "a9_avg_value_by_user": a9_avg_value_by_user,
+    "a11_top20_by_nation": a11_top20_by_nation,
+}
+
+_DELTA_CTE = """
+        SELECT user_id,
+               round(coalesce(
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                   0), 4) AS delta
+        FROM events
+"""
+
+ORACLES = {
+    "w1_lag_delta": """
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               round(value, 4) AS value,
+               round(coalesce(
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                   0), 4) AS delta
+        FROM events
+    """,
+    "a7_last_per_bucket": """
+        WITH b AS (
+            SELECT user_id, value, event_id,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600
+                        AS BIGINT) AS bucket_s,
+                   row_number() OVER (
+                       PARTITION BY user_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+                                * 600 AS BIGINT)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, bucket_s, round(value, 4) AS last_value, event_id
+        FROM b WHERE rn = 1
+    """,
+    "w3_latest_snapshot": """
+        WITH last AS (SELECT max(date_trunc('hour', ts)) AS h FROM events)
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events, last
+        WHERE date_trunc('hour', ts) = last.h
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "a8_activity_by_user": f"""
+        WITH d AS ({_DELTA_CTE}),
+        a AS (
+            SELECT user_id, round(sum(abs(delta)), 4) AS activity
+            FROM d GROUP BY user_id
+        )
+        SELECT c_custkey, c_name, coalesce(activity, 0.0) AS activity
+        FROM customer LEFT JOIN a ON c_custkey = user_id
+    """,
+    "a9_avg_value_by_user": """
+        WITH m AS (
+            SELECT user_id, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY user_id
+        )
+        SELECT c_custkey, c_name, coalesce(avg_value, 0.0) AS avg_value
+        FROM customer LEFT JOIN m ON c_custkey = user_id
+    """,
+    "a11_top20_by_nation": f"""
+        WITH d AS ({_DELTA_CTE}),
+        a AS (
+            SELECT user_id, round(sum(abs(delta)), 4) AS activity
+            FROM d GROUP BY user_id
+        )
+        SELECT n_name, round(sum(activity), 4) AS activity
+        FROM a
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY activity DESC, n_name ASC
+        LIMIT 20
+    """,
+}

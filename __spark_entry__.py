@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bike_analyzer_spark.operators import kpi, windows
+from bike_analyzer_spark.operators import kpi, od, windows
 
-_MODULES = [kpi, windows]
+_MODULES = [kpi, od, windows]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,253 @@
+"""Origin-destination flow inference — the reference's signature
+non-relational kernel (reference od_inference.py:19-77, SURVEY.md U2),
+re-expressed Spark-first.
+
+Pipeline (testdata mapping: user_id plays station_id, value plays
+num_bikes_available, pseudo-coordinates derived from the key as in
+f_haversine_suite):
+
+1. F6+A7: last value per (key, N-minute bucket)   od_inference.py:50-52
+2. W1:    per-key bucket-series delta, int-cast   od_inference.py:53
+3. P5:    drop keys without coordinates (join)    od_inference.py:63-64
+4. P4+U2: sign split + greedy nearest-neighbor
+          matching per bucket                      od_inference.py:19-43,66-74
+5. A10:   roll up per-bucket flows to edges       od_inference.py:76
+6. O4:    top-N edges                              streamlit_app.py:242
+
+Spark shape: steps 1-3 are window/join relational ops; step 4 is
+`groupBy("bucket_s").applyInPandas(...)` — the one genuinely
+sequential kernel, parallel ACROSS buckets, sequential within a
+bucket exactly like the reference (safe: buckets are independent).
+
+Determinism: the reference's greedy loop breaks ties by list order
+(input row order). That is not stable under distributed input order,
+so this implementation pins explicit total orders: largest remaining
+departure (tie → smallest key), nearest arrival by haversine
+(distance tie → smallest key). Same algorithm, deterministic on any
+partitioning.
+
+100 TB notes:
+- the shuffle is on bucket_s; per-bucket state is bounded by the
+  number of distinct keys (stations), not by row count — the A7
+  collapse happens BEFORE the pandas kernel, so each group is at most
+  |stations| rows regardless of input volume.
+- the coordinate dimension joins via broadcast below AQE's threshold;
+  no .collect() anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+from .windows import lag_delta
+
+FLOW_SCHEMA = "bucket_s bigint, o bigint, d bigint, flow bigint"
+
+_EARTH_R_M = 6371000.0
+
+
+def pseudo_coords(df: DataFrame, key: str = "c_custkey") -> DataFrame:
+    """Deterministic pseudo lat/lon for a key column (testdata has no
+    geo columns; same formula as kpi.f_haversine_suite)."""
+    lat = F.lit(-30.0) + (F.col(key) % 100) * F.lit(0.01)
+    lon = F.lit(-51.2) + ((F.col(key) * 7) % 100) * F.lit(0.01)
+    return df.select(
+        F.col(key).alias("station_key"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    """Vectorized haversine in meters (reference utils.py:12-19
+    formula; numpy inside the grouped kernel only)."""
+    import numpy as np
+
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(dlon / 2.0) ** 2
+    )
+    return 2.0 * _EARTH_R_M * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+
+
+def _match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy nearest-neighbor matching within one time bucket
+    (reference od_inference.py:19-43): repeatedly take the departure
+    with the largest remaining units, send min(dep, nearest-arrival)
+    units to the nearest arrival, until either side exhausts.
+    """
+    import numpy as np
+
+    if pdf.empty:
+        return pd.DataFrame(
+            {"bucket_s": [], "o": [], "d": [], "flow": []}
+        ).astype({"bucket_s": "int64", "o": "int64", "d": "int64", "flow": "int64"})
+
+    bucket = int(pdf["bucket_s"].iloc[0])
+    dep = pdf[pdf["delta_i"] < 0].sort_values("station_key")
+    arr = pdf[pdf["delta_i"] > 0].sort_values("station_key")
+
+    d_key = dep["station_key"].to_numpy()
+    d_lat = dep["lat"].to_numpy()
+    d_lon = dep["lon"].to_numpy()
+    d_rem = (-dep["delta_i"].to_numpy()).astype("int64")
+    a_key = arr["station_key"].to_numpy()
+    a_lat = arr["lat"].to_numpy()
+    a_lon = arr["lon"].to_numpy()
+    a_rem = arr["delta_i"].to_numpy().astype("int64")
+
+    rows: list[tuple[int, int, int, int]] = []
+    while True:
+        if not (d_rem > 0).any() or not (a_rem > 0).any():
+            break
+        # largest remaining departure; key asc on ties (keys are sorted,
+        # argmax returns the first = smallest key among maxima)
+        di = int(np.argmax(d_rem))
+        live = a_rem > 0
+        dists = _haversine_np(
+            d_lat[di], d_lon[di], a_lat[live], a_lon[live]
+        )
+        ai = int(np.flatnonzero(live)[int(np.argmin(dists))])
+        units = int(min(d_rem[di], a_rem[ai]))
+        rows.append((bucket, int(d_key[di]), int(a_key[ai]), units))
+        d_rem[di] -= units
+        a_rem[ai] -= units
+
+    return pd.DataFrame(rows, columns=["bucket_s", "o", "d", "flow"])
+
+
+def bucket_deltas(
+    spark: SparkSession, sf_dir: str, minutes: int = 10
+) -> DataFrame:
+    """Steps 1-3: per-(key, bucket) int delta joined to coordinates."""
+    events = load(spark, sf_dir, "events")
+    stations = pseudo_coords(load(spark, sf_dir, "customer"))
+    deltas = (
+        lag_delta(events, minutes=minutes)
+        .withColumn("delta_i", F.col("delta").cast("int"))
+        .filter(F.col("delta_i") != 0)
+        .select("user_id", "bucket_s", "delta_i")
+    )
+    # P5: inner join doubles as the semi-join drop of unknown keys and
+    # carries the coordinates the matcher needs. Dimension side is
+    # broadcast by AQE (small); no hint so sf100+ can fall back.
+    return deltas.join(
+        stations, deltas.user_id == stations.station_key
+    ).select("station_key", "bucket_s", "delta_i", "lat", "lon")
+
+
+def infer_flows(
+    spark: SparkSession, sf_dir: str, minutes: int = 10
+) -> DataFrame:
+    """U2+A10: greedy per-bucket matching, rolled up to (o, d) edges."""
+    per_bucket = (
+        bucket_deltas(spark, sf_dir, minutes=minutes)
+        .groupBy("bucket_s")
+        .applyInPandas(_match_bucket, schema=FLOW_SCHEMA)
+    )
+    return per_bucket.groupBy("o", "d").agg(F.sum("flow").alias("flow"))
+
+
+def od_flows_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-50 OD edges (streamlit_app.py:242, default slider 50)."""
+    return infer_flows(spark, sf_dir, minutes=10).orderBy(
+        F.desc("flow"), F.asc("o"), F.asc("d")
+    ).limit(50)
+
+
+def od_flow_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit query: per bucket, matched units = min(total departed,
+    total arrived) — the greedy loop's invariant, checkable in SQL.
+    This is the SQL-expressible face of U2, used as its oracle.
+    """
+    deltas = bucket_deltas(spark, sf_dir, minutes=10)
+    flows = (
+        deltas.groupBy("bucket_s")
+        .applyInPandas(_match_bucket, schema=FLOW_SCHEMA)
+        .groupBy("bucket_s")
+        .agg(F.sum("flow").alias("matched"))
+    )
+    sides = deltas.groupBy("bucket_s").agg(
+        F.sum(F.when(F.col("delta_i") < 0, -F.col("delta_i"))).alias("departed"),
+        F.sum(F.when(F.col("delta_i") > 0, F.col("delta_i"))).alias("arrived"),
+    )
+    return (
+        sides.join(flows, "bucket_s", "left")
+        .na.fill({"matched": 0})
+        .select(
+            "bucket_s",
+            F.col("departed").cast("bigint").alias("departed"),
+            F.col("arrived").cast("bigint").alias("arrived"),
+            F.col("matched").cast("bigint").alias("matched"),
+        )
+    )
+
+
+QUERIES = {
+    "od_flows_topn": od_flows_topn,
+    "od_flow_conservation": od_flow_conservation,
+}
+
+# od_flows_topn is non-SQL-expressible (sequential greedy kernel) →
+# rows-only check by the driver; pytest pins it against an independent
+# reimplementation + property tests (tests/test_od.py).
+# od_flow_conservation IS SQL-expressible: matched must equal
+# min(departed, arrived) per bucket, and departed/arrived come from
+# pure window SQL.
+ORACLES = {
+    "od_flow_conservation": """
+        WITH b AS (
+            SELECT user_id, value, event_id,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600
+                        AS BIGINT) AS bucket_s,
+                   row_number() OVER (
+                       PARTITION BY user_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+                                * 600 AS BIGINT)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        last AS (SELECT user_id, bucket_s, value FROM b WHERE rn = 1),
+        d AS (
+            -- trunc() before the INT cast: DuckDB casts double->int by
+            -- rounding, Spark (and the reference's astype(int)) truncate
+            SELECT user_id, bucket_s,
+                   CAST(trunc(round(coalesce(
+                       value - lag(value) OVER (
+                           PARTITION BY user_id ORDER BY bucket_s),
+                       0), 4)) AS INT) AS delta_i
+            FROM last
+        ),
+        dd AS (
+            SELECT * FROM d
+            WHERE delta_i != 0
+              AND user_id IN (SELECT c_custkey FROM customer)
+        )
+        SELECT bucket_s,
+               CAST(sum(CASE WHEN delta_i < 0 THEN -delta_i END) AS BIGINT)
+                   AS departed,
+               CAST(sum(CASE WHEN delta_i > 0 THEN delta_i END) AS BIGINT)
+                   AS arrived,
+               -- one-sided buckets match nothing; DuckDB's least()
+               -- skips NULLs, so guard explicitly
+               CAST(CASE
+                   WHEN sum(CASE WHEN delta_i < 0 THEN -delta_i END) IS NULL
+                     OR sum(CASE WHEN delta_i > 0 THEN delta_i END) IS NULL
+                   THEN 0
+                   ELSE least(
+                       sum(CASE WHEN delta_i < 0 THEN -delta_i END),
+                       sum(CASE WHEN delta_i > 0 THEN delta_i END))
+               END AS BIGINT) AS matched
+        FROM dd
+        GROUP BY bucket_s
+    """,
+}

@@ -1,0 +1,107 @@
+"""OD inference: conservation oracle, independent-reimplementation
+cross-check, determinism, and per-node capacity properties
+(SURVEY.md §5's plan for the non-SQL-expressible U2 kernel)."""
+
+import math
+
+import pytest
+
+from bike_analyzer_spark.operators import od
+from tests.conftest import SF_DIR_ORACLE, SF_DIR_SMOKE, make_duck
+from tests.oracle import assert_matches_oracle
+
+
+def test_od_conservation_vs_oracle(spark, duck):
+    df = od.od_flow_conservation(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, od.ORACLES["od_flow_conservation"], name="od_flow_conservation"
+    )
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(dlon / 2) ** 2
+    )
+    return 2 * 6371000.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+def _reference_greedy(rows):
+    """Independent scalar reimplementation of the reference algorithm
+    (od_inference.py:19-43) with this engine's deterministic
+    tie-breaks. rows: (key, bucket_s, delta_i, lat, lon)."""
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r[1]].append(r)
+    edges = defaultdict(int)
+    for bucket in sorted(by_bucket):
+        deps = {r[0]: [-r[2], r[3], r[4]] for r in by_bucket[bucket] if r[2] < 0}
+        arrs = {r[0]: [r[2], r[3], r[4]] for r in by_bucket[bucket] if r[2] > 0}
+        while any(v[0] > 0 for v in deps.values()) and any(
+            v[0] > 0 for v in arrs.values()
+        ):
+            dk = min(
+                (k for k, v in deps.items() if v[0] > 0),
+                key=lambda k: (-deps[k][0], k),
+            )
+            ak = min(
+                (k for k, v in arrs.items() if v[0] > 0),
+                key=lambda k: (
+                    _haversine(deps[dk][1], deps[dk][2], arrs[k][1], arrs[k][2]),
+                    k,
+                ),
+            )
+            units = min(deps[dk][0], arrs[ak][0])
+            edges[(dk, ak)] += units
+            deps[dk][0] -= units
+            arrs[ak][0] -= units
+    return dict(edges)
+
+
+def test_od_flows_match_independent_reimpl(spark):
+    deltas = [
+        tuple(r)
+        for r in od.bucket_deltas(spark, SF_DIR_SMOKE, minutes=10).collect()
+    ]
+    expected = _reference_greedy(deltas)
+    got = {
+        (r.o, r.d): r.flow
+        for r in od.infer_flows(spark, SF_DIR_SMOKE, minutes=10).collect()
+    }
+    assert got == expected
+
+
+def test_od_topn_deterministic(spark):
+    a = [tuple(r) for r in od.od_flows_topn(spark, SF_DIR_SMOKE).collect()]
+    b = [tuple(r) for r in od.od_flows_topn(spark, SF_DIR_SMOKE).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_od_per_node_capacity(spark):
+    """Per bucket: flow out of a key <= its departed units; flow into
+    a key <= its arrived units."""
+    from pyspark.sql import functions as F
+
+    deltas = od.bucket_deltas(spark, SF_DIR_ORACLE, minutes=10)
+    flows = deltas.groupBy("bucket_s").applyInPandas(
+        od._match_bucket, schema=od.FLOW_SCHEMA
+    )
+    out_by_o = flows.groupBy("bucket_s", "o").agg(F.sum("flow").alias("out"))
+    dep = deltas.filter("delta_i < 0").select(
+        "bucket_s",
+        F.col("station_key").alias("o"),
+        (-F.col("delta_i")).alias("cap"),
+    )
+    bad_out = out_by_o.join(dep, ["bucket_s", "o"]).filter("out > cap").count()
+    in_by_d = flows.groupBy("bucket_s", "d").agg(F.sum("flow").alias("inn"))
+    arr = deltas.filter("delta_i > 0").select(
+        "bucket_s",
+        F.col("station_key").alias("d"),
+        F.col("delta_i").alias("cap"),
+    )
+    bad_in = in_by_d.join(arr, ["bucket_s", "d"]).filter("inn > cap").count()
+    assert bad_out == 0 and bad_in == 0

@@ -1,0 +1,333 @@
+"""Deduplication over `documents` — the LLM-data-pipeline dedup pack:
+exact (hash-groupBy), MinHash-LSH banded near-dup, SimHash signatures,
+and exact n-gram Jaccard verification. No all-pairs crossJoin anywhere:
+candidate generation is always bucketed (LSH bands / shared grouping
+keys), which is what keeps this 100-TB-viable.
+
+Scale shapes:
+- dedup_exact: one hash aggregate on md5(text). Map-side partial aggs;
+  the shuffle key is the content hash, uniformly distributed — no skew.
+- dedup_minhash_lsh: explode shingles (fan-out bounded by doc length),
+  one groupBy(doc) computing all K minhashes in a single pass, then
+  band-bucket self-join. Candidate volume is governed by band
+  collisions (jaccard^r per band), never |docs|^2.
+- dedup_simhash: token explode + one groupBy(doc) with 32 conditional
+  sums — a single shuffle, signature assembled from bit sums.
+- verification joins candidates back through shingle sets (semi-join
+  shaped, proportional to candidate count x doc length).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (
+    hash64,
+    hash64_duck,
+    shingle_exprs,
+    shingles_duck,
+    tokens,
+)
+from ..sources.catalog import load
+
+MINHASH_K = 16  # total hash functions
+LSH_BANDS = 8  # bands of r = K/BANDS rows each
+JACCARD_FLOOR = 0.05  # report candidate pairs at/above this similarity
+SIMHASH_BITS = 32
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the set-semantics base for
+    both MinHash and exact Jaccard."""
+    return (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    Returns one row per distinct content with its multiplicity — the
+    keep-list (keep_id) plus how many copies it collapses (n_copies).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K minhashes per doc in ONE aggregation pass: min over shingles
+    of hash64(i || shingle) for i in 0..k-1. Docs with no shingles
+    (fewer than 3 tokens) drop out, mirroring set semantics."""
+    ds = _doc_shingles(docs)
+    mins = [
+        F.min(hash64(F.col("sh"), salt=str(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    return ds.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature and self-join per (band, band-signature)
+    bucket: pairs agreeing on ALL rows of any band become candidates."""
+    k = len(sigs.columns) - 1
+    r = k // bands
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * r + j}") for j in range(r)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def _jaccard_for(
+    candidates: DataFrame, ds: DataFrame, floor: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: intersection via
+    a shingle equi-join, union by inclusion-exclusion."""
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = ds.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = ds.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        candidates.join(a_sh, "a")
+        .join(b_sh, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= floor)
+        .select("a", "b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs)
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidates(sigs)
+    return _jaccard_for(cands, ds, JACCARD_FLOOR).orderBy(
+        F.desc("jaccard"), "a", "b"
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per-token portable hash; signature bit j is the sign of
+    sum over tokens (with multiplicity) of +/-1 for hash-bit j."""
+    tok = (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .withColumn("th", hash64(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(bits),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for within-`source` pairs (bucketed by the
+    source key so candidate volume stays linear in bucket size), top-20
+    most similar pairs."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs)
+    src = docs.select("doc_id", "source")
+    pairs = (
+        src.alias("x")
+        .join(
+            src.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return _jaccard_for(pairs, ds, 0.0).orderBy(
+        F.desc("jaccard"), "a", "b"
+    ).limit(20)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_DS = f"""
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({shingles_duck("toks", 3)}) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+"""
+
+
+def _minhash_cols_duck(k: int = MINHASH_K) -> str:
+    return ",\n               ".join(
+        f"min({hash64_duck('sh', str(i))}) AS mh{i}" for i in range(k)
+    )
+
+
+def _bands_duck(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+    """UNION ALL of one SELECT per band over the signature table."""
+    r = k // bands
+    selects = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS sig FROM sigs"
+        )
+    return "\n            UNION ALL\n            ".join(selects)
+
+
+def _simhash_duck(bits: int = SIMHASH_BITS) -> str:
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {hash64_duck("t.tok")} AS th
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+        ),
+        agg AS (
+            SELECT doc_id,
+               {sums}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, {sig} AS simhash
+        FROM agg
+        ORDER BY doc_id
+    """
+
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               count(*) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_id
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH ds AS ({_DS}),
+        sigs AS (
+            SELECT doc_id,
+               {_minhash_cols_duck()}
+            FROM ds GROUP BY doc_id
+        ),
+        banded AS (
+            {_bands_duck()}
+        ),
+        cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cands c
+            JOIN ds da ON da.doc_id = c.a
+            JOIN ds db ON db.doc_id = c.b AND db.sh = da.sh
+            GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b,
+               round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= {JACCARD_FLOOR}
+        ORDER BY jaccard DESC, a, b
+    """,
+    "dedup_simhash": _simhash_duck(),
+    "dedup_ngram_jaccard": f"""
+        WITH ds AS ({_DS}),
+        pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM documents x JOIN documents y
+              ON x.source = y.source AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT p.a, p.b, count(*) AS inter
+            FROM pairs p
+            JOIN ds da ON da.doc_id = p.a
+            JOIN ds db ON db.doc_id = p.b AND db.sh = da.sh
+            GROUP BY p.a, p.b
+        )
+        SELECT i.a, i.b,
+               round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.0
+        ORDER BY jaccard DESC, a, b
+        LIMIT 20
+    """,
+}

@@ -15,9 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bike_analyzer_spark.operators import kpi, od, windows
+from bike_analyzer_spark.operators import (
+    dedup,
+    kpi,
+    multimodal,
+    od,
+    similarity,
+    text,
+    windows,
+)
 
-_MODULES = [kpi, od, windows]
+_MODULES = [kpi, od, windows, text, dedup, similarity, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

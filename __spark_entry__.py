@@ -20,12 +20,13 @@ from bike_analyzer_spark.operators import (
     kpi,
     multimodal,
     od,
+    readers,
     similarity,
     text,
     windows,
 )
 
-_MODULES = [kpi, od, windows, text, dedup, similarity, multimodal]
+_MODULES = [kpi, od, windows, text, dedup, similarity, multimodal, readers]
 
 
 def entry(spark: SparkSession) -> DataFrame:

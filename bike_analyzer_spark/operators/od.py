@@ -251,9 +251,43 @@ def od_flow_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def od_flows_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (reference streamlit_app.py:241-248): decorate the top flows
+    with origin/destination coordinates — two aliased broadcast joins
+    against the station dimension, set-wise (the reference does four
+    dict-lookup .map() calls)."""
+    flows = od_flows_topn(spark, sf_dir)
+    coords = pseudo_coords(load(spark, sf_dir, "customer"))
+    o = coords.select(
+        F.col("station_key").alias("o"),
+        F.col("lat").alias("o_lat"),
+        F.col("lon").alias("o_lon"),
+    )
+    d = coords.select(
+        F.col("station_key").alias("d"),
+        F.col("lat").alias("d_lat"),
+        F.col("lon").alias("d_lon"),
+    )
+    return (
+        flows.join(F.broadcast(o), "o")
+        .join(F.broadcast(d), "d")
+        .select(
+            "o",
+            "d",
+            "flow",
+            F.round("o_lat", 6).alias("o_lat"),
+            F.round("o_lon", 6).alias("o_lon"),
+            F.round("d_lat", 6).alias("d_lat"),
+            F.round("d_lon", 6).alias("d_lon"),
+        )
+        .orderBy(F.desc("flow"), "o", "d")
+    )
+
+
 QUERIES = {
     "od_flows_topn": od_flows_topn,
     "od_flow_conservation": od_flow_conservation,
+    "od_flows_with_coords": od_flows_with_coords,
 }
 
 # od_flows_topn is non-SQL-expressible (sequential greedy kernel) →

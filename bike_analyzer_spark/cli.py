@@ -1,0 +1,97 @@
+"""CLI entry point — parity with the reference's argparse commands
+(reference cli.py:12-39: init-db / ingest-status / ingest-weather)
+plus engine-native extras (query / bench-style listing).
+
+Usage:
+    python -m bike_analyzer_spark.cli ingest-gbfs --warehouse DIR
+        [--fixture si.json ss.json]          # offline: fixture payloads
+    python -m bike_analyzer_spark.cli ingest-weather --warehouse DIR
+        --start -2d --end +2d [--fixture payload.json]
+    python -m bike_analyzer_spark.cli query NAME [--sf-dir DIR]
+    python -m bike_analyzer_spark.cli list-queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="bike-analyzer-spark-cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bike-analyzer-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("ingest-gbfs", help="stations upsert + status append")
+    g.add_argument("--warehouse", required=True)
+    g.add_argument("--fixture", nargs=2, metavar=("SI_JSON", "SS_JSON"))
+
+    w = sub.add_parser("ingest-weather", help="hourly weather upsert")
+    w.add_argument("--warehouse", required=True)
+    w.add_argument("--start", default="-2d")
+    w.add_argument("--end", default="+2d")
+    w.add_argument("--fixture", metavar="PAYLOAD_JSON")
+
+    q = sub.add_parser("query", help="run a named corpus query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list-queries", help="list the query corpus")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "ingest-gbfs":
+        from .sources import gbfs
+
+        if args.fixture:
+            with open(args.fixture[0]) as f:
+                si = json.load(f)
+            with open(args.fixture[1]) as f:
+                ss = json.load(f)
+            fetch = lambda: (si, ss)  # noqa: E731
+        else:
+            fetch = gbfs.fetch_via_http
+        out = gbfs.ingest_once(_spark(), args.warehouse, fetch_fn=fetch)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "ingest-weather":
+        from .sources import weather
+
+        if args.fixture:
+            with open(args.fixture) as f:
+                payload = json.load(f)
+        else:
+            payload = weather.fetch_weather(args.start, args.end)
+        n = weather.upsert_weather(_spark(), payload, args.warehouse)
+        print(json.dumps({"weather_rows": n}))
+        return 0
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    if args.cmd == "list-queries":
+        for name in sorted(queries):
+            print(name)
+        return 0
+
+    if args.cmd == "query":
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 2
+        df = queries[args.name](_spark(), args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

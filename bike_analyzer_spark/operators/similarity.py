@@ -150,10 +150,46 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COS = 0.95
+
+
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup pack's
+    vector modality): LSH-bucketed candidates verified at a high
+    cosine threshold. Empty on decorrelated corpora — by design; the
+    oracle runs the same bucketed pipeline, so emptiness is verified,
+    not assumed."""
+    buckets = sim_lsh_buckets(spark, sf_dir)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .orderBy(F.desc("cos"), "a", "b")
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
+    "dedup_embed_cosine": dedup_embed_cosine,
 }
 
 # DuckDB twins. Element access: list_transform((x,i) -> ...) gives a
@@ -231,6 +267,24 @@ ORACLES = {
     "sim_lsh_buckets": f"""
         {_BUCKETS}
         ORDER BY vec_id, table_id
+    """,
+    "dedup_embed_cosine": f"""
+        WITH buckets AS ({_BUCKETS}),
+        cands AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM buckets l JOIN buckets r
+              ON l.table_id = r.table_id AND l.bucket = r.bucket
+             AND l.vec_id < r.vec_id
+        )
+        SELECT * FROM (
+            SELECT c.a, c.b,
+                   {_cos_sql("ea.embedding", "eb.embedding")} AS cos
+            FROM cands c
+            JOIN embeddings ea ON ea.vec_id = c.a
+            JOIN embeddings eb ON eb.vec_id = c.b
+        )
+        WHERE cos >= {NEAR_DUP_COS}
+        ORDER BY cos DESC, a, b
     """,
     "sim_lsh_candidates": f"""
         WITH buckets AS ({_BUCKETS}),

@@ -62,6 +62,34 @@ def parse_rel(s: str, now: _dt.datetime | None = None) -> _dt.datetime:
     return _dt.datetime.fromisoformat(s)
 
 
+#: public Open-Meteo endpoint + Porto Alegre coords (reference
+#: config.py:7-9, etl_weather.py:34)
+DEFAULT_API = "https://api.open-meteo.com/v1/forecast"
+CITY_LAT, CITY_LON = -30.0346, -51.2177
+TIMEZONE = "America/Sao_Paulo"
+
+
+def fetch_weather(
+    start: str, end: str, api_url: str = DEFAULT_API
+) -> dict[str, Any]:
+    """S7: fetch the hourly forecast for the city window (reference
+    etl_weather.py:23-36). Import-gated on `requests`; tests inject
+    payload fixtures into weather_df/upsert_weather directly."""
+    import requests
+
+    params = {
+        "latitude": CITY_LAT,
+        "longitude": CITY_LON,
+        "timezone": TIMEZONE,
+        "start_date": parse_rel(start).date().isoformat(),
+        "end_date": parse_rel(end).date().isoformat(),
+        "hourly": ",".join(name for name, _ in METRICS),
+    }
+    r = requests.get(api_url, params=params, timeout=30)
+    r.raise_for_status()
+    return r.json()
+
+
 def weather_df(spark: SparkSession, payload: dict[str, Any]) -> DataFrame:
     """hourly struct-of-arrays -> one typed row per hour."""
     hourly = payload.get("hourly", {})

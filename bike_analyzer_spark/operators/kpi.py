@@ -153,20 +153,13 @@ def f_haversine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pseudo-coordinates derived deterministically from c_custkey stand
     in for station lat/lon (testdata has no geo columns).
     """
+    from ..functions.geo import haversine_m
+
     customer = load(spark, sf_dir, "customer")
     lat = F.lit(-30.0) + (F.col("c_custkey") % 100) * F.lit(0.01)
     lon = F.lit(-51.2) + ((F.col("c_custkey") * 7) % 100) * F.lit(0.01)
     clat, clon = F.lit(-30.0346), F.lit(-51.2177)
-    dlat = F.radians(lat - clat)
-    dlon = F.radians(lon - clon)
-    a = (
-        F.sin(dlat / 2) * F.sin(dlat / 2)
-        + F.cos(F.radians(clat))
-        * F.cos(F.radians(lat))
-        * F.sin(dlon / 2)
-        * F.sin(dlon / 2)
-    )
-    dist_m = F.lit(2.0 * 6371000.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+    dist_m = haversine_m(clat, clon, lat, lon)
     return customer.select(
         "c_custkey",
         F.round(lat, 6).alias("lat"),

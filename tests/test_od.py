@@ -105,3 +105,35 @@ def test_od_per_node_capacity(spark):
     )
     bad_in = in_by_d.join(arr, ["bucket_s", "d"]).filter("inn > cap").count()
     assert bad_out == 0 and bad_in == 0
+
+
+def test_od_tie_determinism_synthetic(spark):
+    """Adversarial ties: equal remaining counts and equal distances
+    must resolve by smallest key on both the kernel and the
+    independent reimplementation."""
+    import pandas as pd
+    from bike_analyzer_spark.operators.od import _match_bucket
+
+    # two departures with identical counts; two arrivals equidistant
+    # from each departure (same coords) with identical counts
+    pdf = pd.DataFrame({
+        "station_key": [10, 2, 30, 4],
+        "bucket_s":    [600, 600, 600, 600],
+        "delta_i":     [-5, -5, 5, 5],
+        "lat":         [-30.0, -30.0, -30.1, -30.1],
+        "lon":         [-51.0, -51.0, -51.1, -51.1],
+    })
+    out = _match_bucket(pdf)
+    got = list(map(tuple, out.to_records(index=False)))
+    # largest-remaining tie -> smallest dep key (2); nearest tie ->
+    # smallest arr key (4... keys sorted: arrivals are 4 and 30, same
+    # distance -> 4 first)
+    assert got[0] == (600, 2, 4, 5)
+    assert got[1] == (600, 10, 30, 5)
+    expected = _reference_greedy(
+        [tuple(r) for r in pdf[["station_key", "bucket_s", "delta_i",
+                                "lat", "lon"]].itertuples(index=False)])
+    rolled = {}
+    for _, o, d, c in got:
+        rolled[(o, d)] = rolled.get((o, d), 0) + c
+    assert rolled == expected

@@ -85,6 +85,29 @@ def load_events_range(
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def materialize_events_partitioned(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """One-time ETL: land events as an event_date-partitioned table —
+    the storage layout a 100 TB deployment would use. 'Latest hour' /
+    time-range queries then prune to a handful of partition dirs via
+    PartitionFilters instead of scanning the whole table (the Spark
+    analog of the reference's (station_id, scraped_at) index,
+    sql/schema.sql:33)."""
+    df = load(spark, sf_dir, "events")
+    (
+        df.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def load_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bike_analyzer_spark.operators import (
+    analytics_ext,
     dedup,
     kpi,
     multimodal,
@@ -26,7 +27,17 @@ from bike_analyzer_spark.operators import (
     windows,
 )
 
-_MODULES = [kpi, od, windows, text, dedup, similarity, multimodal, readers]
+_MODULES = [
+    kpi,
+    od,
+    windows,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    readers,
+    analytics_ext,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,11 +40,15 @@ def main() -> int:
     spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one bad query must not kill the number
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -54,6 +58,8 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if errors:
+        line["errors"] = errors
     print(json.dumps(line))
     return 0
 

@@ -1,0 +1,124 @@
+"""Analytics extensions beyond the reference's surface (SURVEY.md §2.7
+notes the engine exposes set ops "for free"; rollup/percentile/ntile
+round out the analytic SQL surface a user migrating a warehouse
+workload expects). All stock Catalyst operators, all oracle-checked.
+
+Scale shapes: set ops compile to hash aggregates/joins (distinct on
+the union key); ROLLUP is one pass with grouping-set expansion (no
+extra scans); ntile is a single window over an explicit total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: intersect / except / union-distinct cardinalities of the
+    purchase-user and view-user sets."""
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select("user_id")
+    v = events.filter(F.col("event_type") == "view").select("user_id")
+    rows = [
+        ("intersect", p.intersect(v)),
+        ("except_p_minus_v", p.subtract(v)),  # EXCEPT (distinct) semantics
+        ("union_distinct", p.union(v).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("op"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")
+
+
+def rollup_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, hour): per-cell, per-type subtotal and
+    grand total in ONE pass (grouping-set expansion, no extra scans)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("hour", F.date_format("ts", "HH"))
+        .rollup("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("hour", F.lit("<all>")).alias("hour"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over a total order (value, event_id) — quartile
+    boundaries and per-quartile aggregates of event value."""
+    events = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    return (
+        events.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("q")
+    )
+
+
+QUERIES = {
+    "set_ops_suite": set_ops_suite,
+    "rollup_by_type_hour": rollup_by_type_hour,
+    "ntile_value_quartiles": ntile_value_quartiles,
+}
+
+ORACLES = {
+    "set_ops_suite": """
+        WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id FROM events WHERE event_type = 'view')
+        SELECT 'intersect' AS op,
+               (SELECT count(*) FROM (SELECT user_id FROM p
+                INTERSECT SELECT user_id FROM v)) AS n_users
+        UNION ALL
+        SELECT 'except_p_minus_v',
+               (SELECT count(*) FROM (SELECT user_id FROM p
+                EXCEPT SELECT user_id FROM v))
+        UNION ALL
+        SELECT 'union_distinct',
+               (SELECT count(*) FROM (SELECT user_id FROM p
+                UNION SELECT user_id FROM v))
+        ORDER BY op
+    """,
+    "rollup_by_type_hour": """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(hour, '<all>') AS hour,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type, strftime(ts, '%H') AS hour, value
+              FROM events)
+        GROUP BY ROLLUP (event_type, hour)
+        ORDER BY event_type, hour
+    """,
+    "ntile_value_quartiles": """
+        WITH t AS (
+            SELECT value,
+                   ntile(4) OVER (ORDER BY value, event_id) AS q
+            FROM events
+        )
+        SELECT CAST(q AS INT) AS q,
+               count(*) AS n,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(avg(value), 4) AS avg_value
+        FROM t GROUP BY q ORDER BY q
+    """,
+}

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bike_analyzer_spark.operators import (
     analytics_ext,
+    asof,
     dedup,
     kpi,
     multimodal,
@@ -37,6 +38,7 @@ _MODULES = [
     multimodal,
     readers,
     analytics_ext,
+    asof,
 ]
 
 

@@ -19,6 +19,7 @@ from bike_analyzer_spark.operators import (
     analytics_ext,
     asof,
     dedup,
+    graph,
     kpi,
     multimodal,
     od,
@@ -39,6 +40,7 @@ _MODULES = [
     readers,
     analytics_ext,
     asof,
+    graph,
 ]
 
 

@@ -1,0 +1,96 @@
+"""Iterative graph operators — connected components by min-label
+propagation, driving near-duplicate CLUSTERING (the step a real
+training-data dedup pipeline runs after pair detection: group
+transitively-linked near-dups, keep one canonical doc per cluster).
+
+This is the engine's genuinely ITERATIVE algorithm (builder brief:
+"for genuinely non-SQL-expressible ops (... iterative algorithms)
+omit the oracle_sql entry"): a driver loop over DataFrame joins with
+convergence detection. Each iteration:
+
+    msgs   = min neighbor label per vertex      (join + groupBy)
+    labels = min(own label, best message)       (left join)
+
+converging in O(diameter) iterations. `localCheckpoint` truncates
+lineage each round so plans don't grow with iterations. At 100 TB
+scale the same loop holds (labels/messages shuffle on vertex id);
+for adversarial diameters the known refinement is the large-star/
+small-star algorithm (Kiveris et al.), which this API could swap in
+without changing callers.
+
+Determinism: labels are vertex-id minima — no tie ambiguity at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+MAX_ITER = 25
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """edges: (a, b) undirected. Returns (id, component) with
+    component = min vertex id reachable."""
+    bidir = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            bidir.join(labels, bidir.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("msg"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("msg", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the top within-source n-gram-Jaccard pairs
+    (dedup.dedup_ngram_jaccard) become edges; connected components
+    assign each linked doc to a cluster keyed by its minimum doc_id —
+    the keep-one-per-cluster dedup decision."""
+    from .dedup import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("component").alias("cluster_root"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    ).orderBy("cluster_root", "doc_id")
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+}
+
+# Iterative fixpoint -> no oracle_sql (driver records rows-only);
+# pytest pins it against a union-find reimplementation and synthetic
+# component topologies.
+ORACLES: dict[str, str] = {}

@@ -17,6 +17,10 @@ def test_smoke_sf0001(spark, name):
 def test_every_query_has_oracle_or_documented_exception():
     """Each queries() entry either has an oracle_sql twin or is one of
     the known non-SQL-expressible kernels."""
-    rows_only_allowed = {"od_flows_topn", "od_flows_with_coords"}
+    rows_only_allowed = {
+        "od_flows_topn",  # greedy sequential kernel
+        "od_flows_with_coords",  # derived from the kernel output
+        "dedup_clusters",  # iterative fixpoint (connected components)
+    }
     missing = set(em.queries()) - set(em.oracle_sql()) - rows_only_allowed
     assert not missing, f"queries without oracle or exemption: {missing}"

@@ -34,8 +34,14 @@ MAX_ITER = 25
 def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
     """edges: (a, b) undirected. Returns (id, component) with
     component = min vertex id reachable."""
-    bidir = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # checkpoint the edge list once: every iteration (and its
+    # convergence count) re-reads it, and without this the FULL
+    # upstream pipeline (e.g. the Jaccard pair computation) would
+    # re-execute per iteration
+    bidir = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
     )
     labels = (
         bidir.select(F.col("src").alias("id"))
@@ -48,23 +54,23 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("msg"))
         )
+        new_best = F.least(
+            F.col("component"), F.coalesce("msg", F.col("component"))
+        )
+        # carry the changed flag in-row: the convergence check is then
+        # a filter-count on the (already materialized) checkpoint, not
+        # an extra join against the previous labels
         new_labels = (
             labels.join(msgs, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("msg", F.col("component"))
-                ).alias("component"),
+                new_best.alias("component"),
+                (new_best < F.col("component")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels

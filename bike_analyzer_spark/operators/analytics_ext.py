@@ -75,10 +75,46 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x event-type counts, pivoted to one column per type. The
+    pivot VALUES are declared (not discovered) so the plan is a single
+    pass with no extra distinct-scan and stable output schema."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("hour", F.date_format("ts", "HH"))
+        .groupBy("hour")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("hour")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (Spark
+    `percentile` == DuckDB `quantile_cont`, both linear interpolation
+    over the sorted set)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "set_ops_suite": set_ops_suite,
     "rollup_by_type_hour": rollup_by_type_hour,
     "ntile_value_quartiles": ntile_value_quartiles,
+    "pivot_hour_by_type": pivot_hour_by_type,
+    "value_percentiles": value_percentiles,
 }
 
 ORACLES = {
@@ -107,6 +143,31 @@ ORACLES = {
               FROM events)
         GROUP BY ROLLUP (event_type, hour)
         ORDER BY event_type, hour
+    """,
+    "pivot_hour_by_type": """
+        SELECT strftime(ts, '%H') AS hour,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY hour
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "ntile_value_quartiles": """
         WITH t AS (

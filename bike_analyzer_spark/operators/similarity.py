@@ -35,21 +35,30 @@ LSH_TABLES = 4
 LSH_PLANES = 8  # bits per table
 
 
-def _cosine(a, b):
-    """cos(a, b) as a native fold: dot / (||a|| * ||b||), float64."""
+def _dot(a, b):
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a, b):
+    """cos(a, b) as a native fold: dot / (||a|| * ||b||), float64."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """Precompute ||v|| once per vector: in pair-scoring joins each
+    vector participates in many pairs, so folding the norm per PAIR
+    repeats identical work; the precomputed double is bit-identical
+    to the inline fold (same sequential fold, same array)."""
+    return emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("norm"))
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,13 +68,16 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side streams through one scan. Ranking ties break on the
     ROUNDED score then neighbor id so both engines order identically.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
     )
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("norm"))
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(_cosine(F.col("qe"), F.col("embedding")), 4))
+        .withColumn("cos", F.round(cos, 4))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -136,15 +148,16 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
         .distinct()
     )
-    emb = load(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                    F.col("norm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                    F.col("norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(ea, "a")
         .join(eb, "b")
-        .select(
-            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cos")
-        )
+        .select("a", "b", F.round(cos, 4).alias("cos"))
         .orderBy(F.desc("cos"), "a", "b")
         .limit(50)
     )
@@ -171,15 +184,16 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
         .distinct()
     )
-    emb = load(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                    F.col("norm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                    F.col("norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(ea, "a")
         .join(eb, "b")
-        .select(
-            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cos")
-        )
+        .select("a", "b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= NEAR_DUP_COS)
         .orderBy(F.desc("cos"), "a", "b")
     )

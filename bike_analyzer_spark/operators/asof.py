@@ -154,9 +154,36 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged event-time windows)
+    — same semantics as `sessionize`, different machinery (one
+    groupBy aggregation, streaming-capable). The oracle derives the
+    identical windows from the window-function sessionization, so the
+    two implementations cross-validate."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 QUERIES = {
     "asof_hourly_stats": asof_hourly_stats,
     "session_stats": session_stats,
+    "session_window_stats": session_window_stats,
 }
 
 ORACLES = {
@@ -178,6 +205,31 @@ ORACLES = {
                hourly.views_in_hour
         FROM p ASOF LEFT JOIN hourly ON p.ts >= hourly.ts
         ORDER BY event_id
+    """,
+    "session_window_stats": """
+        WITH g AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS session_id
+            FROM g
+        )
+        SELECT user_id,
+               epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, start_us
     """,
     "session_stats": """
         WITH g AS (

@@ -1,0 +1,32 @@
+"""CLI entry point: fixture-driven ingest + query listing, driven
+through main() (same argv surface the shell sees)."""
+
+import json, os, shutil, uuid
+
+import pytest
+
+from bike_analyzer_spark import cli
+from tests.test_sources import SI, SS
+
+@pytest.fixture()
+def tdir():
+    d = f"/root/repo/.pytest_cache/cli-{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+def test_cli_ingest_gbfs_fixture(spark, tdir, capsys):
+    si_p, ss_p = os.path.join(tdir, "si.json"), os.path.join(tdir, "ss.json")
+    json.dump(SI, open(si_p, "w")); json.dump(SS, open(ss_p, "w"))
+    wh = os.path.join(tdir, "wh")
+    rc = cli.main(["ingest-gbfs", "--warehouse", wh, "--fixture", si_p, ss_p])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"stations_upserted": 2, "status_rows": 2}
+    assert os.path.exists(os.path.join(wh, "stations.parquet"))
+
+def test_cli_list_and_unknown_query(spark, capsys):
+    assert cli.main(["list-queries"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_network_summary" in names and len(names) >= 40
+    assert cli.main(["query", "nope_not_real"]) == 2

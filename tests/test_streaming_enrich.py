@@ -79,3 +79,25 @@ def test_extract_bairro_first_non_null():
     assert enrich.extract_bairro({"district": "D"}) == "D"
     assert enrich.extract_bairro({}) is None
     assert enrich.extract_bairro(None) is None
+
+def test_stream_static_join(spark, tdir):
+    """Stream-static join: streaming status enriched with a static
+    stations dimension (the streaming face of J2)."""
+    import datetime as dt
+    from bike_analyzer_spark.sources import gbfs as g
+    landing = os.path.join(tdir, "landing2")
+    t0 = dt.datetime(2025, 9, 4, 15, 0, 0)
+    _status_batch(spark, t0, 4).write.mode("append").parquet(landing)
+    static = spark.createDataFrame(
+        [("s1", "Praça A", 12), ("s2", "Praça B", 20)],
+        "station_id string, name string, capacity int")
+    stream = streaming.status_stream(spark, landing)
+    joined = stream.join(static, "station_id").selectExpr(
+        "station_id", "name", "num_bikes_available", "capacity")
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.station_id: (r.name, r.num_bikes_available, r.capacity)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert rows == {"s1": ("Praça A", 4, 12), "s2": ("Praça B", 5, 20)}

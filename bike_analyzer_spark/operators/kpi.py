@@ -153,13 +153,11 @@ def f_haversine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pseudo-coordinates derived deterministically from c_custkey stand
     in for station lat/lon (testdata has no geo columns).
     """
-    from ..functions.geo import haversine_m
+    from ..functions.geo import CITY_LAT, CITY_LON, haversine_m, pseudo_coords_cols
 
     customer = load(spark, sf_dir, "customer")
-    lat = F.lit(-30.0) + (F.col("c_custkey") % 100) * F.lit(0.01)
-    lon = F.lit(-51.2) + ((F.col("c_custkey") * 7) % 100) * F.lit(0.01)
-    clat, clon = F.lit(-30.0346), F.lit(-51.2177)
-    dist_m = haversine_m(clat, clon, lat, lon)
+    lat, lon = pseudo_coords_cols(F.col("c_custkey"))
+    dist_m = haversine_m(F.lit(CITY_LAT), F.lit(CITY_LON), lat, lon)
     return customer.select(
         "c_custkey",
         F.round(lat, 6).alias("lat"),

@@ -58,9 +58,10 @@ _EARTH_R_M = 6371000.0
 
 def pseudo_coords(df: DataFrame, key: str = "c_custkey") -> DataFrame:
     """Deterministic pseudo lat/lon for a key column (testdata has no
-    geo columns; same formula as kpi.f_haversine_suite)."""
-    lat = F.lit(-30.0) + (F.col(key) % 100) * F.lit(0.01)
-    lon = F.lit(-51.2) + ((F.col(key) * 7) % 100) * F.lit(0.01)
+    geo columns; shared mapping with kpi.f_haversine_suite)."""
+    from ..functions.geo import pseudo_coords_cols
+
+    lat, lon = pseudo_coords_cols(F.col(key))
     return df.select(
         F.col(key).alias("station_key"),
         lat.alias("lat"),

@@ -58,20 +58,26 @@ def rollup_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) over a total order (value, event_id) — quartile
-    boundaries and per-quartile aggregates of event value."""
+    """ntile(4) per event_type over (value, event_id) — per-type
+    quartile aggregates. Partitioned by type so no single task sees
+    the whole table (an UN-partitioned ntile is a one-partition global
+    sort — the plan shape this repo rejects; a truly global ntile at
+    scale would need range partitioning + prefix counts, and usually
+    percentile boundaries answer the question anyway)."""
     events = load(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
     return (
         events.withColumn("q", F.ntile(4).over(w))
-        .groupBy("q")
+        .groupBy("event_type", "q")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
-        .orderBy("q")
+        .orderBy("event_type", "q")
     )
 
 
@@ -171,15 +177,16 @@ ORACLES = {
     """,
     "ntile_value_quartiles": """
         WITH t AS (
-            SELECT value,
-                   ntile(4) OVER (ORDER BY value, event_id) AS q
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS q
             FROM events
         )
-        SELECT CAST(q AS INT) AS q,
+        SELECT event_type, CAST(q AS INT) AS q,
                count(*) AS n,
                round(min(value), 4) AS min_value,
                round(max(value), 4) AS max_value,
                round(avg(value), 4) AS avg_value
-        FROM t GROUP BY q ORDER BY q
+        FROM t GROUP BY event_type, q ORDER BY event_type, q
     """,
 }

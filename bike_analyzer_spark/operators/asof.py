@@ -42,8 +42,19 @@ def asof_join_backward(
     by: list[str] | None = None,
 ) -> DataFrame:
     """Attach the latest `value_cols` from `right` at or before each
-    left row's ts. Left rows before any right row get NULLs."""
-    by = by or []
+    left row's ts. Left rows before any right row get NULLs.
+
+    Requires `by` keys: without them the window would be a single
+    global partition (every row in one task — the plan shape this
+    repo rejects everywhere else). For an un-keyed as-of against a
+    SMALL right side use `asof_join_small_right`, which stays fully
+    parallel."""
+    if not by:
+        raise ValueError(
+            "asof_join_backward needs partition keys (`by`); for an "
+            "un-keyed as-of against a small right side use "
+            "asof_join_small_right"
+        )
     lmark = left.select(
         *by,
         F.col(ts_col),
@@ -85,6 +96,37 @@ def asof_join_backward(
     )
 
 
+def asof_join_small_right(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Un-keyed backward as-of for a SMALL right side (e.g. an hourly
+    series): the right table collapses to one sorted struct array,
+    broadcast to every task; each left row picks the last element with
+    ts <= its own via a codegen'd array filter. Fully parallel — no
+    global sort, no shuffle of the left side at all. Cost is O(|right|)
+    per left row; use the keyed union-window form when the right side
+    is large."""
+    arr = right.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("_ts"), *value_cols)
+            )
+        ).alias("_arr")
+    )
+    joined = left.crossJoin(F.broadcast(arr))
+    # try_element_at: a left row earlier than every right row filters
+    # to an empty array, where ANSI element_at would throw
+    best = F.try_element_at(
+        F.filter(F.col("_arr"), lambda x: x["_ts"] <= F.col(ts_col)), F.lit(-1)
+    )
+    return joined.select(
+        *left.columns, *[best[c].alias(c) for c in value_cols]
+    )
+
+
 def asof_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo/correctness query: each purchase event gets the most
     recent COMPLETED-hour view-count at or before its timestamp (the
@@ -103,9 +145,7 @@ def asof_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.round("value", 4).alias("value")
     )
-    out = asof_join_backward(
-        purchases, hourly, "ts", ["views_in_hour"]
-    )
+    out = asof_join_small_right(purchases, hourly, "ts", ["views_in_hour"])
     return out.select(
         "event_id",
         "user_id",

@@ -72,8 +72,14 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Returning unconverged labels would silently split components
+    # (e.g. a >max_iter-hop chain) — fail loudly instead.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"({changed} labels still changing); raise max_iter (diameter "
+        "bound) or switch to a large-star/small-star variant"
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,9 +133,10 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs = vectors sharing any (table, bucket); verified
-    with exact cosine. The scale-path near-dup/ANN primitive."""
+def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing any (table, bucket), scored with exact
+    cosine — the shared core of sim_lsh_candidates and
+    dedup_embed_cosine."""
     buckets = sim_lsh_buckets(spark, sf_dir)
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
@@ -158,9 +159,15 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(ea, "a")
         .join(eb, "b")
         .select("a", "b", F.round(cos, 4).alias("cos"))
-        .orderBy(F.desc("cos"), "a", "b")
-        .limit(50)
     )
+
+
+def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs = vectors sharing any (table, bucket); verified
+    with exact cosine. The scale-path near-dup/ANN primitive."""
+    return _scored_lsh_pairs(spark, sf_dir).orderBy(
+        F.desc("cos"), "a", "b"
+    ).limit(50)
 
 
 NEAR_DUP_COS = 0.95
@@ -172,28 +179,8 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine threshold. Empty on decorrelated corpora — by design; the
     oracle runs the same bucketed pipeline, so emptiness is verified,
     not assumed."""
-    buckets = sim_lsh_buckets(spark, sf_dir)
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.table_id") == F.col("r.table_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
-        .distinct()
-    )
-    emb = _with_norm(load(spark, sf_dir, "embeddings"))
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-                    F.col("norm").alias("na"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-                    F.col("norm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cands.join(ea, "a")
-        .join(eb, "b")
-        .select("a", "b", F.round(cos, 4).alias("cos"))
+        _scored_lsh_pairs(spark, sf_dir)
         .filter(F.col("cos") >= NEAR_DUP_COS)
         .orderBy(F.desc("cos"), "a", "b")
     )

@@ -43,11 +43,16 @@ def from_reference_stations(df: DataFrame) -> DataFrame:
         "lon",
         "capacity",
         "address",
+        # '' round-trips to [] (the reference writes ",".join([]) == "");
+        # only NULL maps back to NULL — keeps compose(to, from) == id
         F.when(
-            F.col("rental_methods").isNotNull()
-            & (F.col("rental_methods") != ""),
+            F.col("rental_methods") == "", F.array().cast("array<string>")
+        )
+        .when(
+            F.col("rental_methods").isNotNull(),
             F.split("rental_methods", ","),
-        ).alias("rental_methods"),
+        )
+        .alias("rental_methods"),
         F.col("is_virtual_station").cast("boolean").alias("is_virtual_station"),
         "external_id",
         "short_name",

@@ -46,27 +46,47 @@ def merge_upsert(
     order_col: str,
 ) -> int:
     """Upsert `new` into the parquet table at `path`, keeping the
-    newest row per key. Returns the resulting row count."""
+    newest row per key. Returns the resulting row count.
+
+    Crash safety: the two renames of the swap are NOT jointly atomic —
+    a kill between them leaves the previous table stranded at
+    `<path>.old` with nothing at `path`. `_recover` heals exactly that
+    state on the next call (and is cheap to run every time), so no
+    committed history is ever silently dropped.
+    """
+    import shutil
+
+    _recover(path)
+    staging = path + ".staging"
+    if os.path.exists(staging):  # debris from a crashed write
+        shutil.rmtree(staging)
     if os.path.exists(path):
         old = spark.read.schema(new.schema).parquet(path)
         merged = keep_latest(new.unionByName(old), key_cols, order_col)
     else:
         merged = keep_latest(new, key_cols, order_col)
-    # Localize, then atomically swap via a staging write: overwriting
-    # the path we are reading would truncate mid-scan.
-    staging = path + ".staging"
+    # Stage first: overwriting the path we are reading would truncate
+    # the table mid-scan.
     merged.write.mode("overwrite").parquet(staging)
     out = spark.read.parquet(staging)
     n = out.count()
-    final_tmp = path + ".old"
+    backup = path + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
     if os.path.exists(path):
-        os.rename(path, final_tmp)
-    os.rename(staging, path)
-    if os.path.exists(final_tmp):
-        import shutil
-
-        shutil.rmtree(final_tmp)
+        os.rename(path, backup)
+    os.rename(staging, path)  # crash before this line -> _recover restores
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
     return n
+
+
+def _recover(path: str) -> None:
+    """Restore `<path>.old` if a previous swap crashed between its two
+    renames (table missing, backup present)."""
+    backup = path + ".old"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
 
 
 def append_partitioned(

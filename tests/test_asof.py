@@ -8,12 +8,56 @@ def test_asof_vs_oracle(spark, duck, name):
     df = asof.QUERIES[name](spark, SF_DIR_ORACLE)
     assert_matches_oracle(df, duck, asof.ORACLES[name], name=name)
 
-def test_asof_single_shuffle(spark):
-    """The union-marker as-of join must sort/shuffle once, never
-    enumerate candidate pairs (no joins at all in the plan)."""
+def test_asof_small_right_no_shuffle_no_sort(spark):
+    """The small-right as-of must not shuffle or sort the left side:
+    only the broadcast of the 1-row array joins in."""
     df = asof.asof_hourly_stats(spark, SF_DIR_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the single orderBy at the end is the query's own output sort;
+    # the join itself is broadcast-nested-loop of a 1-row relation
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+def test_asof_backward_requires_keys(spark):
+    import pytest as _pytest
+    from bike_analyzer_spark.sources.catalog import load
+    ev = load(spark, SF_DIR_ORACLE, "events")
+    with _pytest.raises(ValueError):
+        asof.asof_join_backward(ev, ev, "ts", ["value"])
+
+def test_asof_backward_keyed_vs_duckdb(spark, duck):
+    """Keyed union-window as-of vs DuckDB's native keyed ASOF JOIN."""
+    from pyspark.sql import functions as F
+    from bike_analyzer_spark.sources.catalog import load
+    events = load(spark, SF_DIR_ORACLE, "events")
+    hourly = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("user_views"))
+        .select("user_id", (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+                "user_views")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    got = sorted(
+        (r.event_id, r.user_views)
+        for r in asof.asof_join_backward(
+            purchases, hourly, "ts", ["user_views"], by=["user_id"]).collect()
+    )
+    want = sorted(map(tuple, duck.sql("""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+                   count(*) AS user_views
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ), p AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, hourly.user_views
+        FROM p ASOF LEFT JOIN hourly
+          ON p.user_id = hourly.user_id AND p.ts >= hourly.ts
+    """).fetchall()))
+    assert got == want
 
 def test_sessionize_synthetic(spark):
     import datetime as dt

@@ -28,3 +28,22 @@ def test_status_roundtrip(spark):
     assert row["s1"].scraped_at == "2025-09-04T15:08:40+00:00"
     back = compat.from_reference_status(ref)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, native.collect()))
+
+def test_empty_rental_methods_roundtrip(spark):
+    """'' (known-empty) and NULL (unknown) must stay distinct through
+    the boundary: [] -> '' -> [], NULL -> NULL -> NULL."""
+    native = spark.createDataFrame(
+        [("s1", [], ), ("s2", None)],
+        "station_id string, rental_methods array<string>",
+    ).selectExpr(
+        "station_id", "cast(null as string) name", "cast(null as double) lat",
+        "cast(null as double) lon", "cast(null as int) capacity",
+        "cast(null as string) address", "rental_methods",
+        "cast(null as boolean) is_virtual_station",
+        "cast(null as string) external_id", "cast(null as string) short_name",
+        "cast(null as string) region_id",
+        "cast(null as timestamp) last_updated",
+    )
+    back = compat.from_reference_stations(compat.to_reference_stations(native))
+    got = {r.station_id: r.rental_methods for r in back.collect()}
+    assert got == {"s1": [], "s2": None}

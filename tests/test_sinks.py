@@ -62,3 +62,19 @@ def test_append_partitioned(spark, tmpdir_repo):
     assert one.count() == 2
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() == 2
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, tmpdir_repo):
+    """Simulate a kill between the two swap renames: table gone,
+    backup present — the next merge must restore history, not rebuild
+    from the new batch alone."""
+    p = os.path.join(tmpdir_repo, "stations.parquet")
+    sinks.merge_upsert(
+        spark, _stations(spark, [("s1", "Alpha", 10, 100)]), p,
+        ["station_id"], "last_updated")
+    os.rename(p, p + ".old")  # the exact mid-swap crash state
+    n = sinks.merge_upsert(
+        spark, _stations(spark, [("s2", "Beta", 20, 100)]), p,
+        ["station_id"], "last_updated")
+    assert n == 2
+    got = {r.station_id for r in spark.read.parquet(p).collect()}
+    assert got == {"s1", "s2"}

@@ -1,0 +1,29 @@
+"""Oracle agreement must hold at MULTIPLE scale factors — a query that
+only matches at sf0.01 has a size-dependent bug (broadcast assumption,
+limit interaction, empty-group edge case)."""
+
+import pytest
+
+from bike_analyzer_spark.operators import kpi, text, windows
+from tests.conftest import SF_DIR_SMOKE, make_duck
+from tests.oracle import assert_matches_oracle
+
+CASES = [
+    (kpi, "q1_network_summary"),
+    (kpi, "q2_top10_value_ratio"),
+    (kpi, "f_scalar_suite"),
+    (windows, "w1_lag_delta"),
+    (windows, "a11_top20_by_nation"),
+    (text, "text_stats"),
+]
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = make_duck(SF_DIR_SMOKE)
+    yield con
+    con.close()
+
+@pytest.mark.parametrize("mod,name", CASES, ids=[n for _, n in CASES])
+def test_oracle_at_sf0001(spark, duck_smoke, mod, name):
+    df = mod.QUERIES[name](spark, SF_DIR_SMOKE)
+    assert_matches_oracle(df, duck_smoke, mod.ORACLES[name], name=name)

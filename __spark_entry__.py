@@ -23,6 +23,7 @@ from bike_analyzer_spark.operators import (
     kpi,
     multimodal,
     od,
+    profile,
     readers,
     similarity,
     text,
@@ -41,6 +42,7 @@ _MODULES = [
     analytics_ext,
     asof,
     graph,
+    profile,
 ]
 
 

@@ -113,10 +113,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
+# BPE-ish pre-tokenization pattern (GPT-2-style classes, WITHOUT the
+# lookahead clauses — RE2 (DuckDB) has no lookahead, so the pattern is
+# restricted to the subset both engines interpret identically):
+# contractions, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief asks for: whitespace split
+    and a BPE-ish regex pre-tokenizer (the piece-count proxy used for
+    budget estimates in training pipelines). chars_per_bpe_token is
+    the compression-ratio quality signal."""
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    n_bpe = F.size(
+        F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))  # drop pure-space runs
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.length("text") / n_bpe, 4).alias("chars_per_bpe_token"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_tokens": text_bpe_tokens,
 }
 
 ORACLES = {
@@ -151,6 +178,21 @@ ORACLES = {
                     WHEN pt_hits >= 2 THEN 'pt'
                     ELSE 'und' END AS lang_pred
         FROM t
+    """,
+    "text_bpe_tokens": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(list_filter(
+                       regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}', 0),
+                       x -> NOT regexp_matches(x, '^\\s+$')
+                   )) AS n_bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               len({_TOKS}) AS n_ws_tokens,
+               n_bpe AS n_bpe_tokens,
+               round(length(text) / n_bpe, 4) AS chars_per_bpe_token
+        FROM t JOIN documents USING (doc_id, text)
     """,
     "text_fingerprint": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

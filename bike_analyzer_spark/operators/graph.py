@@ -98,8 +98,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_root", "doc_id")
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over directed edges (src, dst, weight) —
+    fixed iteration count (deterministic), dangling mass redistributed
+    uniformly. Each round is one join + one aggregate, shuffling on
+    vertex id; localCheckpoint bounds lineage.
+
+    edges with weight <= 0 are rejected (they would silently corrupt
+    the out-weight normalization)."""
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("weight").cast("double")
+    ).localCheckpoint()
+    if e.filter(F.col("weight") <= 0).limit(1).count() > 0:
+        raise ValueError("pagerank requires strictly positive edge weights")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # edge transition probability, computed once
+    trans = e.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    ).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    has_out = out_w.select(F.col("src").alias("id"), F.lit(1).alias("_has"))
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+        )
+        dangling = (
+            ranks.join(has_out, "id", "left")
+            .filter(F.col("_has").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def od_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station importance in the OD flow graph: PageRank over the
+    inferred (o, d, flow) edges, top-20. The 'which stations anchor
+    the network' analysis the reference's dashboard hints at but
+    never computes."""
+    from .od import infer_flows
+
+    edges = infer_flows(spark, sf_dir, minutes=10).select(
+        F.col("o").alias("src"), F.col("d").alias("dst"),
+        F.col("flow").alias("weight"),
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "od_pagerank": od_pagerank,
 }
 
 # Iterative fixpoint -> no oracle_sql (driver records rows-only);

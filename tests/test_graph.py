@@ -39,3 +39,48 @@ def test_dedup_clusters_match_union_find(spark):
             graph.dedup_clusters(spark, SF_DIR_ORACLE).collect()
             if r.is_kept}
     assert kept == set(expected.values())
+
+
+def _pagerank_py(edges, d=0.85, iters=10):
+    from collections import defaultdict
+    nodes = sorted({x for e in edges for x in e[:2]})
+    n = len(nodes)
+    out_w = defaultdict(float)
+    for s, t, w in edges:
+        out_w[s] += w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, t, w in edges:
+            contrib[t] += (w / out_w[s]) * rank[s]
+        dangling = sum(rank[v] for v in nodes if out_w[v] == 0)
+        rank = {v: (1 - d) / n + d * (contrib[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+def test_pagerank_matches_reference_impl(spark):
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0), (4, 1, 5.0)]
+    # node 5: dangling (only incoming)
+    edges.append((3, 5, 1.0))
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {r.id: round(r.rank, 10) for r in graph.pagerank(df).collect()}
+    want = {k: round(v, 10) for k, v in _pagerank_py(edges).items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    df = spark.createDataFrame([(1, 2, 0.0)], "src long, dst long, weight double")
+    import pytest as _p
+    with _p.raises(ValueError):
+        graph.pagerank(df)
+
+def test_pagerank_sums_to_one(spark):
+    from bike_analyzer_spark.operators.od import infer_flows
+    from tests.conftest import SF_DIR_SMOKE
+    from pyspark.sql import functions as F
+    edges = infer_flows(spark, SF_DIR_SMOKE, minutes=10).select(
+        F.col("o").alias("src"), F.col("d").alias("dst"),
+        F.col("flow").alias("weight"))
+    total = graph.pagerank(edges, iterations=5).agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6

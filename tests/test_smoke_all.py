@@ -21,6 +21,7 @@ def test_every_query_has_oracle_or_documented_exception():
         "od_flows_topn",  # greedy sequential kernel
         "od_flows_with_coords",  # derived from the kernel output
         "dedup_clusters",  # iterative fixpoint (connected components)
+        "od_pagerank",  # iterative fixpoint over the OD kernel output
     }
     missing = set(em.queries()) - set(em.oracle_sql()) - rows_only_allowed
     assert not missing, f"queries without oracle or exemption: {missing}"

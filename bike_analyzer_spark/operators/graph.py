@@ -135,20 +135,26 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
         )
+        # dangling mass as a broadcast 1-row aggregate folded into the
+        # same action as the rank update — a driver-side .first() here
+        # would add an extra job per iteration
         dangling = (
             ranks.join(has_out, "id", "left")
             .filter(F.col("_has").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
             nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -19,8 +19,13 @@ operation order on both engines.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.textfns import hash64_duck
 from ..sources.catalog import load
@@ -48,9 +53,12 @@ def _norm(a):
     )
 
 
-def _cosine(a, b):
-    """cos(a, b) as a native fold: dot / (||a|| * ||b||), float64."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _cosine_from(dot, na, nb):
+    """cos = dot / (||a||*||b||), with the zero-norm product NULLed so
+    a degenerate all-zero embedding yields NULL on BOTH engines (Spark
+    non-ANSI x/0.0 is NULL; DuckDB IEEE division is inf/NaN — nullif
+    on each side keeps the oracle hash stable)."""
+    return dot / F.nullif(na * nb, F.lit(0.0))
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
@@ -74,7 +82,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qn"),
     )
-    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("norm"))
+    cos = _cosine_from(
+        _dot(F.col("qe"), F.col("embedding")), F.col("qn"), F.col("norm")
+    )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", F.round(cos, 4))
@@ -91,9 +101,28 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sign(t: int, h: int, d: int) -> float:
+    """Driver-side mirror of the portable md5-prefix sign derivation
+    (same bytes Spark's md5(concat_ws(',',t,h,d)) and the DuckDB
+    oracle hash — parity is pinned by test_plane_signs_match_lattice).
+    """
+    hexpfx = hashlib.md5(f"{t},{h},{d}".encode()).hexdigest()[:8]
+    return float((int(hexpfx, 16) % 2) * 2 - 1)
+
+
+# 32 deterministic +/-1 hyperplanes, materialized ONCE at import as
+# plain Python floats — they become literal arrays in the plan, so the
+# projection is a per-row fold with NO plane join and NO shuffle.
+PLANE_SIGNS: list[list[list[float]]] = [
+    [[_plane_sign(t, h, d) for d in range(64)] for h in range(LSH_PLANES)]
+    for t in range(LSH_TABLES)
+]
+
+
 def lsh_plane_signs(spark: SparkSession) -> DataFrame:
-    """The (table, plane, dim) -> +/-1 weight lattice, derived from the
-    portable hash — a tiny static dimension (T*H*64 rows), broadcast."""
+    """The (table, plane, dim) -> +/-1 weight lattice derived inside
+    Spark — kept as the parity witness for PLANE_SIGNS (the operators
+    themselves use the literal arrays and never run this)."""
     t = spark.range(LSH_TABLES).select(F.col("id").alias("t"))
     h = spark.range(LSH_PLANES).select(F.col("id").alias("h"))
     d = spark.range(64).select(F.col("id").alias("d"))
@@ -108,28 +137,78 @@ def lsh_plane_signs(spark: SparkSession) -> DataFrame:
     )
 
 
+def _bucket_bits(t: int):
+    """Bucket id for table t as a single per-row expression: bit h is
+    [round(dot(v, plane_th), 9) >= 0]. The round-before-sign mirrors
+    the oracle so a projection within float noise of 0 cannot flip a
+    bit on one engine only."""
+    bits = F.lit(0)
+    for h in range(LSH_PLANES):
+        # one array Literal node per plane (not CreateArray of 64
+        # scalar literals) — keeps the Catalyst tree small
+        plane = F.lit(PLANE_SIGNS[t][h])
+        prod = F.zip_with(
+            F.col("embedding"), plane, lambda x, s: x.cast("double") * s
+        )
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        bits = bits + F.when(F.round(dot, 9) >= 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+    return bits.cast("int")
+
+
+# (64 dims x 32 planes) constant projection matrix, tables-major on
+# the plane axis (column t*LSH_PLANES + h), and the per-plane bit
+# weights — module constants so every Arrow batch reuses them.
+_PLANES_MAT = (
+    np.array(PLANE_SIGNS, dtype=np.float64)
+    .reshape(LSH_TABLES * LSH_PLANES, 64)
+    .T
+)
+_BIT_WEIGHTS = 1 << np.arange(LSH_PLANES, dtype=np.int64)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def _bucket_vec(emb: pd.Series) -> pd.Series:
+    """All LSH_TABLES bucket ids for a batch of embeddings in one
+    vectorized matmul: (n x 64) @ (64 x 32) -> sign bits -> 4 bucket
+    ints per row. Arrow-batched, constant memory per batch, and the
+    round(.,9)-before-sign mirrors the oracle (accumulation-order
+    float noise cannot flip a bit on one engine only — the BLAS dot,
+    the Spark fold and the DuckDB sum all round to the same grid).
+    Numeric parity with the pure-column `_bucket_bits` fold is pinned
+    by test_bucket_vec_matches_fold."""
+    if len(emb) == 0:
+        return pd.Series([], dtype=object)
+    x = np.vstack(emb.to_numpy()).astype(np.float64)
+    proj = np.round(x @ _PLANES_MAT, 9)
+    bits = (proj >= 0).astype(np.int64).reshape(-1, LSH_TABLES, LSH_PLANES)
+    buckets = bits @ _BIT_WEIGHTS
+    return pd.Series(list(buckets.astype(np.int32)))
+
+
+def _lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket) via a narrow projection: one
+    Arrow-batched matmul against the LITERAL plane matrix — zero
+    joins, zero shuffles, T output rows per vector via one inline
+    posexplode. (The round-2 posexplode x plane-lattice join paid
+    ~2048 intermediate rows and two groupBy shuffles per vector; the
+    interpreted zip_with/aggregate fold `_bucket_bits` is JVM-side but
+    non-codegen and ~10x slower than BLAS on this dense kernel, so it
+    remains as the parity witness only.)"""
+    return emb.select(
+        "vec_id", F.posexplode(_bucket_vec("embedding")).alias("table_id", "bucket")
+    ).select(
+        "vec_id", F.col("table_id").cast("bigint").alias("table_id"), "bucket"
+    )
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection bucket per (vector, table): bit h of the
-    bucket is [dot(v, plane_th) >= 0]."""
-    emb = load(spark, sf_dir, "embeddings")
-    unpacked = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    planes = lsh_plane_signs(spark)
-    proj = (
-        unpacked.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "t", "h")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("dot"))
-    )
-    bucket = F.sum(
-        F.when(F.col("dot") >= 0, F.expr("shiftleft(1, CAST(h AS INT))"))
-        .otherwise(F.lit(0))
-    ).cast("int")
-    return (
-        proj.groupBy("vec_id", "t")
-        .agg(bucket.alias("bucket"))
-        .select("vec_id", F.col("t").alias("table_id"), "bucket")
-        .orderBy("vec_id", "table_id")
+    bucket is [dot(v, plane_th) >= 0]. Presentation sort only — the
+    candidate pipeline consumes the unsorted narrow form."""
+    return _lsh_buckets(load(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id", "table_id"
     )
 
 
@@ -137,7 +216,7 @@ def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs sharing any (table, bucket), scored with exact
     cosine — the shared core of sim_lsh_candidates and
     dedup_embed_cosine."""
-    buckets = sim_lsh_buckets(spark, sf_dir)
+    buckets = _lsh_buckets(load(spark, sf_dir, "embeddings"))
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
         l.join(
@@ -154,7 +233,7 @@ def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("na"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
                     F.col("norm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _cosine_from(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         cands.join(ea, "a")
         .join(eb, "b")
@@ -199,10 +278,10 @@ _COS = """
         round(
             list_sum(list_transform(list_zip(__A__, __B__),
                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(__A__,
+            / nullif(sqrt(list_sum(list_transform(__A__,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(__B__,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 4)
 """
 
 
@@ -232,7 +311,7 @@ _BUCKETS = f"""
             )
         ),
         proj AS (
-            SELECT vec_id, t, h, sum(x * sign) AS dot
+            SELECT vec_id, t, h, round(sum(x * sign), 9) AS dot
             FROM unpacked JOIN planes USING (d)
             GROUP BY vec_id, t, h
         )

@@ -8,6 +8,47 @@ def test_similarity_vs_oracle(spark, duck, name):
     df = similarity.QUERIES[name](spark, SF_DIR_ORACLE)
     assert_matches_oracle(df, duck, similarity.ORACLES[name], name=name)
 
+def test_plane_signs_match_lattice(spark):
+    """The driver-side PLANE_SIGNS literals are the same +/-1 lattice
+    the in-Spark md5 derivation (and the DuckDB oracle) produce."""
+    rows = similarity.lsh_plane_signs(spark).collect()
+    for r in rows:
+        assert similarity.PLANE_SIGNS[r.t][r.h][r.d] == r.sign
+    assert len(rows) == similarity.LSH_TABLES * similarity.LSH_PLANES * 64
+
+
+def test_lsh_bucket_projection_is_shuffle_free(spark):
+    """The bucket computation must be a narrow per-row fold: zero
+    Exchange nodes anywhere in its plan (the round-2 form paid two
+    groupBy shuffles + a plane join per vector)."""
+    from bike_analyzer_spark.operators.similarity import _lsh_buckets
+    import bike_analyzer_spark.sources.catalog as cat
+    emb = cat.load(spark, SF_DIR_ORACLE, "embeddings")
+    plan = _lsh_buckets(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bucket_vec_matches_fold(spark):
+    """The Arrow/BLAS bucket kernel and the pure-column zip_with fold
+    are the same function — every (vec, table) bucket id identical."""
+    from pyspark.sql import functions as F
+    import bike_analyzer_spark.sources.catalog as cat
+    emb = cat.load(spark, SF_DIR_ORACLE, "embeddings")
+    fold = emb.select(
+        "vec_id",
+        *[similarity._bucket_bits(t).alias(f"b{t}")
+          for t in range(similarity.LSH_TABLES)],
+    )
+    vec = emb.select("vec_id", similarity._bucket_vec("embedding").alias("bs"))
+    joined = fold.join(vec, "vec_id")
+    bad = joined.filter(
+        ~F.expr(" AND ".join(
+            f"b{t} = bs[{t}]" for t in range(similarity.LSH_TABLES)))
+    ).count()
+    assert bad == 0
+
+
 def test_lsh_groups_identical_vectors(spark):
     """Identical vectors share every bucket; negated vectors share none."""
     from bike_analyzer_spark.operators.similarity import sim_lsh_buckets

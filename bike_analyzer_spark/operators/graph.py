@@ -108,13 +108,15 @@ def pagerank(
     uniformly. Each round is one join + one aggregate, shuffling on
     vertex id; localCheckpoint bounds lineage.
 
-    edges with weight <= 0 are rejected (they would silently corrupt
-    the out-weight normalization)."""
+    edges with NULL or <= 0 weight are rejected (NULLs would silently
+    drop rank mass — sum() skips them — and non-positive weights
+    corrupt the out-weight normalization). The guard is folded into
+    the out-weight aggregate below instead of spending a dedicated
+    full-edge-scan job; NULLs are counted explicitly because min()
+    skips them too."""
     e = edges.select(
         F.col("src"), F.col("dst"), F.col("weight").cast("double")
     ).localCheckpoint()
-    if e.filter(F.col("weight") <= 0).limit(1).count() > 0:
-        raise ValueError("pagerank requires strictly positive edge weights")
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -122,7 +124,23 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # checkpointed: used by trans once and by the dangling-mass join
+    # EVERY iteration — without this each round re-aggregates the edges
+    out_w = e.groupBy("src").agg(
+        F.sum("weight").alias("out_w"),
+        F.min("weight").alias("_min_w"),
+        (F.count(F.lit(1)) - F.count("weight")).alias("_null_w"),
+    ).localCheckpoint()
+    if (
+        out_w.filter((F.col("_null_w") > 0) | (F.col("_min_w") <= 0))
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise ValueError(
+            "pagerank requires strictly positive, non-NULL edge weights"
+        )
+    out_w = out_w.select("src", "out_w")
     # edge transition probability, computed once
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
@@ -186,7 +204,101 @@ QUERIES = {
     "od_pagerank": od_pagerank,
 }
 
-# Iterative fixpoint -> no oracle_sql (driver records rows-only);
-# pytest pins it against a union-find reimplementation and synthetic
-# component topologies.
-ORACLES: dict[str, str] = {}
+# Round-3: both fixpoints graduated from rows-only to full DuckDB
+# oracles. The iteration counts are FIXED/deterministic, so the
+# fixpoints unroll as recursive CTEs: min-label propagation is a
+# transitive-closure UNION recursion (terminates when no new
+# (vertex, reachable-label) pair appears — same fixpoint the Spark
+# loop's changed==0 check detects), and PageRank carries an iteration
+# counter to stop after exactly `iterations` rounds. The pytest
+# reimplementations (union-find, dict PageRank) remain as a third
+# independent pin.
+
+
+def _dedup_clusters_oracle() -> str:
+    from .dedup import ORACLES as _dedup_oracles
+
+    edges_sql = _dedup_oracles["dedup_ngram_jaccard"]
+    return f"""
+        WITH RECURSIVE
+        edges AS ({edges_sql}),
+        bidir AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION ALL
+            SELECT b, a FROM edges
+        ),
+        reach(id, lbl) AS (
+            SELECT src, src FROM bidir
+            UNION
+            SELECT e.dst, r.lbl
+            FROM bidir e JOIN reach r ON e.src = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT component AS cluster_root, id AS doc_id,
+               id = component AS is_kept
+        FROM comp
+        ORDER BY cluster_root, doc_id
+    """
+
+
+def _od_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    from .od import FLOWS_CTE_SQL
+
+    # the rank-update expression mirrors pagerank()'s column algebra
+    # op-for-op; flows/out-weights are integer-valued (exact in double
+    # regardless of summation order), so the only float noise is the
+    # contribution sum — absorbed by the shared round(rank, 6).
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT o AS id FROM flows
+                UNION ALL
+                SELECT d FROM flows)
+        ),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS MATERIALIZED (
+            SELECT o AS src, CAST(sum(flow) AS DOUBLE) AS out_w
+            FROM flows GROUP BY o
+        ),
+        trans AS MATERIALIZED (
+            SELECT f.o AS src, f.d AS dst,
+                   CAST(f.flow AS DOUBLE) / w.out_w AS p
+            FROM flows f JOIN outw w ON f.o = w.src
+        ),
+        pr(iter, id, rank) AS (
+            SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            (
+                WITH contrib AS (
+                    SELECT t.dst AS id, sum(t.p * p2.rank) AS c
+                    FROM trans t JOIN pr p2 ON t.src = p2.id
+                    GROUP BY t.dst
+                ),
+                it AS (SELECT max(iter) AS i FROM pr),
+                dang AS (
+                    SELECT coalesce(sum(p2.rank), 0.0) AS dm
+                    FROM pr p2 LEFT JOIN outw w ON p2.id = w.src
+                    WHERE w.src IS NULL
+                )
+                SELECT it.i + 1, n.id,
+                       (1.0 - {damping}) / (SELECT n FROM nn)
+                       + {damping} * (coalesce(c.c, 0.0)
+                                      + dang.dm / (SELECT n FROM nn))
+                FROM nodes n
+                LEFT JOIN contrib c ON n.id = c.id
+                CROSS JOIN dang CROSS JOIN it
+                WHERE it.i < {iterations}
+            )
+        )
+        SELECT id, round(rank, 6) AS rank
+        FROM pr WHERE iter = {iterations}
+        ORDER BY rank DESC, id
+        LIMIT 20
+    """
+
+
+ORACLES: dict[str, str] = {
+    "dedup_clusters": _dedup_clusters_oracle(),
+    "od_pagerank": _od_pagerank_oracle(),
+}

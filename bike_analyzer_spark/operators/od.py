@@ -269,9 +269,13 @@ def od_flows_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("d_lat"),
         F.col("lon").alias("d_lon"),
     )
+    # No broadcast hint: the coords dimension grows with scale factor
+    # (same policy as q2 — a forced broadcast OOMs at sf100+); AQE
+    # broadcasts whichever side is actually small at runtime (the
+    # 50-row flows side qualifies regardless of SF).
     return (
-        flows.join(F.broadcast(o), "o")
-        .join(F.broadcast(d), "d")
+        flows.join(o, "o")
+        .join(d, "d")
         .select(
             "o",
             "d",
@@ -291,13 +295,146 @@ QUERIES = {
     "od_flows_with_coords": od_flows_with_coords,
 }
 
-# od_flows_topn is non-SQL-expressible (sequential greedy kernel) →
-# rows-only check by the driver; pytest pins it against an independent
-# reimplementation + property tests (tests/test_od.py).
-# od_flow_conservation IS SQL-expressible: matched must equal
-# min(departed, arrived) per bucket, and departed/arrived come from
-# pure window SQL.
+# The greedy kernel IS oracle-able after all (round-3): DuckDB's
+# recursive CTE runs one match per bucket per iteration — sequential
+# within a bucket, parallel across buckets, exactly the Spark
+# mapInPandas structure. Distance parity is bit-exact (Python math.*
+# and DuckDB both bind glibc libm; verified over the full 100x100
+# pseudo-coord grid in tests/test_od.py), so the argmin/argmax
+# choices — the only float-sensitive steps — agree everywhere and the
+# integer flows match exactly.
+_DIST_SQL = """2.0*6371000.0*atan2(
+      sqrt( pow(sin(radians(a.lat-d.lat)/2.0),2)
+          + cos(radians(d.lat))*cos(radians(a.lat))
+            *pow(sin(radians(a.lon-d.lon)/2.0),2) ),
+      sqrt(1.0 - ( pow(sin(radians(a.lat-d.lat)/2.0),2)
+          + cos(radians(d.lat))*cos(radians(a.lat))
+            *pow(sin(radians(a.lon-d.lon)/2.0),2))))"""
+
+# CTE chain ending in flows(o, d, flow) — composed under WITH RECURSIVE
+# by the od_* oracles here and by graph.od_pagerank's oracle. The `st`
+# working set carries (bucket, side D/A, station, remaining, coords);
+# each recursive round emits one 'M' match row per still-active bucket
+# and re-emits the updated D/A state (zero-remainder rows drop, which
+# both shrinks the state and encodes the loop's exhaustion test).
+FLOWS_CTE_SQL = f"""
+b AS (
+    SELECT user_id, value, event_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600
+                AS BIGINT) AS bucket_s,
+           row_number() OVER (
+               PARTITION BY user_id,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+                        * 600 AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+),
+last AS (SELECT user_id, bucket_s, value FROM b WHERE rn = 1),
+deltas AS (
+    -- trunc() before the INT cast: DuckDB casts double->int by
+    -- rounding, Spark (and the reference's astype(int)) truncate
+    SELECT user_id, bucket_s,
+           CAST(trunc(round(coalesce(
+               value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY bucket_s),
+               0), 4)) AS INT) AS delta_i
+    FROM last
+),
+base AS (
+    SELECT deltas.bucket_s, deltas.user_id AS k, deltas.delta_i,
+           -30.0::DOUBLE + (c.c_custkey % 100) * 0.01::DOUBLE AS lat,
+           -51.2::DOUBLE + ((c.c_custkey * 7) % 100) * 0.01::DOUBLE AS lon
+    FROM deltas JOIN customer c ON deltas.user_id = c.c_custkey
+    WHERE deltas.delta_i != 0
+),
+st(bucket_s, side, k, rem, lat, lon, m_d) AS (
+    SELECT bucket_s,
+           CASE WHEN delta_i < 0 THEN 'D' ELSE 'A' END,
+           k,
+           CAST(CASE WHEN delta_i < 0 THEN -delta_i
+                     ELSE delta_i END AS BIGINT),
+           lat, lon, NULL::BIGINT
+    FROM base
+    UNION ALL
+    (
+        WITH dep AS (
+            -- largest remaining departure, tie -> smallest key
+            SELECT * FROM (
+                SELECT bucket_s, k, rem, lat, lon,
+                       row_number() OVER (
+                           PARTITION BY bucket_s
+                           ORDER BY rem DESC, k ASC) AS rn
+                FROM st WHERE side = 'D'
+            ) WHERE rn = 1
+        ),
+        arr AS (
+            -- nearest arrival to it, tie -> smallest key
+            SELECT * FROM (
+                SELECT a.bucket_s, a.k, a.rem,
+                       row_number() OVER (
+                           PARTITION BY a.bucket_s
+                           ORDER BY {_DIST_SQL} ASC, a.k ASC) AS rn
+                FROM st a JOIN dep d USING (bucket_s)
+                WHERE a.side = 'A'
+            ) WHERE rn = 1
+        ),
+        m AS (
+            SELECT d.bucket_s, d.k AS o, a.k AS dk,
+                   least(d.rem, a.rem) AS units,
+                   d.rem - least(d.rem, a.rem) AS d_left,
+                   a.rem - least(d.rem, a.rem) AS a_left
+            FROM dep d JOIN arr a USING (bucket_s)
+        )
+        SELECT bucket_s, 'M', o, units, NULL::DOUBLE, NULL::DOUBLE, dk
+        FROM m
+        UNION ALL
+        SELECT s.bucket_s, 'D', s.k,
+               CASE WHEN s.k = m.o THEN m.d_left ELSE s.rem END,
+               s.lat, s.lon, NULL
+        FROM st s JOIN m ON s.bucket_s = m.bucket_s
+        WHERE s.side = 'D' AND (s.k != m.o OR m.d_left > 0)
+        UNION ALL
+        SELECT s.bucket_s, 'A', s.k,
+               CASE WHEN s.k = m.dk THEN m.a_left ELSE s.rem END,
+               s.lat, s.lon, NULL
+        FROM st s JOIN m ON s.bucket_s = m.bucket_s
+        WHERE s.side = 'A' AND (s.k != m.dk OR m.a_left > 0)
+    )
+),
+flows AS MATERIALIZED (
+    SELECT k AS o, m_d AS d, CAST(sum(rem) AS BIGINT) AS flow
+    FROM st WHERE side = 'M'
+    GROUP BY k, m_d
+)"""
+
 ORACLES = {
+    "od_flows_topn": f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL}
+        SELECT o, d, flow FROM flows
+        ORDER BY flow DESC, o, d
+        LIMIT 50
+    """,
+    "od_flows_with_coords": f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        topn AS (
+            SELECT o, d, flow FROM flows
+            ORDER BY flow DESC, o, d
+            LIMIT 50
+        ),
+        coords AS (
+            SELECT c_custkey AS ck,
+                   -30.0::DOUBLE + (c_custkey % 100) * 0.01::DOUBLE AS lat,
+                   -51.2::DOUBLE + ((c_custkey * 7) % 100) * 0.01::DOUBLE AS lon
+            FROM customer
+        )
+        SELECT t.o, t.d, t.flow,
+               round(co.lat, 6) AS o_lat, round(co.lon, 6) AS o_lon,
+               round(cd.lat, 6) AS d_lat, round(cd.lon, 6) AS d_lon
+        FROM topn t
+        JOIN coords co ON t.o = co.ck
+        JOIN coords cd ON t.d = cd.ck
+        ORDER BY flow DESC, o, d
+    """,
     "od_flow_conservation": """
         WITH b AS (
             SELECT user_id, value, event_id,

@@ -1,7 +1,19 @@
 """Connected components vs union-find; near-dup cluster semantics."""
 
+import pytest
+
 from bike_analyzer_spark.operators import graph
 from tests.conftest import SF_DIR_ORACLE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(graph.QUERIES))
+def test_graph_vs_oracle(spark, duck, name):
+    """Round-3: both fixpoints oracle as DuckDB recursive CTEs (full
+    value equality; the reimplementation tests below stay as the third
+    independent pin)."""
+    df = graph.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, graph.ORACLES[name], name=name)
 
 def _union_find(edges):
     parent = {}
@@ -71,6 +83,15 @@ def test_pagerank_matches_reference_impl(spark):
 
 def test_pagerank_rejects_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 2, 0.0)], "src long, dst long, weight double")
+    import pytest as _p
+    with _p.raises(ValueError):
+        graph.pagerank(df)
+
+def test_pagerank_rejects_null_weights(spark):
+    # NULL <= 0 is NULL, so a naive filter guard passes NULLs through;
+    # sum() then silently drops the edge's rank mass. Must fail loudly.
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, None)], "src long, dst long, weight double")
     import pytest as _p
     with _p.raises(ValueError):
         graph.pagerank(df)

@@ -18,6 +18,56 @@ def test_od_conservation_vs_oracle(spark, duck):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["od_flows_topn", "od_flows_with_coords"]
+)
+def test_od_kernel_vs_recursive_oracle(spark, duck, name):
+    """Round-3: the greedy kernel's DuckDB twin is a recursive CTE
+    (one match per bucket per iteration) — full value equality, not
+    just the conservation invariant."""
+    df = od.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, od.ORACLES[name], name=name)
+
+
+def test_dist_bit_parity_python_vs_duckdb():
+    """The argmin distance comparison is the only float-sensitive step
+    of the greedy loop. Python math.* and DuckDB both bind glibc libm,
+    so the kernel's distance expression is BIT-identical across the
+    engines — verified over every pair of the 100-point pseudo-coord
+    grid (the only coords the pipeline can produce)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        WITH g AS (
+            SELECT m,
+                   -30.0::DOUBLE + (m % 100) * 0.01::DOUBLE AS lat,
+                   -51.2::DOUBLE + ((m * 7) % 100) * 0.01::DOUBLE AS lon
+            FROM range(100) t(m)
+        )
+        SELECT a.m, d.m, {od._DIST_SQL}
+        FROM g a, g d
+    """).fetchall()
+    sin, cos, atan2, sqrt, rad = (
+        math.sin, math.cos, math.atan2, math.sqrt, math.radians,
+    )
+    coords = [
+        (-30.0 + (m % 100) * 0.01, -51.2 + ((m * 7) % 100) * 0.01)
+        for m in range(100)
+    ]
+    for am, dm, duck_dist in rows:
+        alat_, alon_ = coords[am]
+        dlat_, dlon_ = coords[dm]
+        dla = rad(alat_ - dlat_)
+        dlo = rad(alon_ - dlon_)
+        a = (
+            sin(dla / 2.0) ** 2
+            + cos(rad(dlat_)) * cos(rad(alat_)) * sin(dlo / 2.0) ** 2
+        )
+        py_dist = 2.0 * od._EARTH_R_M * atan2(sqrt(a), sqrt(1.0 - a))
+        assert py_dist == duck_dist, (am, dm)
+
+
 def _haversine(lat1, lon1, lat2, lon2):
     p1, p2 = math.radians(lat1), math.radians(lat2)
     dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)

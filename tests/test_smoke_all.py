@@ -15,13 +15,9 @@ def test_smoke_sf0001(spark, name):
     assert rows is not None
 
 def test_every_query_has_oracle_or_documented_exception():
-    """Each queries() entry either has an oracle_sql twin or is one of
-    the known non-SQL-expressible kernels."""
-    rows_only_allowed = {
-        "od_flows_topn",  # greedy sequential kernel
-        "od_flows_with_coords",  # derived from the kernel output
-        "dedup_clusters",  # iterative fixpoint (connected components)
-        "od_pagerank",  # iterative fixpoint over the OD kernel output
-    }
-    missing = set(em.queries()) - set(em.oracle_sql()) - rows_only_allowed
-    assert not missing, f"queries without oracle or exemption: {missing}"
+    """Round-3: EVERY queries() entry has an oracle_sql twin — the
+    greedy OD kernel runs as a DuckDB recursive CTE (one match per
+    bucket per iteration) and the two graph fixpoints unroll as
+    recursive CTEs, so the former rows-only exemption set is empty."""
+    missing = set(em.queries()) - set(em.oracle_sql())
+    assert not missing, f"queries without oracle: {missing}"

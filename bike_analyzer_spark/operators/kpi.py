@@ -33,8 +33,18 @@ def q1_network_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Latest hour bucket stands in for the latest scrape batch: global
     MAX (A1) -> join fact to the 1-row max (J1, broadcast) -> count
     distinct + sums (A3/A4).
+
+    Round-3: reads the date-partitioned layout and pre-prunes to the
+    max partition from the partition LISTING (no data scan) — the max
+    hour necessarily lives in the max date, so results are identical
+    while the scan touches one directory instead of the whole table.
     """
-    events = load(spark, sf_dir, "events")
+    from ..sources.catalog import events_partitioned, latest_event_date
+
+    events = events_partitioned(spark, sf_dir)
+    events = events.filter(
+        F.col("event_date") == F.to_date(F.lit(latest_event_date(sf_dir)))
+    )
     with_hour = events.withColumn("h", F.date_trunc("hour", F.col("ts")))
     latest = with_hour.agg(F.max("h").alias("h"))
     snap = with_hour.join(F.broadcast(latest), "h")

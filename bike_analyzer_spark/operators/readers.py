@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load, load_events_range, register_views
+from ..sources.catalog import load, register_views
 
 
 def read_projected(
@@ -37,11 +37,16 @@ def read_time_range(
 ) -> DataFrame:
     """P2: conditionally-bounded time-range read, sorted by event time
     (the reference builds the WHERE clause conditionally; here absent
-    bounds simply add no filter). Bounds are pushed into the parquet
-    scan in the raw-nanos domain — see catalog.load_events_range."""
-    return load_events_range(spark, sf_dir, start=start, end=end).orderBy(
-        "ts", "event_id"
-    )
+    bounds simply add no filter). Round-3: reads the date-partitioned
+    layout — date bounds prune whole partition dirs (PartitionFilters)
+    and the precise ts bounds prune row groups (PushedFilters). The
+    flat-file raw-nanos pushdown form remains available as
+    catalog.load_events_range (plan-tested separately)."""
+    from ..sources.catalog import load_events_range_pruned
+
+    return load_events_range_pruned(
+        spark, sf_dir, start=start, end=end
+    ).drop("event_date").orderBy("ts", "event_id")
 
 
 def p1_projected_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,9 +112,15 @@ def w3_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same semantics as `max(h) OVER ()` + filter (reference
     sql/queries.sql:4-6) with the scale-safe plan: 1-row max aggregate
-    broadcast back to the scan (see module docstring).
+    broadcast back to the scan (see module docstring). Round-3: the
+    scan pre-prunes to the max date partition via the partition
+    listing (see kpi.q1_network_summary).
     """
-    events = load(spark, sf_dir, "events")
+    from ..sources.catalog import events_partitioned, latest_event_date
+
+    events = events_partitioned(spark, sf_dir).filter(
+        F.col("event_date") == F.to_date(F.lit(latest_event_date(sf_dir)))
+    )
     with_hour = events.withColumn("h", F.date_trunc("hour", F.col("ts")))
     latest = with_hour.agg(F.max("h").alias("h"))
     return (

@@ -13,15 +13,25 @@ never know the difference.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TABLE_NAMES, TESTDATA
 from ..session import configure
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+#: local stand-in for the warehouse location a metastore would manage
+PARTITIONED_CACHE_DIR = os.path.join(
+    _REPO_ROOT, "spark-warehouse", "events_by_date"
+)
 
 
 _CONFIGURED_FLAG = "spark.bikeAnalyzer.configured"
@@ -106,6 +116,96 @@ def materialize_events_partitioned(
 
 def load_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _events_partitioned_schema() -> T.StructType:
+    """Pinned schema of the partitioned layout: ts is a real timestamp
+    (the nanos->micros conversion happened at write time), plus the
+    event_date partition column."""
+    fields = [
+        T.StructField("ts", T.TimestampType()) if f.name == "ts" else f
+        for f in TESTDATA["events"].fields
+    ]
+    fields.append(T.StructField("event_date", T.DateType()))
+    return T.StructType(fields)
+
+
+def events_partitioned_path(sf_dir: str) -> str:
+    return os.path.join(
+        PARTITIONED_CACHE_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table in its 100-TB storage layout: date-partitioned
+    parquet, materialized lazily ONCE per sf_dir (a fingerprint of the
+    source file invalidates the cache if the driver regenerates
+    testdata). Hot corpus queries (q1/w3 latest-hour, p2 time-range)
+    read through this so their scans prune to a handful of partition
+    dirs via PartitionFilters — the default plan at scale, not a demo.
+    """
+    if spark.conf.get(_CONFIGURED_FLAG, None) != "true":
+        configure(spark)
+        spark.conf.set(_CONFIGURED_FLAG, "true")
+    path = events_partitioned_path(sf_dir)
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    ok = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == fp
+        except (OSError, ValueError):
+            ok = False
+    if not ok:
+        materialize_events_partitioned(spark, sf_dir, path)
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(_events_partitioned_schema()).parquet(path)
+
+
+def latest_event_date(sf_dir: str) -> str:
+    """Max event_date from the PARTITION LISTING — the metastore
+    partition-discovery analog (`SHOW PARTITIONS` / catalog listing on
+    a cluster). No data scan: 'latest snapshot' queries resolve their
+    target partition from metadata, then read only that directory.
+    Call after `events_partitioned` has materialized the layout."""
+    path = events_partitioned_path(sf_dir)
+    dates = [
+        p.split("=", 1)[1]
+        for p in os.listdir(path)
+        if p.startswith("event_date=")
+    ]
+    if not dates:
+        raise FileNotFoundError(f"no event_date partitions under {path}")
+    return max(dates)
+
+
+def load_events_range_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Time-bounded events read through the partitioned layout:
+    date-level bounds land in PartitionFilters (whole directories
+    skipped via the listing) and the precise timestamp bounds land in
+    PushedFilters (row-group min/max pruning within the surviving
+    partitions). Bounds are interpreted in UTC, matching the session
+    timezone and `load_events_range`'s raw-nanos translation."""
+    df = events_partitioned(spark, sf_dir)
+    if start is not None:
+        df = df.filter(
+            (F.col("event_date") >= F.to_date(F.lit(start[:10])))
+            & (F.col("ts") >= F.lit(start).cast("timestamp"))
+        )
+    if end is not None:
+        df = df.filter(
+            (F.col("event_date") <= F.to_date(F.lit(end[:10])))
+            & (F.col("ts") <= F.lit(end).cast("timestamp"))
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

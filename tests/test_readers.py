@@ -9,12 +9,24 @@ def test_readers_vs_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, readers.ORACLES[name], name=name)
 
 def test_time_range_filter_pushed_to_scan(spark):
-    """The range predicate must reach the parquet scan (PushedFilters),
-    not run as a post-scan Filter only."""
+    """Round-3 partitioned path: the date bound prunes partition dirs
+    (PartitionFilters) AND the precise ts bound reaches the parquet
+    row groups (PushedFilters)."""
     df = readers.read_time_range(
         spark, SF_DIR_ORACLE, start="2024-01-08 00:00:00")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(ts," in plan.split("PushedFilters")[1].split("]")[0], plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+
+def test_flat_range_read_pushes_raw_nanos(spark):
+    """The flat-file form translates bounds into the raw-nanos domain
+    so they survive the nanos->micros conversion and reach the scan."""
+    from bike_analyzer_spark.sources.catalog import load_events_range
+    df = load_events_range(spark, SF_DIR_ORACLE, start="2024-01-08 00:00:00")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "GreaterThanOrEqual(ts,1704672000000000000" in pushed, plan
 
 def test_projection_pruned_to_read_schema(spark):
     """P1: only the projected columns appear in ReadSchema."""

@@ -37,6 +37,14 @@ MINHASH_K = 16  # total hash functions
 LSH_BANDS = 8  # bands of r = K/BANDS rows each
 JACCARD_FLOOR = 0.05  # report candidate pairs at/above this similarity
 SIMHASH_BITS = 32
+# Stop-shingle document-frequency cap (round-3): a shingle appearing
+# in more than this many docs is dropped BEFORE the exact-Jaccard
+# self-join — an ultra-frequent shingle would otherwise fan the
+# (shingle, source) join out quadratically within its bucket. 64 is
+# far above this corpus's max df (7 at sf0.01, 25 at sf0.1), so the
+# corpus output is unchanged; the skew bound is pinned by
+# tests/test_dedup.py::test_ngram_jaccard_hot_shingle_bounded.
+NGRAM_DF_CAP = 64
 
 # K minhashes from ONE md5 per shingle + K linear transforms
 # (a_i*h + b_i) mod P — 16x less hashing than salted md5 per function.
@@ -199,18 +207,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs).orderBy("doc_id")
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
     """Exact 3-gram Jaccard for within-`source` pairs (bucketed by the
     source key so candidate volume stays linear in bucket size), top-20
-    most similar pairs."""
+    most similar pairs.
+
+    Jaccard is computed over the CAPPED shingle space: shingles with
+    document frequency > df_cap are dropped before both the
+    intersection join and the set sizes (consistent numerator and
+    denominator), which bounds the self-join fan-out per shingle at
+    df_cap^2 rows regardless of how skewed the corpus is. The df
+    aggregation itself is a uniform-key groupBy — no skew."""
     docs = load(spark, sf_dir, "documents")
-    ds = _doc_shingles(docs)
+    hot = (
+        _doc_shingles(docs)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh")
+    )
+    ds = _doc_shingles(docs).join(hot, "sh", "left_anti")
     src = docs.select("doc_id", "source")
     # Intersection-driven plan: self-join doc-shingles on (shingle,
     # source) so work scales with ACTUAL overlap, not with the
     # |bucket|^2 pair count — pairs sharing nothing never materialize.
-    # (Known scale caveat: ultra-frequent shingles fan out; production
-    # dedup drops stop-shingles above a doc-frequency cap first.)
     dss = ds.join(src, "doc_id")
     a_sh = dss.select(F.col("doc_id").alias("a"), "sh", "source")
     b_sh = dss.select(F.col("doc_id").alias("b"), "sh", "source")
@@ -346,7 +368,15 @@ ORACLES = {
     """,
     "dedup_simhash": _simhash_duck(),
     "dedup_ngram_jaccard": f"""
-        WITH ds AS ({_DS}),
+        WITH ds0 AS ({_DS}),
+        hot AS (
+            SELECT sh FROM ds0 GROUP BY sh
+            HAVING count(*) > {NGRAM_DF_CAP}
+        ),
+        ds AS (
+            SELECT * FROM ds0
+            WHERE sh NOT IN (SELECT sh FROM hot)
+        ),
         pairs AS (
             SELECT x.doc_id AS a, y.doc_id AS b
             FROM documents x JOIN documents y

@@ -42,6 +42,7 @@ partitioning.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 
@@ -54,6 +55,24 @@ from .windows import lag_delta
 FLOW_SCHEMA = "bucket_s bigint, o bigint, d bigint, flow bigint"
 
 _EARTH_R_M = 6371000.0
+
+#: Partition-count contract for the greedy kernel (round-3): the
+#: shuffle before mapInPandas distributes whole BUCKETS, and each
+#: task's memory is (buckets-per-task x bucket size), where a bucket
+#: is at most |stations| rows after the A7 collapse. At 100 TB this
+#: knob is sized to the cluster (e.g. 2-3x total cores) instead of
+#: inheriting spark.sql.shuffle.partitions, which is tuned for generic
+#: agg/join exchanges — 0/unset keeps the session default.
+OD_KERNEL_PARTITIONS = int(os.environ.get("SPARK_GRAFT_OD_PARTITIONS", "0"))
+
+
+def _kernel_repartition(df: DataFrame) -> DataFrame:
+    """Hash-distribute buckets to kernel tasks under the explicit
+    partition-count contract. Buckets never split across tasks (the
+    kernel's correctness invariant); the count bounds per-task input."""
+    if OD_KERNEL_PARTITIONS > 0:
+        return df.repartition(OD_KERNEL_PARTITIONS, "bucket_s")
+    return df.repartition("bucket_s")
 
 
 def pseudo_coords(df: DataFrame, key: str = "c_custkey") -> DataFrame:
@@ -209,11 +228,9 @@ def infer_flows(
     spark: SparkSession, sf_dir: str, minutes: int = 10
 ) -> DataFrame:
     """U2+A10: greedy per-bucket matching, rolled up to (o, d) edges."""
-    per_bucket = (
+    per_bucket = _kernel_repartition(
         bucket_deltas(spark, sf_dir, minutes=minutes)
-        .repartition("bucket_s")
-        .mapInPandas(_match_partition, schema=FLOW_SCHEMA)
-    )
+    ).mapInPandas(_match_partition, schema=FLOW_SCHEMA)
     return per_bucket.groupBy("o", "d").agg(F.sum("flow").alias("flow"))
 
 
@@ -231,7 +248,7 @@ def od_flow_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     deltas = bucket_deltas(spark, sf_dir, minutes=10)
     flows = (
-        deltas.repartition("bucket_s")
+        _kernel_repartition(deltas)
         .mapInPandas(_match_partition, schema=FLOW_SCHEMA)
         .groupBy("bucket_s")
         .agg(F.sum("flow").alias("matched"))

@@ -59,6 +59,36 @@ def test_asof_backward_keyed_vs_duckdb(spark, duck):
     """).fetchall()))
     assert got == want
 
+def test_session_window_exact_gap_boundary(spark):
+    """Boundary pin (round-3 advice follow-up): Spark's native
+    session_window MERGES an event landing exactly gap after the
+    previous one (adjacent windows touch and coalesce), which matches
+    the strictly-greater test in sessionize() and in BOTH session
+    oracles — so `>` (not `>=`) is the correct oracle gap predicate.
+    Verified empirically here so the question stays settled."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+         (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00.000001")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in native.collect()}
+    assert got == {1: 1, 2: 2}  # exactly-gap merges; gap+1us splits
+    wf = asof.sessionize(df.withColumn("event_id", F.lit(0)), "user_id", "ts", 30)
+    wf_sessions = {
+        r.user_id: r.n for r in
+        wf.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n")).collect()
+    }
+    assert wf_sessions == got  # the two machineries agree at the boundary
+
+
 def test_sessionize_synthetic(spark):
     import datetime as dt
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)

@@ -22,6 +22,40 @@ def test_simhash_locality(spark):
     assert ham(sig[0], sig[1]) < ham(sig[0], sig[2])
     assert ham(sig[0], sig[1]) <= 10
 
+def test_ngram_jaccard_hot_shingle_bounded(spark, tmp_path):
+    """A planted stop-shingle shared by EVERY doc must not create
+    pairs by itself: with the df cap it is dropped before the
+    self-join, so docs sharing only the hot shingle never pair, while
+    genuinely similar docs still do (Jaccard over the capped space)."""
+    import os
+    hot = "common boiler plate"  # one 3-gram shared by all docs
+    rows = []
+    for i in range(12):
+        rows.append((i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d",
+                     "en", "s1", 0))
+    # one genuinely similar pair within the same source
+    rows.append((100, f"{hot} shared tail of text alpha beta", "en", "s1", 0))
+    rows.append((101, f"{hot} shared tail of text alpha gamma", "en", "s1", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "hotshingle")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.dedup_ngram_jaccard(spark, d, df_cap=4).collect()}
+    # every pair among docs 0..11 shares ONLY the capped hot shingle
+    assert all(a >= 100 for (a, b) in got), got
+    assert (100, 101) in got and got[(100, 101)] > 0.5
+    # and the capped intersection join materializes zero rows for the
+    # hot shingle: candidate volume stays bounded under skew
+    uncapped = {(r.a, r.b)
+                for r in dedup.dedup_ngram_jaccard(
+                    spark, d, df_cap=10**9).collect()}
+    assert len(uncapped) > len(got)  # the cap really removed fan-out
+
+
 def test_minhash_finds_planted_near_dup(spark):
     """A doc with one word changed out of 40 must surface as a
     high-jaccard LSH candidate pair."""

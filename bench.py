@@ -2,13 +2,25 @@
 JSON line the driver records as BENCH_r{N}.json.
 
 Usage: python bench.py
-Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-       SPARK_GRAFT_CPUS   (default 32)
+Env:   SPARK_GRAFT_SF_DIR            (default /root/testdata/sf0.1)
+       SPARK_GRAFT_SF_DIR_SECONDARY  (default /root/testdata/sf0.01;
+                                      "" disables the secondary pass)
+       SPARK_GRAFT_CPUS              (default 32)
+       SPARK_GRAFT_BENCH_REPS        (default 3)
 
 Each query is forced end-to-end through the `noop` sink: the full plan
 executes on executors with zero driver materialization, so a query
 returning 600k rows is timed as fairly as one returning 1. Times
 exclude session startup (fixed overhead, not query throughput).
+
+Methodology (round 3, per round-2 verdict): each query runs REPS times
+and reports the per-query p50, damping JVM warm-up/JIT noise; rep 1 of
+each query still pays its own planning + first-touch cost, so the p50
+of 3 is dominated by warmed execution. A secondary scale factor runs
+the same corpus so round-over-round comparisons see a scaling slope
+(sec vs sf), not a single point. Headline `value`/`queries`/`sf` keep
+their round-1/2 meaning (primary SF) so prior BENCH_r{N}.json files
+remain directly comparable.
 """
 
 from __future__ import annotations
@@ -16,15 +28,46 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF_DIR_SECONDARY = os.environ.get(
+    "SPARK_GRAFT_SF_DIR_SECONDARY", "/root/testdata/sf0.01"
+)
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0
+
+
+def _run_corpus(
+    spark, qs, sf_dir: str, reps: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """p50-of-reps wall time per query at one scale factor."""
+    # Warm the JVM + parquet footers once so per-query times measure
+    # the queries, not first-touch costs.
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # one bad query must not kill the number
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
+    return timings, errors
 
 
 def main() -> int:
@@ -35,21 +78,7 @@ def main() -> int:
     spark = get_spark(app_name="bike-analyzer-spark-bench")
     qs = entry_mod.queries()
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # queries, not first-touch costs.
-    spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
-
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name, fn in sorted(qs.items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one bad query must not kill the number
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-
+    timings, errors = _run_corpus(spark, qs, SF_DIR, REPS)
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "query_corpus_wall_time",
@@ -57,9 +86,26 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "reps": REPS,
+        "stat": "p50",
     }
     if errors:
         line["errors"] = errors
+
+    if (
+        SF_DIR_SECONDARY
+        and os.path.isdir(SF_DIR_SECONDARY)
+        and os.path.realpath(SF_DIR_SECONDARY) != os.path.realpath(SF_DIR)
+    ):
+        sec_timings, sec_errors = _run_corpus(spark, qs, SF_DIR_SECONDARY, REPS)
+        line["secondary"] = {
+            "sf": _sf_from_dir(SF_DIR_SECONDARY),
+            "value": round(sum(sec_timings.values()), 3),
+            "queries": sec_timings,
+        }
+        if sec_errors:
+            line["secondary"]["errors"] = sec_errors
+
     print(json.dumps(line))
     return 0
 

@@ -194,17 +194,18 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window (gap-merged event-time windows)
-    — same semantics as `sessionize`, different machinery (one
-    groupBy aggregation, streaming-capable). The oracle derives the
-    identical windows from the window-function sessionization, so the
-    two implementations cross-validate."""
-    events = load(spark, sf_dir, "events")
+def session_window_agg(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """The session_window aggregation itself, batch/stream agnostic:
+    works on any frame with (user_id, ts, value). The streaming layer
+    (`streaming.sessions`) runs this exact function over the
+    file-replay source — batch/stream parity is by construction, not
+    by re-implementation."""
     return (
         events.groupBy(
             "user_id",
-            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -216,8 +217,17 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "start_us")
     )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged event-time windows)
+    — same semantics as `sessionize`, different machinery (one
+    groupBy aggregation, streaming-capable). The oracle derives the
+    identical windows from the window-function sessionization, so the
+    two implementations cross-validate."""
+    events = load(spark, sf_dir, "events")
+    return session_window_agg(events).orderBy("user_id", "start_us")
 
 
 QUERIES = {

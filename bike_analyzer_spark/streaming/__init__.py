@@ -3,10 +3,14 @@
 polling batch; here the same logic runs as a real stream."""
 
 from .ingest import foreach_batch_upsert, run_to_memory, status_stream, windowed_avg
+from .sessions import events_stream, run_sessions_to_memory, session_stream
 
 __all__ = [
+    "events_stream",
     "foreach_batch_upsert",
+    "run_sessions_to_memory",
     "run_to_memory",
+    "session_stream",
     "status_stream",
     "windowed_avg",
 ]

@@ -20,6 +20,7 @@ from bike_analyzer_spark.operators import (
     asof,
     dedup,
     graph,
+    ivf,
     kpi,
     multimodal,
     od,
@@ -37,6 +38,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    ivf,
     multimodal,
     readers,
     analytics_ext,

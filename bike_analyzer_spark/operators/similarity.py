@@ -281,12 +281,14 @@ _COS = """
             / nullif(sqrt(list_sum(list_transform(__A__,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(__B__,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 4)
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), __D__)
 """
 
 
-def _cos_sql(a: str, b: str) -> str:
-    return _COS.replace("__A__", a).replace("__B__", b)
+def _cos_sql(a: str, b: str, digits: int = 4) -> str:
+    return (
+        _COS.replace("__A__", a).replace("__B__", b).replace("__D__", str(digits))
+    )
 
 
 _PLANES = f"""

@@ -1,0 +1,106 @@
+"""IVF ANN: oracle parity, argmax correctness via an independent
+explode-based reimplementation, planted near-dup recall, and the
+no-corpus-shuffle plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import ivf
+from bike_analyzer_spark.operators.similarity import _with_norm
+from bike_analyzer_spark.sources.catalog import load
+from tests.conftest import SF_DIR_ORACLE, SF_DIR_SMOKE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ivf.QUERIES))
+def test_ivf_vs_oracle(spark, duck, name):
+    df = ivf.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, ivf.ORACLES[name], name=name)
+
+
+def test_assignment_is_true_argmax(spark):
+    """The fold-based assignment equals an independent explode +
+    row_number reimplementation (16x row blow-up — fine at sf0.001,
+    rejected as the production plan)."""
+    emb_n = _with_norm(load(spark, SF_DIR_SMOKE, "embeddings"))
+    cents = ivf._centroids(emb_n)
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf._assigned(emb_n, ivf._centroid_row(cents)).collect()
+    }
+    from pyspark.sql import Window
+
+    pairs = emb_n.crossJoin(
+        cents.select("cid", "cemb", "cnorm")
+    ).select(
+        "vec_id",
+        "cid",
+        F.round(
+            ivf._cosine_from(
+                ivf._dot(F.col("embedding"), F.col("cemb")),
+                F.col("norm"),
+                F.col("cnorm"),
+            ),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    want = {
+        (r.vec_id, r.cid)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_planted_near_dup_is_retrieved(spark):
+    """A vector nearly identical to a corpus vector must (a) file into
+    the same centroid list and (b) come back as its rank-1 neighbor —
+    the recall property IVF exists to provide."""
+    emb = load(spark, SF_DIR_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 100).first()
+    planted = [float(x) * 1.001 for x in base.embedding]
+    synth = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            [(1_000_000, planted)], schema=emb.select("vec_id", "embedding").schema
+        )
+    )
+    emb_n = _with_norm(synth)
+    assigned = ivf._assigned(emb_n, ivf._centroid_row(ivf._centroids(emb_n)))
+    cids = {
+        r.vec_id: r.centroid_id
+        for r in assigned.filter(
+            F.col("vec_id").isin(100, 1_000_000)
+        ).collect()
+    }
+    assert cids[100] == cids[1_000_000]
+
+
+def test_topk_plan_never_shuffles_corpus(spark):
+    """Scale contract: the only Exchanges in the search plan are
+    broadcasts and the final top-k window's partitioning of the
+    ALREADY-REDUCED candidate set; the corpus scan feeds a
+    BroadcastHashJoin, not a shuffle join."""
+    plan = (
+        ivf.sim_ivf_topk(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assign_plan_is_narrow(spark):
+    """The assignment itself must not shuffle or explode the corpus:
+    no SortMergeJoin, no Generate (explode) anywhere in its plan."""
+    plan = (
+        ivf.sim_ivf_assign(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan

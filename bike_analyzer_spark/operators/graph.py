@@ -145,25 +145,30 @@ def pagerank(
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     ).localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    has_out = out_w.select(F.col("src").alias("id"), F.lit(1).alias("_has"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (
             trans.join(ranks, trans.src == ranks.id)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+            # LAZY checkpoint: truncates lineage (contrib feeds both
+            # the rank update and the dangling aggregate, so without
+            # it each reference would recompute the whole prefix —
+            # 2^iterations blow-up) but materializes inside the final
+            # action instead of one eager job per iteration.
+            .localCheckpoint(eager=False)
         )
-        # dangling mass as a broadcast 1-row aggregate folded into the
-        # same action as the rank update — a driver-side .first() here
-        # would add an extra job per iteration
-        dangling = (
-            ranks.join(has_out, "id", "left")
-            .filter(F.col("_has").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # Dangling mass by conservation: per-src transition p sums to
+        # 1, so sum(c) is exactly the rank held by non-dangling nodes
+        # and total rank is 1 by construction — dm = 1 - sum(c). One
+        # 1-row aggregate over the ALREADY-GROUPED contrib replaces
+        # the previous ranks×out_w anti-join scan per iteration.
+        dm = contrib.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(contrib, nodes.id == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(dm))
             .select(
                 "id",
                 (
@@ -175,7 +180,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -277,9 +282,7 @@ def _od_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
                 ),
                 it AS (SELECT max(iter) AS i FROM pr),
                 dang AS (
-                    SELECT coalesce(sum(p2.rank), 0.0) AS dm
-                    FROM pr p2 LEFT JOIN outw w ON p2.id = w.src
-                    WHERE w.src IS NULL
+                    SELECT 1.0 - coalesce(sum(c), 0.0) AS dm FROM contrib
                 )
                 SELECT it.i + 1, n.id,
                        (1.0 - {damping}) / (SELECT n FROM nn)

@@ -82,6 +82,90 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
     )
 
 
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (lo, hi) form, self-loops and
+    duplicates dropped."""
+    return (
+        edges.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def connected_components_lss(
+    edges: DataFrame, max_iter: int = MAX_ITER
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-diameter-safe variant: converges in O(log^2 n)
+    rounds regardless of graph diameter, where plain min-label
+    propagation needs O(diameter) rounds (a 10^6-hop chain at 100 TB
+    would never finish). Same output contract as
+    `connected_components`; the two cross-validate by test.
+
+    large-star: every node links its LARGER neighbors to the minimum
+    of its neighborhood (incl. itself); small-star does the same for
+    its not-larger neighbors. Both only ever shuffle on vertex id and
+    only shrink/redirect edges — no fan-out. Convergence = the edge
+    multiset is stable (count + order-insensitive hash, one tiny
+    aggregate per round on the already-checkpointed set)."""
+    e = _canon(edges).localCheckpoint()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods in both directions: (u, v) = u sees v
+        bidir = e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).union(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        linked = bidir.filter(
+            F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        ).join(m, "u")
+        # large-star: (v, m(u)) for v > u ; small-star additionally
+        # re-links u itself to m(u)
+        out = linked.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.union(
+                m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return _canon(out)
+
+    def _sig(e: DataFrame) -> tuple:
+        # count + XOR of per-edge hashes: order-insensitive, cannot
+        # overflow (sum would, under ANSI), and exact on a SET of
+        # edges (canon dedups, so xor-cancellation can't hide change)
+        return tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
+                ),
+            ).first()
+        )
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
+            # stable star graph: every edge is (root, member)
+            members = e.select(
+                F.col("hi").alias("id"), F.col("lo").alias("component")
+            )
+            roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
+                "component", F.col("id")
+            )
+            return members.union(roots)
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_lss did not converge in {max_iter} rounds "
+        "(expected O(log^2 n)); the edge signature is still moving"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: the top within-source n-gram-Jaccard pairs
     (dedup.dedup_ngram_jaccard) become edges; connected components
@@ -204,8 +288,25 @@ def od_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters` computed by the large-star/small-star CC
+    variant instead of min-label propagation — same answer (shared
+    DuckDB oracle), diameter-independent round count: the form that
+    survives adversarial graphs at 100 TB."""
+    from .dedup import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    comps = connected_components_lss(edges)
+    return comps.select(
+        F.col("component").alias("cluster_root"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    ).orderBy("cluster_root", "doc_id")
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_lss": dedup_clusters_lss,
     "od_pagerank": od_pagerank,
 }
 
@@ -303,5 +404,7 @@ def _od_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
 
 ORACLES: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_oracle(),
+    # same answer by construction — the lss variant shares the oracle
+    "dedup_clusters_lss": _dedup_clusters_oracle(),
     "od_pagerank": _od_pagerank_oracle(),
 }

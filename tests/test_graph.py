@@ -105,3 +105,43 @@ def test_pagerank_sums_to_one(spark):
         F.col("flow").alias("weight"))
     total = graph.pagerank(edges, iterations=5).agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_lss_converges_on_long_chain(spark):
+    """A 200-node path: min-label propagation needs 200 rounds (raises
+    at MAX_ITER=25 by design); large-star/small-star collapses it in
+    O(log^2 n) rounds — the adversarial-diameter case it exists for."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    comps = {
+        r.id: r.component
+        for r in graph.connected_components_lss(chain).collect()
+    }
+    assert len(comps) == 201 and set(comps.values()) == {0}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iter=25)
+
+
+def test_lss_matches_min_label_on_random_graph(spark):
+    """Property cross-validation: on a deterministic pseudo-random
+    graph with several components, both implementations agree
+    exactly."""
+    edges = [
+        (i, (i * 7 + 3) % 50 + (i % 5) * 50)
+        for i in range(0, 250, 3)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "a long, b long"
+    )
+    lss = {
+        (r.id, r.component)
+        for r in graph.connected_components_lss(df).collect()
+    }
+    ml = {
+        (r.id, r.component)
+        for r in graph.connected_components(df, max_iter=60).collect()
+    }
+    assert lss == ml and len(lss) > 0

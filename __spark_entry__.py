@@ -26,6 +26,7 @@ from bike_analyzer_spark.operators import (
     od,
     profile,
     readers,
+    sampling,
     similarity,
     text,
     windows,
@@ -45,6 +46,7 @@ _MODULES = [
     asof,
     graph,
     profile,
+    sampling,
 ]
 
 

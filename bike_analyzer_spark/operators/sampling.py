@@ -1,0 +1,138 @@
+"""Deterministic sampling & dataset splitting — the training-data
+pipeline primitives a 100-TB corpus build runs between dedup and
+training: reproducible train/test assignment and per-stratum
+downsampling. Everything is HASH-deterministic (the portable md5
+hash64 shared with the dedup pack) — no RNG, so reruns, retries and
+the DuckDB oracles all agree bit-for-bit, and assignment is stable
+under repartitioning/insertion order (the property `rand(seed)` does
+NOT have: its draw depends on row position).
+
+100-TB shapes:
+- split: a narrow projection (hash + comparison per row) — zero
+  shuffles, fully codegen'd; any table size.
+- stratified sample: "keep the N smallest hashes per stratum" via a
+  SALTED two-stage top-N — stage 1 takes the top-N within each
+  (stratum, salt) slice, stage 2 re-ranks the <= SALTS*N survivors
+  per stratum. A hot stratum therefore never concentrates more than
+  its slice on one task; the salt changes nothing about the result
+  (the N global minima survive every salting) but caps per-task
+  state. Plan-asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash64, hash64_duck
+from ..sources.catalog import load
+
+TRAIN_PCT = 80  # hash buckets 0-79 -> train, 80-99 -> test
+_SPLIT_SALT = "split"
+STRATA_N = 40  # sample size per stratum
+_SAMPLE_SALT = "strat"
+_STAGE_SALTS = 16
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/test split of the documents table: bucket =
+    hash64('split', doc_id) % 100; < TRAIN_PCT -> train. Adding or
+    removing rows never flips any other row's assignment."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), _SPLIT_SALT) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split sizes + mean doc length per side — the sanity check a
+    pipeline runs right after splitting (a skewed split is a bug)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), _SPLIT_SALT) % 100
+    return (
+        docs.select(
+            F.when(bucket < TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            F.length("text").alias("len"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("len"), 4).alias("avg_len"),
+        )
+        .orderBy("split")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample: the STRATA_N events with the smallest
+    hash64('strat', event_id) in each stratum — a deterministic
+    reservoir. Two-stage salted top-N keeps a hot stratum from
+    concentrating on one task; the final result is identical to the
+    single-window form (the N global minima survive any salting),
+    which the oracle computes directly."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    hk = hash64(F.col("event_id").cast("string"), _SAMPLE_SALT)
+    salted = ev.withColumn("hk", hk).withColumn(
+        "salt", (F.col("event_id") % _STAGE_SALTS).cast("int")
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hk", "event_id")
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= STRATA_N)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= STRATA_N)
+        .select("event_type", "event_id", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("event_type", "rn")
+    )
+
+
+QUERIES = {
+    "split_assign": split_assign,
+    "split_summary": split_summary,
+    "stratified_sample": stratified_sample,
+}
+
+_BUCKET = f"{hash64_duck('CAST(doc_id AS VARCHAR)', repr(_SPLIT_SALT))} % 100"
+
+ORACLES = {
+    "split_assign": f"""
+        SELECT doc_id,
+               CASE WHEN {_BUCKET} < {TRAIN_PCT}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "split_summary": f"""
+        SELECT CASE WHEN {_BUCKET} < {TRAIN_PCT}
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               round(avg(length(text)), 4) AS avg_len
+        FROM documents
+        GROUP BY 1
+        ORDER BY split
+    """,
+    "stratified_sample": f"""
+        SELECT event_type, event_id, rn
+        FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY {hash64_duck("CAST(event_id AS VARCHAR)",
+                                             repr(_SAMPLE_SALT))},
+                                event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= {STRATA_N}
+        ORDER BY event_type, rn
+    """,
+}

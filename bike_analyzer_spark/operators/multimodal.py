@@ -117,6 +117,84 @@ def sample_frames(
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, resized binary, out_w bigint, out_h bigint"
+)
+MAX_SIDE = 8
+HIST_SCHEMA = "doc_id long, bin bigint, cnt bigint, n_bytes bigint"
+HIST_BINS = 16
+
+
+def resize_payloads(
+    df: DataFrame,
+    decoder: Callable[[bytes], tuple] | None = None,
+    max_side: int = MAX_SIDE,
+) -> DataFrame:
+    """The resize step of the brief (decode / feature-extract / RESIZE
+    / frame-sample): binary in -> smaller binary out, Arrow-batched.
+    The fake 'resize' strides through the payload to out_w*out_h
+    bytes (same deterministic arithmetic as the oracle); a real
+    image resize drops in through `decoder` + PIL the same way as
+    `decode_payloads`. The resized column stays BINARY so downstream
+    native ops (octet_length, md5) keep working on it — that flow is
+    the thing being tested."""
+    dec = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, ws, hs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, _first, w, h = dec(payload)
+                ow, oh = min(w, max_side), min(h, max_side)
+                k = ow * oh
+                stride = max(1, n // k)
+                blob = bytes(
+                    payload[i * stride]
+                    for i in range(k)
+                    if i * stride < n
+                )
+                ids.append(doc_id)
+                blobs.append(blob)
+                ws.append(ow)
+                hs.append(oh)
+            yield pd.DataFrame(
+                {"doc_id": ids, "resized": blobs, "out_w": ws, "out_h": hs}
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def byte_histogram(df: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """Feature extraction: fixed-length byte-histogram vector per
+    payload (bin = byte >> 3 over the ASCII range), emitted as
+    (doc_id, bin, cnt, n_bytes) rows — the modality-agnostic feature
+    the pipeline can cluster/classify on. This one is NOT a fake:
+    byte histograms are real features. All `bins` rows emit per doc,
+    including empty bins (fixed-length vector semantics). The UDF
+    emits INTEGER counts only; the share ratio is computed natively
+    downstream so rounding follows the engines' shared half-away
+    convention (np.round is banker's — deliberately avoided)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bs, cnts, ns = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not len(payload):
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8) >> 3
+                counts = np.bincount(arr, minlength=bins)[:bins]
+                ids.extend([doc_id] * bins)
+                bs.extend(range(bins))
+                cnts.extend(int(c) for c in counts)
+                ns.extend([len(payload)] * bins)
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bs, "cnt": cnts, "n_bytes": ns}
+            )
+
+    return df.mapInPandas(run, HIST_SCHEMA)
+
+
 def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_payloads(payloads(spark, sf_dir)).orderBy("doc_id")
 
@@ -125,9 +203,37 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(payloads(spark, sf_dir)).orderBy("doc_id", "frame_idx")
 
 
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + NATIVE post-ops on the resized binary: octet_length
+    and md5 run JVM-side on the UDF's output column, proving binary
+    flows through the Python/Arrow boundary intact (the md5 hex is
+    compared byte-for-byte against the oracle's reconstruction)."""
+    resized = resize_payloads(payloads(spark, sf_dir))
+    return resized.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.octet_length("resized").cast("bigint").alias("n_out"),
+        F.md5("resized").alias("resized_md5"),
+    ).orderBy("doc_id")
+
+
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature rows with the share computed natively
+    (see byte_histogram)."""
+    h = byte_histogram(payloads(spark, sf_dir))
+    return h.select(
+        "doc_id",
+        "bin",
+        F.round(F.col("cnt") / F.col("n_bytes"), 6).alias("share"),
+    ).orderBy("doc_id", "bin")
+
+
 QUERIES = {
     "mm_payload_stats": mm_payload_stats,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_stats": mm_resize_stats,
+    "mm_byte_histogram": mm_byte_histogram,
 }
 
 # documents.text is ASCII in the testdata, so byte offsets == char
@@ -151,5 +257,60 @@ ORACLES = {
         FROM documents, range({N_FRAMES}) r(i)
         WHERE 1 + i * {FRAME_STRIDE} <= length(text)
         ORDER BY doc_id, frame_idx
+    """,
+    # reconstructs the strided resize byte-for-byte and md5s it — the
+    # hex must equal Spark's native md5 over the UDF's binary output
+    "mm_resize_stats": f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   least(length(text) % 100 + 1, {MAX_SIDE}) AS ow,
+                   least(ascii(substr(text, 1, 1)) % 64 + 1, {MAX_SIDE})
+                       AS oh
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text, n, ow, oh,
+                   greatest(1, n // (ow * oh)) AS stride,
+                   ow * oh AS k
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(ow AS BIGINT) AS out_w,
+               CAST(oh AS BIGINT) AS out_h,
+               CAST(len(list_filter(range(k), i -> i * stride < n))
+                    AS BIGINT) AS n_out,
+               md5(array_to_string(
+                   list_transform(
+                       list_filter(range(k), i -> i * stride < n),
+                       i -> substr(text, CAST(1 + i * stride AS BIGINT), 1)),
+                   '')) AS resized_md5
+        FROM s
+        ORDER BY doc_id
+    """,
+    "mm_byte_histogram": f"""
+        WITH docs AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE length(text) > 0
+        ),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, n + 1),
+                       i -> ascii(substr(text, CAST(i AS BIGINT), 1)) // 8))
+                       AS bin
+            FROM docs
+        ),
+        c AS (
+            SELECT doc_id, bin, count(*) AS cnt
+            FROM b GROUP BY doc_id, bin
+        )
+        SELECT docs.doc_id,
+               CAST(r.i AS BIGINT) AS bin,
+               round(coalesce(c.cnt, 0) / CAST(docs.n AS DOUBLE), 6)
+                   AS share
+        FROM docs
+        CROSS JOIN range({HIST_BINS}) r(i)
+        LEFT JOIN c ON c.doc_id = docs.doc_id AND c.bin = r.i
+        ORDER BY docs.doc_id, bin
     """,
 }

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bike_analyzer_spark.operators import (
     analytics_ext,
     asof,
+    curate,
     dedup,
     graph,
     ivf,
@@ -47,6 +48,7 @@ _MODULES = [
     graph,
     profile,
     sampling,
+    curate,
 ]
 
 

@@ -1,0 +1,131 @@
+"""End-to-end corpus curation — the composed LLM-data-pipeline
+flagship: quality gate → language gate → exact-dedup keep-list →
+train/test split, all in ONE declarative plan.
+
+This is the query a training-data team actually runs: every stage is
+an operator that also exists standalone (text_stats quality algebra,
+text_langid prediction, dedup_exact's md5 keep-list, sampling's hash
+split), composed here so Catalyst sees the WHOLE pipeline at once —
+filters push into the scan, the projections fuse into one codegen
+stage, and the only shuffle in the entire plan is the dedup
+keep-list's window over md5(text). At 100 TB that means: one pass
+over the corpus, one exchange, no driver round-trips between stages.
+
+Gates (deliberately mirror the standalone operators' arithmetic):
+- quality_score >= QUALITY_MIN   (length-and-stopword heuristic)
+- lang_pred != 'und'             (marker-token language ID)
+- exact-dup keep: min doc_id per md5(text) among gate survivors
+  (dedup AFTER filtering — the standard order, so a low-quality
+  duplicate can't shadow a high-quality original)
+- split: portable-hash 80/20 (stable under subsetting)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash64, hash64_duck, tokens
+from ..sources.catalog import load
+from .sampling import TRAIN_PCT, _SPLIT_SALT
+from .text import LANG_MARKERS, STOPWORDS, _sql_list, _TOKS
+
+QUALITY_MIN = 0.5
+
+
+def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: surviving doc_ids with their language,
+    quality score, and split assignment."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens("text")
+    )
+    n_tok = F.size("toks")
+    stop_ratio = (
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) / n_tok
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * (F.lit(1.0) - stop_ratio),
+        4,
+    )
+    hits = {
+        code: F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+        for code, markers in LANG_MARKERS.items()
+    }
+    lang_pred = (
+        F.when((hits["en"] >= 2) & (hits["en"] >= hits["pt"]), F.lit("en"))
+        .when(hits["pt"] >= 2, F.lit("pt"))
+        .otherwise(F.lit("und"))
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            quality.alias("quality_score"),
+            lang_pred.alias("lang_pred"),
+        )
+        .filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("lang_pred") != "und")
+        )
+    )
+    # exact-dedup keep-list among survivors: min doc_id per content hash
+    w = Window.partitionBy(F.md5(F.encode("text", "UTF-8"))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text")
+    )
+    bucket = hash64(F.col("doc_id").cast("string"), _SPLIT_SALT) % 100
+    return kept.select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {"curate_keep_list": curate_keep_list}
+
+ORACLES = {
+    "curate_keep_list": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   round(least(1.0, len(toks) / 50.0)
+                       * (1.0 - len(list_filter(toks,
+                           x -> x IN ({_sql_list(STOPWORDS)}))) / len(toks)),
+                       4) AS quality_score,
+                   len(list_filter(toks,
+                       x -> x IN ({_sql_list(LANG_MARKERS["en"])}))) AS en_hits,
+                   len(list_filter(toks,
+                       x -> x IN ({_sql_list(LANG_MARKERS["pt"])}))) AS pt_hits
+            FROM t
+        ),
+        gated AS (
+            SELECT doc_id, text, quality_score,
+                   CASE WHEN en_hits >= 2 AND en_hits >= pt_hits THEN 'en'
+                        WHEN pt_hits >= 2 THEN 'pt'
+                        ELSE 'und' END AS lang_pred
+            FROM scored
+            WHERE quality_score >= {QUALITY_MIN}
+        ),
+        kept AS (
+            SELECT doc_id, lang_pred, quality_score,
+                   row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM gated
+            WHERE lang_pred != 'und'
+        )
+        SELECT doc_id, lang_pred, quality_score,
+               CASE WHEN {hash64_duck("CAST(doc_id AS VARCHAR)",
+                                      repr(_SPLIT_SALT))} % 100 < {TRAIN_PCT}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM kept
+        WHERE rn = 1
+        ORDER BY doc_id
+    """,
+}

@@ -97,11 +97,14 @@ def main() -> int:
         and os.path.isdir(SF_DIR_SECONDARY)
         and os.path.realpath(SF_DIR_SECONDARY) != os.path.realpath(SF_DIR)
     ):
-        sec_timings, sec_errors = _run_corpus(spark, qs, SF_DIR_SECONDARY, REPS)
+        # single rep: the secondary SF exists for the scaling slope,
+        # not for precision — keeps total bench wall time bounded
+        sec_timings, sec_errors = _run_corpus(spark, qs, SF_DIR_SECONDARY, 1)
         line["secondary"] = {
             "sf": _sf_from_dir(SF_DIR_SECONDARY),
             "value": round(sum(sec_timings.values()), 3),
             "queries": sec_timings,
+            "reps": 1,
         }
         if sec_errors:
             line["secondary"]["errors"] = sec_errors

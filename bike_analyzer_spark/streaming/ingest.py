@@ -71,6 +71,20 @@ def run_to_memory(df: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
+def dedup_stream(
+    status: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup (SURVEY §2.9 last row): drop repeated
+    (station_id, scraped_at) observations across micro-batches with
+    `dropDuplicatesWithinWatermark` — the reference's PK-upsert
+    idempotency, streaming-side. State holds only keys younger than
+    the watermark, so it's bounded by arrival rate x watermark span,
+    not by stream length."""
+    return status.withWatermark(
+        "scraped_at", watermark
+    ).dropDuplicatesWithinWatermark(["station_id", "scraped_at"])
+
+
 def foreach_batch_upsert(
     spark: SparkSession,
     status: DataFrame,

@@ -101,3 +101,40 @@ def test_stream_static_join(spark, tdir):
     rows = {r.station_id: (r.name, r.num_bikes_available, r.capacity)
             for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows == {"s1": ("Praça A", 4, 12), "s2": ("Praça B", 5, 20)}
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tdir):
+    """The same (station_id, scraped_at) snapshot landed twice in
+    DIFFERENT micro-batches must survive only once — the reference's
+    PK-upsert idempotency via dropDuplicatesWithinWatermark. Parity:
+    equals batch dropDuplicates over the same landing."""
+    landing = os.path.join(tdir, "landing")
+    t0 = dt.datetime(2025, 9, 4, 15, 0, 0)
+    batches = [
+        _status_batch(spark, t0, 4),
+        _status_batch(spark, t0, 4),  # exact duplicate batch
+        _status_batch(spark, t0 + dt.timedelta(minutes=5), 5),
+    ]
+    for b in batches:
+        b.write.mode("append").parquet(landing)
+    name = f"dedup_{uuid.uuid4().hex[:6]}"
+    q = (
+        streaming.dedup_stream(streaming.status_stream(spark, landing))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.station_id, r.scraped_at, r.num_bikes_available)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = sorted(
+        (r.station_id, r.scraped_at, r.num_bikes_available)
+        for r in spark.read.parquet(landing)
+        .dropDuplicates(["station_id", "scraped_at"])
+        .collect()
+    )
+    assert got == batch
+    assert len(got) == 4  # 2 stations x 2 distinct timestamps

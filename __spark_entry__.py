@@ -26,6 +26,7 @@ from bike_analyzer_spark.operators import (
     multimodal,
     od,
     profile,
+    rangejoin,
     readers,
     sampling,
     similarity,
@@ -49,6 +50,7 @@ _MODULES = [
     profile,
     sampling,
     curate,
+    rangejoin,
 ]
 
 

@@ -21,6 +21,7 @@ from bike_analyzer_spark.operators import (
     curate,
     dedup,
     graph,
+    hypertable,
     ivf,
     kpi,
     multimodal,
@@ -51,6 +52,7 @@ _MODULES = [
     sampling,
     curate,
     rangejoin,
+    hypertable,
 ]
 
 

@@ -1,0 +1,154 @@
+"""Hypertable rollup — the third custom operator family the builder
+brief names ("as-of join, range join, hypertable rollup"): a
+TimescaleDB-style continuous-aggregate cascade where every coarser
+time grain is re-aggregated FROM THE NEXT FINER GRAIN's partial
+aggregates, never from raw data.
+
+That derivation order is the whole point at 100 TB: the minute-grain
+pass is the only scan of the raw table; the hour pass reads
+~1/60th of that, the day pass ~1/24th again. All aggregates carried
+are ALGEBRAIC — (count, sum, min, max) re-aggregate losslessly
+(sum of counts; sum of sums; min of mins; max of maxes) and avg is
+derived at read time as sum/count — so the
+cascade is exactly equal to aggregating raw data at each grain, which
+is precisely what the DuckDB oracle computes (each grain directly
+from raw: an independent derivation of the same numbers).
+
+Output: the three grains unioned long-form with a `grain` column —
+one frame a dashboard can filter by resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+GRAINS = ("minute", "hour", "day")
+
+
+def _partials(df: DataFrame, trunc: str, src_ts: str) -> DataFrame:
+    """One rollup step: aggregate the four algebraic partials to the
+    `trunc` grain of `src_ts`. Works identically on raw events
+    (count of rows) and on finer partials (sum of counts) — the
+    caller picks the right expressions."""
+    return df.groupBy(
+        F.date_trunc(trunc, src_ts).alias("bucket"), "event_type"
+    )
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute -> hour -> day continuous-aggregate cascade over
+    events.value, per event_type."""
+    events = load(spark, sf_dir, "events")
+    minute = (
+        _partials(events, "minute", "ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    def up(finer: DataFrame, trunc: str) -> DataFrame:
+        # re-aggregation of partials: NEVER touches raw events
+        return (
+            _partials(finer, trunc, "bucket")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+
+    hour = up(minute, "hour")
+    day = up(hour, "day")
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.unix_micros("bucket").alias("bucket_us"),
+            "event_type",
+            "n",
+            F.round("sum_v", 4).alias("sum_v"),
+            # avg derives from the ROUNDED sum: 2-decimal source data
+            # makes raw-sum/n land exactly on 4th-decimal halves, and
+            # the engines' accumulation orders straddle the boundary —
+            # rounding first puts both engines on the identical double
+            F.round(F.round("sum_v", 4) / F.col("n"), 4).alias("avg_v"),
+            F.round("min_v", 4).alias("min_v"),
+            F.round("max_v", 4).alias("max_v"),
+        )
+
+    # only the day + hour grains are emitted in full; the minute grain
+    # is summarized per type (emitting ~50k minute rows would make the
+    # corpus row count data-volume-bound; the cascade still computes it
+    # as the source of the hour grain, and the summary pins it)
+    minute_summary = minute.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ).select(
+        F.lit("minute_summary").alias("grain"),
+        F.lit(0).cast("bigint").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round(F.round("sum_v", 4) / F.col("n"), 4).alias("avg_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
+    return (
+        out(day, "day")
+        .unionByName(out(hour, "hour"))
+        .unionByName(minute_summary)
+        .orderBy("grain", "bucket_us", "event_type")
+    )
+
+
+QUERIES = {"hypertable_rollup": hypertable_rollup}
+
+# The oracle derives EVERY grain directly from raw — if the cascade's
+# partial re-aggregation were lossy, any grain would diverge.
+_GRAIN_SQL = """
+        SELECT '{label}' AS grain,
+               epoch_us(date_trunc('{trunc}', CAST(ts AS TIMESTAMP)))
+                   AS bucket_us,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_v,
+               round(round(sum(value), 4) / count(*), 4) AS avg_v,
+               round(min(value), 4) AS min_v,
+               round(max(value), 4) AS max_v
+        FROM events
+        GROUP BY 2, 3
+"""
+
+ORACLES = {
+    "hypertable_rollup": f"""
+        {_GRAIN_SQL.format(label="day", trunc="day")}
+        UNION ALL
+        {_GRAIN_SQL.format(label="hour", trunc="hour")}
+        UNION ALL
+        SELECT 'minute_summary' AS grain,
+               CAST(0 AS BIGINT) AS bucket_us,
+               event_type,
+               count(*) AS n,
+               round(sum(sum_v), 4) AS sum_v,
+               round(round(sum(sum_v), 4) / count(*), 4) AS avg_v,
+               round(min(min_v), 4) AS min_v,
+               round(max(max_v), 4) AS max_v
+        FROM (
+            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS b,
+                   event_type,
+                   sum(value) AS sum_v, min(value) AS min_v,
+                   max(value) AS max_v
+            FROM events GROUP BY 1, 2
+        )
+        GROUP BY event_type
+        ORDER BY grain, bucket_us, event_type
+    """,
+}

@@ -30,6 +30,7 @@ from bike_analyzer_spark.operators import (
     rangejoin,
     readers,
     sampling,
+    scale,
     similarity,
     text,
     windows,
@@ -53,6 +54,7 @@ _MODULES = [
     curate,
     rangejoin,
     hypertable,
+    scale,
 ]
 
 

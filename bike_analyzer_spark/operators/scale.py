@@ -13,6 +13,15 @@ SURVEY.md §7 step 9's approx-distinct extension).
   error-bound contract vs exact (pytest-enforced). At 100 TB the
   exact distinct's full shuffle of every key is usually the wrong
   trade; HLL keeps it one pass + constant state.
+- count-min sketch: the brief's "novel sketch" — sublinear frequency
+  estimation. The sketch is D x W counters (D=4 rows of W=256
+  buckets, 1 KB of state vs one counter per distinct key);
+  estimate(k) = min over rows of the counter k hashes into, an upper
+  bound on the true count (collisions only ADD). Unlike HLL, the CMS
+  is exactly reproducible cross-engine: it is pure integer
+  arithmetic over the portable md5 hash, so the DuckDB oracle builds
+  the bit-identical sketch and the driver hash-matches it — a
+  sketch with a full value-equality gate, not just an error bound.
 
 Salt derivation is deterministic (hash of a caller-named unique
 column, never rand()) so re-runs produce identical plans and results.
@@ -20,8 +29,11 @@ column, never rand()) so re-runs produce identical plans and results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.textfns import hash64, hash64_duck
+from ..sources.catalog import load
 
 
 def salted_sum_count(
@@ -55,3 +67,119 @@ def salted_sum_count(
 
 def approx_distinct(col: str, rsd: float = 0.02) -> Column:
     return F.approx_count_distinct(col, rsd=rsd)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_QUERY_KEYS = 20  # estimate user_ids < this bound
+
+
+def _cms_bucket(d: int, key: Column) -> Column:
+    """Row-d bucket of a key: portable hash64 salted with the row
+    index, mod W. Same bytes on both engines."""
+    return F.pmod(hash64(key.cast("string"), str(d)), F.lit(CMS_WIDTH))
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """Build the D x W sketch over `df[key]`: explode each row into D
+    (row, bucket) pairs (bounded fan-out), one groupBy on uniform
+    hash-derived keys — skew-free regardless of key skew, which is
+    the operational point: a hot key inflates ONE counter per row,
+    not one reducer's whole input."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(d, F.col(key)).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates vs exact counts for a bounded key set:
+    (user_id, exact_n, cms_est, overcount). cms_est >= exact_n always
+    (pinned by test); the sketch side is 1 KB of state however many
+    events exist."""
+    events = load(spark, sf_dir, "events")
+    sketch = cms_sketch(events, "user_id")
+    exact = (
+        events.filter(F.col("user_id") < CMS_QUERY_KEYS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(d, F.col("user_id")).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {"cms_user_counts": cms_user_counts}
+
+_CMS_PAIRS = f"""
+        SELECT d.d AS d,
+               {hash64_duck("CAST(user_id AS VARCHAR)",
+                            "CAST(d.d AS VARCHAR)")} % {CMS_WIDTH} AS bucket,
+               user_id
+        FROM events, range({CMS_DEPTH}) d(d)
+"""
+
+ORACLES = {
+    "cms_user_counts": f"""
+        WITH pairs AS ({_CMS_PAIRS}),
+        sketch AS (
+            SELECT d, bucket, count(*) AS cnt
+            FROM pairs GROUP BY d, bucket
+        ),
+        exact AS (
+            SELECT user_id, count(*) AS exact_n
+            FROM events WHERE user_id < {CMS_QUERY_KEYS}
+            GROUP BY user_id
+        ),
+        est AS (
+            SELECT e.user_id, e.exact_n, min(s.cnt) AS cms_est
+            FROM exact e
+            JOIN range({CMS_DEPTH}) d(d) ON true
+            JOIN sketch s
+              ON s.d = d.d
+             AND s.bucket = {hash64_duck("CAST(e.user_id AS VARCHAR)",
+                                         "CAST(d.d AS VARCHAR)")}
+                 % {CMS_WIDTH}
+            GROUP BY e.user_id, e.exact_n
+        )
+        SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overcount
+        FROM est
+        ORDER BY user_id
+    """,
+}

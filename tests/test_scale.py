@@ -2,6 +2,7 @@
 
 from pyspark.sql import functions as F
 
+from bike_analyzer_spark.operators import scale
 from bike_analyzer_spark.operators.scale import approx_distinct, salted_sum_count
 from bike_analyzer_spark.sources.catalog import load
 from tests.conftest import SF_DIR_ORACLE
@@ -34,3 +35,27 @@ def test_approx_distinct_error_bound(spark):
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     approx = ev.agg(approx_distinct("user_id", rsd=0.02)).first()[0]
     assert abs(approx - exact) <= max(3, 0.06 * exact)
+
+
+def test_cms_vs_oracle(spark, duck):
+    """The count-min sketch is bit-identical cross-engine (portable
+    integer hashing) — full value equality, not just an error bound."""
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.oracle import assert_matches_oracle
+
+    df = scale.cms_user_counts(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, scale.ORACLES["cms_user_counts"], name="cms_user_counts"
+    )
+
+
+def test_cms_is_an_upper_bound(spark):
+    """estimate >= exact for every key — the CMS one-sided error
+    guarantee (collisions only add)."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = scale.cms_user_counts(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_n
+        assert r.overcount == r.cms_est - r.exact_n

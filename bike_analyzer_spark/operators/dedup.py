@@ -221,21 +221,40 @@ def dedup_ngram_jaccard(
     df_cap^2 rows regardless of how skewed the corpus is. The df
     aggregation itself is a uniform-key groupBy — no skew."""
     docs = load(spark, sf_dir, "documents")
+    # Tokenize+explode ONCE: a lazy localCheckpoint materializes the
+    # exploded shingle frame on first touch and both consumers (the
+    # df aggregate and the capped frame) read the materialized copy —
+    # round 3 computed _doc_shingles twice (two full scans+explodes),
+    # the corpus's single worst per-query regression. The df aggregate
+    # keeps its skew-safe map-side-partial groupBy shape (a window
+    # over sh would pile every copy of a hot shingle into one
+    # partition — exactly the skew the cap exists to bound).
+    # `source` rides through the explode (functionally dependent on
+    # doc_id, so the distinct cardinality is unchanged) — saves the
+    # docs⋈shingles join the round-3 plan paid to re-attach it.
+    ds0 = (
+        docs.withColumn("toks", tokens("text"))
+        .select(
+            "doc_id", "source", F.explode(shingle_exprs("toks", 3)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hot = (
-        _doc_shingles(docs)
-        .groupBy("sh")
+        ds0.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("sh")
     )
-    ds = _doc_shingles(docs).join(hot, "sh", "left_anti")
-    src = docs.select("doc_id", "source")
+    # the capped frame likewise feeds two consumers (intersection
+    # self-join + per-doc sizes) — checkpoint it so the anti-join runs
+    # once instead of per consumer
+    ds = ds0.join(hot, "sh", "left_anti").localCheckpoint(eager=False)
     # Intersection-driven plan: self-join doc-shingles on (shingle,
     # source) so work scales with ACTUAL overlap, not with the
     # |bucket|^2 pair count — pairs sharing nothing never materialize.
-    dss = ds.join(src, "doc_id")
-    a_sh = dss.select(F.col("doc_id").alias("a"), "sh", "source")
-    b_sh = dss.select(F.col("doc_id").alias("b"), "sh", "source")
+    a_sh = ds.select(F.col("doc_id").alias("a"), "sh", "source")
+    b_sh = ds.select(F.col("doc_id").alias("b"), "sh", "source")
     inter = (
         a_sh.join(b_sh, ["sh", "source"])
         .filter(F.col("a") < F.col("b"))

@@ -43,10 +43,14 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
+    # Seed each label with the vertex's minimum direct neighbor instead
+    # of its own id: one groupBy over the already-materialized edges
+    # buys the whole first propagation round (and on star-shaped
+    # near-dup clusters — the common case — convergence drops to a
+    # single verifying iteration).
     labels = (
-        bidir.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        bidir.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
     ).localCheckpoint()
     for _ in range(max_iter):
         msgs = (
@@ -135,8 +139,9 @@ def connected_components_lss(
 
     def _sig(e: DataFrame) -> tuple:
         # count + XOR of per-edge hashes: order-insensitive, cannot
-        # overflow (sum would, under ANSI), and exact on a SET of
-        # edges (canon dedups, so xor-cancellation can't hide change)
+        # overflow (sum would, under ANSI). Probabilistic (~2^-64
+        # collision on equal-count sets) — so a signature match is
+        # only a PRE-check, confirmed exactly below before returning.
         return tuple(
             e.agg(
                 F.count(F.lit(1)),
@@ -148,9 +153,14 @@ def connected_components_lss(
 
     sig = _sig(e)
     for _ in range(max_iter):
+        prev = e
         e = _star(_star(e, large=True), large=False).localCheckpoint()
         new_sig = _sig(e)
-        if new_sig == sig:
+        # exact confirmation: equal counts (from the signature) + empty
+        # new\prev ⟹ set equality. Runs at most once per convergence —
+        # the per-round cost stays one tiny aggregate — and turns the
+        # 2^-64 XOR-collision false-stop into a continued iteration.
+        if new_sig == sig and e.exceptAll(prev).limit(1).count() == 0:
             # stable star graph: every edge is (root, member)
             members = e.select(
                 F.col("hi").alias("id"), F.col("lo").alias("component")

@@ -50,9 +50,9 @@ def _hourly_busy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly_busy(spark, sf_dir)
     w = Window.orderBy("hr")  # bounded post-agg domain; see module doc
-    grp = (
-        F.unix_micros("hr") / F.lit(HOUR_US)
-    ).cast("bigint") - F.row_number().over(w)
+    # integer `div`, not float division + cast: exact at any epoch
+    # magnitude and floor-consistent for pre-1970 timestamps
+    grp = F.expr(f"unix_micros(hr) div {HOUR_US}") - F.row_number().over(w)
     return (
         hourly.withColumn("grp", grp)
         .groupBy("grp")
@@ -95,10 +95,11 @@ def range_join_busy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
-            (
-                (F.unix_micros("ts") / F.lit(HOUR_US)).cast("bigint")
-                * F.lit(HOUR_US)
-            ).alias("bucket_us"),
+            # exact temporal truncation — the same derivation island
+            # buckets use, so the equi-join key matches bit-for-bit
+            # (float division + cast truncates toward zero: wrong
+            # bucket pre-1970, rounding-fragile at hour boundaries)
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"),
         )
     )
     return (

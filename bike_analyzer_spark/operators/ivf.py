@@ -3,26 +3,36 @@
 projection LSH (`similarity.py`), per the builder brief ("an IVF or
 LSH-bucketed variant as the scale path").
 
-IVF-flat with deterministically sampled centroids:
+IVF-flat with deterministically seeded, Lloyd-refined centroids:
 
-1. **Centroids** = the K vectors with the smallest portable md5 hash
-   of their vec_id — a deterministic "random" sample. No RNG and no
-   Lloyd iterations, so there is no float-accumulation instability to
-   reconcile across engines: Spark and the DuckDB oracle pick
-   bit-identical centroid sets.
-2. **Assignment**: every corpus vector goes to its argmax-cosine
+1. **Seeds** = the K vectors with the smallest portable md5 hash of
+   their vec_id — a deterministic "random" sample. No RNG: Spark and
+   the DuckDB oracle pick bit-identical seed sets.
+2. **Lloyd refinement** (round-4): LLOYD_ITERS k-means iterations
+   over the TRAIN_N smallest-hash vectors (the seeds are the first K
+   of the SAME ordering — one TakeOrderedAndProject serves both).
+   Cross-engine float safety: each mean is computed over INTEGER
+   quantized components — sum(round(x * 1e6)) as bigint is exact and
+   summation-order-independent, so both engines derive bit-identical
+   centroid arrays from one IEEE division at the end; no
+   float-accumulation instability to reconcile. Empty clusters keep
+   their seed position. Training on a bounded hash-sample (not the
+   corpus) is also the scale story: the explode+shuffle of the mean
+   computation touches TRAIN_N*DIMS rows regardless of corpus size.
+3. **Assignment**: every corpus vector goes to its argmax-cosine
    centroid, computed as a per-row fold against the centroid array
    (collected into ONE broadcast row, `graph.py`-style) — the corpus
    is never shuffled and never exploded K-fold.
-3. **Search**: a query probes its N_PROBE nearest centroids and
+4. **Search**: a query probes its N_PROBE nearest centroids and
    exact-cosine re-ranks ONLY those inverted lists.
 
-100-TB shape: the centroid set is O(K) and rides a broadcast; the
-assignment is a narrow projection over one corpus scan; the probe
-join is a broadcast hash join (bounded query set carries its probe
-ids), so per-query work is ~N_PROBE/K of the corpus, never all of it,
-and no stage shuffles the corpus at all — plan-asserted in
-tests/test_ivf.py.
+100-TB shape: the centroid set is O(K) and rides a broadcast (the
+refined centroids are localCheckpointed — index CONSTRUCTION runs
+once, search plans don't replan it); the assignment is a narrow
+projection over one corpus scan; the probe join is a broadcast hash
+join (bounded query set carries its probe ids), so per-query work is
+~N_PROBE/K of the corpus, never all of it, and no stage shuffles the
+corpus at all — plan-asserted in tests/test_ivf.py.
 
 Determinism: centroid scores round to 9 digits before every argmax /
 ordering decision (the repo's round-before-compare convention, same
@@ -44,29 +54,102 @@ from .similarity import (
     _cos_sql,
     _cosine_from,
     _dot,
+    _norm,
     _with_norm,
 )
 
 K_CENTROIDS = 16
 N_PROBE = 4
+LLOYD_ITERS = 2
+TRAIN_N = 256
 _SALT = "ivf"
+# quantization grid for exact cross-engine centroid means: integer
+# sums are order-independent, so the mean is bit-identical in Spark
+# and DuckDB no matter how either engine parallelizes the aggregate
+_QUANT = 1_000_000.0
 
 
-def _centroids(emb_n: DataFrame) -> DataFrame:
-    """The K corpus vectors with the smallest hash64('ivf', vec_id):
+def _hash_prefix(emb_n: DataFrame, n: int) -> DataFrame:
+    """The n corpus vectors with the smallest hash64('ivf', vec_id):
     deterministic sample, TakeOrderedAndProject (no full sort)."""
     return (
         emb_n.withColumn(
             "hk", hash64(F.col("vec_id").cast("string"), _SALT)
         )
         .orderBy("hk", "vec_id")
-        .limit(K_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-            F.col("norm").alias("cnorm"),
-        )
+        .limit(n)
+        .drop("hk")
     )
+
+
+def _centroids(emb_n: DataFrame) -> DataFrame:
+    """Seed centroids: the K smallest-hash vectors (the first K of the
+    SAME ordering the TRAIN_N training sample uses), as double arrays
+    so Lloyd means can coalesce onto them type-stably."""
+    return _hash_prefix(emb_n, K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
+def _lloyd(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
+    """LLOYD_ITERS k-means refinements of `cents` over the TRAIN_N
+    smallest-hash training vectors. Per iteration: fold-assign the
+    training set to its argmax-cosine centroid (same kernel the corpus
+    assignment uses), then per-centroid dimension-wise means over
+    integer-quantized components — sum(round(x*1e6)) is exact, so both
+    engines produce bit-identical centroids from one IEEE division.
+    Empty clusters keep their previous position. The posexplode
+    touches TRAIN_N*dims rows (bounded, corpus-size-independent) and
+    its groupBy partial-aggregates to K*dims per partition."""
+    train = _hash_prefix(emb_n, TRAIN_N)
+    for _ in range(LLOYD_ITERS):
+        assigned = _assigned(train, _centroid_row(cents))
+        sums = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(x.cast("double") * F.lit(_QUANT))
+                        .cast("long"),
+                    )
+                ).alias("dim", "q"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        means = (
+            sums.select(
+                "centroid_id",
+                F.struct(
+                    "dim",
+                    (
+                        F.col("s").cast("double") / (F.lit(_QUANT) * F.col("c"))
+                    ).alias("m"),
+                ).alias("dm"),
+            )
+            .groupBy(F.col("centroid_id").alias("cid"))
+            .agg(F.array_sort(F.collect_list("dm")).alias("dms"))
+            .select(
+                "cid", F.transform("dms", lambda s: s["m"]).alias("mem")
+            )
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("mem", "cemb").alias("cemb"))
+            .select("cid", "cemb", _norm(F.col("cemb")).alias("cnorm"))
+        )
+    return cents
+
+
+def _index_centroids(emb_n: DataFrame) -> DataFrame:
+    """The built index: Lloyd-refined centroids, localCheckpointed —
+    index construction runs exactly once and downstream search plans
+    (which must stay shuffle- and Generate-free over the corpus) see
+    a materialized 16-row input, not the training pipeline."""
+    return _lloyd(emb_n, _centroids(emb_n)).localCheckpoint()
 
 
 def _centroid_row(cents: DataFrame) -> DataFrame:
@@ -119,7 +202,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the list it files under) and its cosine to it."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     return (
-        _assigned(emb_n, _centroid_row(_centroids(emb_n)))
+        _assigned(emb_n, _centroid_row(_index_centroids(emb_n)))
         .select(
             "vec_id",
             "centroid_id",
@@ -134,7 +217,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_QUERIES) probes its N_PROBE nearest centroid lists and
     exact-cosine re-ranks only those candidates."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
-    cents_row = _centroid_row(_centroids(emb_n))
+    cents_row = _centroid_row(_index_centroids(emb_n))
     corpus = _assigned(emb_n, cents_row).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
@@ -190,13 +273,71 @@ QUERIES = {
 
 # ---- DuckDB twins -------------------------------------------------
 
-_CENTS = f"""
-        SELECT vec_id AS cid, embedding AS cemb
-        FROM embeddings
-        ORDER BY {hash64_duck("CAST(vec_id AS VARCHAR)", f"'{_SALT}'")},
-                 vec_id
-        LIMIT {K_CENTROIDS}
-"""
+
+def _lloyd_ctes() -> str:
+    """CTE chain replaying seed sampling + LLOYD_ITERS unrolled
+    k-means rounds, ending in `cents(cid, cemb)`. Mirrors _lloyd()
+    decision-for-decision: score9 argmax assignment, integer-quantized
+    exact means, empty clusters coalesce to their previous position."""
+    parts = [
+        f"""
+        ordv AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY
+                       {hash64_duck("CAST(vec_id AS VARCHAR)", f"'{_SALT}'")},
+                       vec_id) AS hrn
+            FROM embeddings
+        ),
+        train AS (SELECT vec_id, embedding FROM ordv WHERE hrn <= {TRAIN_N}),
+        cents_0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+            FROM ordv WHERE hrn <= {K_CENTROIDS}
+        )"""
+    ]
+    for i in range(LLOYD_ITERS):
+        parts.append(
+            f"""
+        sc_{i} AS (
+            SELECT t.vec_id, c.cid,
+                   {_cos_sql("t.embedding", "c.cemb", 9)} AS score9
+            FROM train t, cents_{i} c
+        ),
+        asg_{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY score9 DESC, cid ASC) AS rn
+                FROM sc_{i} WHERE score9 IS NOT NULL
+            ) WHERE rn = 1
+        ),
+        sums_{i} AS (
+            SELECT a.cid, d.dim,
+                   CAST(sum(CAST(round(CAST(t.embedding[d.dim + 1] AS DOUBLE)
+                                       * {_QUANT}) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS c
+            FROM asg_{i} a
+            JOIN train t USING (vec_id),
+                 (SELECT unnest(range(64)) AS dim) d
+            GROUP BY a.cid, d.dim
+        ),
+        means_{i} AS (
+            SELECT cid,
+                   list(CAST(s AS DOUBLE) / ({_QUANT} * c) ORDER BY dim)
+                       AS cemb
+            FROM sums_{i} GROUP BY cid
+        ),
+        cents_{i + 1} AS (
+            SELECT c0.cid, coalesce(m.cemb, c0.cemb) AS cemb
+            FROM cents_{i} c0 LEFT JOIN means_{i} m USING (cid)
+        )"""
+        )
+    parts.append(f"cents AS (SELECT cid, cemb FROM cents_{LLOYD_ITERS})")
+    return ",".join(parts)
+
+
+_CENTS_CTES = _lloyd_ctes()
 
 # cosine of every (vector, centroid) pair, rounded to the same
 # 9-digit grid the Spark fold uses before any argmax decision
@@ -217,7 +358,7 @@ _ASSIGN = """
 
 ORACLES = {
     "sim_ivf_assign": f"""
-        WITH cents AS ({_CENTS}),
+        WITH {_CENTS_CTES},
         scored AS ({_SCORED}),
         assign AS ({_ASSIGN})
         SELECT vec_id, cid AS centroid_id, round(score9, 4) AS cos_c
@@ -225,7 +366,7 @@ ORACLES = {
         ORDER BY vec_id
     """,
     "sim_ivf_topk": f"""
-        WITH cents AS ({_CENTS}),
+        WITH {_CENTS_CTES},
         scored AS ({_SCORED}),
         assign AS ({_ASSIGN}),
         probes AS (

@@ -120,20 +120,85 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 # runs, whitespace runs.
 BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
 
+# Learned BPE merge table (scripts/learn_bpe.py at sf0.01, 16 merges):
+# deterministic greedy frequency-ranked byte-pair merges over the
+# whitespace-token corpus — rerun the script to audit the constant.
+# Applied IN ORDER; earlier merges feed later ones (e.g. 'h'+'ash'
+# consumes the output of 'as'+'h').
+BPE_MERGES = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+)
+
+# Symbol-sequence string encoding: every symbol is wrapped \x02sym\x03,
+# so merge (a, b) is the LITERAL replace \x02a\x03\x02b\x03 →
+# \x02ab\x03. Left-to-right non-overlapping replace (Spark `replace`,
+# DuckDB `replace`) over this encoding is EXACTLY greedy-leftmost BPE:
+# matches can only align on whole symbols (the wrapper chars never
+# appear inside a symbol), and adjacent matches share no characters
+# (each symbol carries its own delimiters), so [a,b,a,b] → [ab,ab].
+_L, _R = "\x02", "\x03"
+
+
+def _bpe_pieces(text_col) -> tuple:
+    """(total_symbols, whitespace_symbols) after applying BPE_MERGES
+    to the wrapped-character encoding of `text_col`. Whitespace chars
+    are symbols too (never merged — no merge contains whitespace), so
+    merges cannot cross token boundaries and per-token BPE falls out
+    of one whole-text pipeline. Pure string algebra, codegen-friendly."""
+    clean = F.regexp_replace(text_col, "[\\x02\\x03]", "")
+    rep = F.regexp_replace(clean, r"([\s\S])", _L + "$1" + _R)
+    for a, b in BPE_MERGES:
+        rep = F.replace(rep, F.lit(_L + a + _R + _L + b + _R), F.lit(_L + a + b + _R))
+    n_sym = F.length(rep) - F.length(F.replace(rep, F.lit(_L), F.lit("")))
+    n_ws = F.length(clean) - F.length(F.regexp_replace(clean, r"\s", ""))
+    return n_sym, n_ws
+
+
+def _bpe_rep_duck(text_expr: str) -> str:
+    """DuckDB twin of the wrapped-encoding + merge-chain pipeline."""
+    rep = (
+        f"regexp_replace(regexp_replace({text_expr}, "
+        "'[' || chr(2) || chr(3) || ']', '', 'g'), "
+        r"'([\s\S])', chr(2) || '\1' || chr(3), 'g')"
+    )
+    for a, b in BPE_MERGES:
+        pat = f"chr(2) || '{a}' || chr(3) || chr(2) || '{b}' || chr(3)"
+        rpl = f"chr(2) || '{a}{b}' || chr(3)"
+        rep = f"replace({rep}, {pat}, {rpl})"
+    return rep
+
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, both ways the brief asks for: whitespace split
-    and a BPE-ish regex pre-tokenizer (the piece-count proxy used for
-    budget estimates in training pipelines). chars_per_bpe_token is
-    the compression-ratio quality signal."""
+    """Token counting three ways: whitespace split, the BPE-ish regex
+    pre-tokenizer, and REAL learned-merge BPE piece counts (the budget
+    signal training pipelines actually use). chars_per_bpe_token is
+    the compression-ratio quality signal, off the real piece count."""
     docs = with_tokens(load(spark, sf_dir, "documents"))
-    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
-    n_bpe = F.size(
-        F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))  # drop pure-space runs
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    n_pre = F.size(
+        F.filter(pre, lambda t: ~t.rlike(r"^\s+$"))  # drop pure-space runs
     )
+    n_sym, n_ws = _bpe_pieces(F.col("text"))
+    n_bpe = n_sym - n_ws
     return docs.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_ws_tokens"),
+        n_pre.cast("bigint").alias("n_pre_tokens"),
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         F.round(F.length("text") / n_bpe, 4).alias("chars_per_bpe_token"),
     )
@@ -185,14 +250,27 @@ ORACLES = {
                    len(list_filter(
                        regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}', 0),
                        x -> NOT regexp_matches(x, '^\\s+$')
-                   )) AS n_bpe
+                   )) AS n_pre,
+                   {_bpe_rep_duck("text")} AS rep
             FROM documents
+        ),
+        c AS (
+            SELECT doc_id, text, n_pre,
+                   (length(rep) - length(replace(rep, chr(2), '')))
+                   - (length(regexp_replace(text,
+                          '[' || chr(2) || chr(3) || ']', '', 'g'))
+                      - length(regexp_replace(regexp_replace(text,
+                          '[' || chr(2) || chr(3) || ']', '', 'g'),
+                          '\\s', '', 'g')))
+                       AS n_bpe
+            FROM t
         )
         SELECT doc_id,
                len({_TOKS}) AS n_ws_tokens,
+               n_pre AS n_pre_tokens,
                n_bpe AS n_bpe_tokens,
                round(length(text) / n_bpe, 4) AS chars_per_bpe_token
-        FROM t JOIN documents USING (doc_id, text)
+        FROM c
     """,
     "text_fingerprint": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -57,6 +57,32 @@ def session_stream(
     )
 
 
+def run_sessions_to_parquet(
+    sessions: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain with availableNow into a DURABLE parquet sink with a
+    checkpoint — the production / recovery shape. Restarting with the
+    same checkpoint resumes from the commit log: already-processed
+    files are skipped, open-session state is restored from the state
+    store, and finalized sessions are emitted exactly once across any
+    number of kill/restart cycles (pinned by test_streaming_recovery).
+
+    Parquet sinks are append-only, which is exactly the watermark
+    contract: a session is written only once the watermark passes its
+    close, so rows are immutable-once-emitted — the property that lets
+    a 100-TB pipeline tail this directory safely.
+    """
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_sessions_to_memory(
     sessions: DataFrame, name: str, mode: str = "append"
 ) -> None:

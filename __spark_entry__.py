@@ -27,6 +27,7 @@ from bike_analyzer_spark.operators import (
     multimodal,
     od,
     profile,
+    quality,
     rangejoin,
     readers,
     sampling,
@@ -43,6 +44,7 @@ from bike_analyzer_spark.operators import (
 # rotate to the back; the local oracle suite (tests/oracle.py) still
 # runs every query regardless of order.
 _MODULES = [
+    quality,
     graph,
     profile,
     sampling,

@@ -1,0 +1,310 @@
+"""Corpus-quality operators over `documents` — the filtering /
+decontamination stages a production LLM training-data pipeline runs
+between raw ingest and dedup (rule filters a la Gopher/C4, repetition
+signals, benchmark decontamination, TF-IDF term salience).
+
+Everything except the TF-IDF aggregate is a single narrow per-row
+projection (native column algebra, zero Python UDFs — the whole pack
+stays in whole-stage codegen). Decontamination joins the corpus
+against the *eval* shingle set, which at any real scale is tiny
+(benchmarks are MBs, the corpus is TBs), so the join side is
+broadcast: the 100 TB plan is one corpus scan + explode +
+broadcast-hash-join + partial agg, no corpus shuffle until the final
+per-doc aggregate on doc_id (which is uniform, skew-free).
+
+100 TB notes per query:
+  - text_quality_rules / text_repetition: embarrassingly parallel
+    per-row scans; per-row state bounded by doc length. The
+    max-token-frequency fold is O(distinct x n) per row — bounded by
+    (doc tokens)^2, constant w.r.t. corpus size.
+  - decontam_overlap: broadcast eval shingles (benchmarks don't grow
+    with the corpus); at extreme eval sizes swap the broadcast for a
+    bloom-filter pre-join — same plan shape.
+  - tfidf_top_terms: two aggregates (doc+term, then term) and one
+    per-doc window; the df (document-frequency) side is VOCABULARY
+    sized, so the join back to postings is broadcast — postings never
+    shuffle on term, only on doc_id for the final window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingle_exprs, shingles_duck, tokens
+from ..sources.catalog import load
+from .text import STOPWORDS, _sql_list
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# Gopher-style rule thresholds (Rae et al. 2021 use word-count,
+# mean-word-length, symbol-ratio and repetition gates; values tuned to
+# this synthetic corpus but the SHAPE is the published filter set)
+MIN_TOKENS, MAX_TOKENS = 20, 1000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 2.0, 12.0
+MAX_SYMBOL_RATIO = 0.10
+MIN_STOPWORD_HITS = 2
+MAX_TOP_TOKEN_RATIO = 0.20
+
+# deterministic pseudo-benchmark: every 41st doc is the "eval set"
+EVAL_MOD = 41
+DECONTAM_NGRAM = 3
+
+
+def _max_token_count(toks_col) -> F.Column:
+    """Highest multiplicity of any single token in the array — the
+    repetition signal. O(distinct x n) per row: bounded by doc length
+    squared, independent of corpus size (no shuffle, no UDF)."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks_col),
+            lambda d: F.size(F.filter(toks_col, lambda t: t == d)),
+        )
+    )
+
+
+def _max_token_count_duck(toks_expr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({toks_expr}), "
+        f"d -> len(list_filter({toks_expr}, t -> t = d))))"
+    )
+
+
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter: five boolean gates per document
+    plus the combined keep decision. Single projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_tok = F.size("toks")
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_len = nonspace / n_tok
+    sym_ratio = (
+        F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) / F.length("text")
+    )
+    stop_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    top_ratio = _max_token_count(F.col("toks")) / n_tok
+    r_wc = (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
+    r_mwl = (mean_len >= MIN_MEAN_LEN) & (mean_len <= MAX_MEAN_LEN)
+    r_sym = sym_ratio <= MAX_SYMBOL_RATIO
+    r_stop = stop_hits >= MIN_STOPWORD_HITS
+    r_rep = top_ratio <= MAX_TOP_TOKEN_RATIO
+    return docs.select(
+        "doc_id",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        (r_wc & r_mwl & r_sym & r_stop & r_rep).alias("keep"),
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition signals (the within-doc dup detector): unique
+    bigram ratio, top-bigram occupancy, duplicate-trigram fraction.
+    Docs with < 3 tokens are excluded (no trigram denominator)."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    docs = docs.filter(F.size("toks") >= 3)
+    bi = shingle_exprs("toks", n=2)
+    tri = shingle_exprs("toks", n=3)
+    docs = docs.withColumn("bi", bi).withColumn("tri", tri)
+    n_bi = F.size("bi")
+    return docs.select(
+        "doc_id",
+        n_bi.cast("bigint").alias("n_bigrams"),
+        F.round(F.size(F.array_distinct("bi")) / n_bi, 4).alias(
+            "uniq_bigram_ratio"
+        ),
+        F.round(_max_token_count(F.col("bi")) / n_bi, 4).alias(
+            "top_bigram_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("tri")) / F.size("tri"), 4
+        ).alias("dup_trigram_ratio"),
+    )
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/FLAN n-gram overlap
+    check): flag training docs sharing any 3-token shingle with the
+    eval set (doc_id % 41 == 0). Eval shingles are DISTINCT and
+    broadcast — the corpus side never shuffles on shingle text."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingle_exprs("toks", n=DECONTAM_NGRAM)).alias("sh"),
+        F.size(shingle_exprs("toks", n=DECONTAM_NGRAM)).alias("n_sh"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_sh").alias("n_shingles"),
+            F.countDistinct("sh").alias("n_matched"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint"),
+        F.col("n_matched").cast("bigint"),
+        F.round(F.col("n_matched") / F.col("n_shingles"), 4).alias(
+            "contamination_ratio"
+        ),
+    ).orderBy(F.desc("n_matched"), "doc_id")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (stopwords excluded): term
+    salience for corpus profiling / topic drift detection. Ranking is
+    on the ROUNDED score (both engines rank identical values), ties
+    broken by term text."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # (doc_id, term) is unique after the tf aggregate, so document
+    # frequency is a plain count — vocabulary-sized, hence broadcast
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+QUERIES = {
+    "text_quality_rules": text_quality_rules,
+    "text_repetition": text_repetition,
+    "decontam_overlap": decontam_overlap,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLES = {
+    "text_quality_rules": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tok,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       / len(toks) AS mean_len,
+                   length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+                       / length(text) AS sym_ratio,
+                   len(list_filter(toks,
+                       x -> x IN ({_sql_list(STOPWORDS)}))) AS stop_hits,
+                   {_max_token_count_duck("toks")} / len(toks) AS top_ratio
+            FROM t
+        )
+        SELECT doc_id,
+               n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS}
+                   AS rule_word_count,
+               mean_len >= {MIN_MEAN_LEN} AND mean_len <= {MAX_MEAN_LEN}
+                   AS rule_mean_word_len,
+               sym_ratio <= {MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
+               stop_hits >= {MIN_STOPWORD_HITS} AS rule_stopwords,
+               top_ratio <= {MAX_TOP_TOKEN_RATIO} AS rule_repetition,
+               (n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS})
+                   AND (mean_len >= {MIN_MEAN_LEN}
+                        AND mean_len <= {MAX_MEAN_LEN})
+                   AND sym_ratio <= {MAX_SYMBOL_RATIO}
+                   AND stop_hits >= {MIN_STOPWORD_HITS}
+                   AND top_ratio <= {MAX_TOP_TOKEN_RATIO} AS keep
+        FROM m
+    """,
+    "text_repetition": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   {shingles_duck("toks", 2)} AS bi,
+                   {shingles_duck("toks", 3)} AS tri
+            FROM t WHERE len(toks) >= 3
+        )
+        SELECT doc_id,
+               len(bi) AS n_bigrams,
+               round(len(list_distinct(bi)) / len(bi), 4)
+                   AS uniq_bigram_ratio,
+               round({_max_token_count_duck("bi")} / len(bi), 4)
+                   AS top_bigram_ratio,
+               round(1.0 - len(list_distinct(tri)) / len(tri), 4)
+                   AS dup_trigram_ratio
+        FROM s
+    """,
+    "decontam_overlap": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest({shingles_duck("toks", DECONTAM_NGRAM)}) AS sh,
+                   len({shingles_duck("toks", DECONTAM_NGRAM)}) AS n_sh
+            FROM t
+        ),
+        ev AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT s.doc_id,
+                   min(s.n_sh) AS n_shingles,
+                   count(DISTINCT s.sh) AS n_matched
+            FROM sh s JOIN ev USING (sh)
+            WHERE s.doc_id % {EVAL_MOD} <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_shingles, n_matched,
+               round(n_matched / n_shingles, 4) AS contamination_ratio
+        FROM hits
+        ORDER BY n_matched DESC, doc_id
+    """,
+    "tfidf_top_terms": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM t WHERE term NOT IN ({_sql_list(STOPWORDS)})
+            GROUP BY doc_id, term
+        ),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(nd.n_docs / dfx.df), 4) AS score
+            FROM tf JOIN dfx USING (term) CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                   ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, rk, term, tf, score
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk
+    """,
+}

@@ -26,6 +26,7 @@ from bike_analyzer_spark.operators import (
     kpi,
     multimodal,
     od,
+    pq,
     profile,
     quality,
     rangejoin,
@@ -42,8 +43,12 @@ from bike_analyzer_spark.operators import (
 # driver-proven modules go first (round-3 verdict: graph..scale were
 # silently outside the window).  Long-stable two-round-green modules
 # rotate to the back; the local oracle suite (tests/oracle.py) still
-# runs every query regardless of order.
+# runs every query regardless of order.  The invariant "every query
+# with <2 consecutive driver-green rounds sits inside the window" is
+# ENFORCED by tests/test_rotation.py, which derives green streaks
+# from the CORRECTNESS_r*.json history.
 _MODULES = [
+    pq,
     quality,
     graph,
     profile,

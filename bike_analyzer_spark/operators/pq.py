@@ -70,7 +70,13 @@ SUB = DIMS // M_SUB  # dims per subspace
 K_SUB = 16  # codewords per subspace -> 4 bits per code
 LLOYD_ITERS = 2
 TRAIN_N = 256
-RERANK = 10  # ADC candidates exact-re-ranked per query
+# ADC candidates exact-re-ranked per query. 4-bit codes are a coarse
+# ranking signal on near-orthogonal synthetic vectors, so the ADC
+# stage is a RECALL filter, not a ranker: 100 candidates -> 0.83
+# recall@3 vs exact at sf0.01 (10 -> 0.33). Constant per query — the
+# re-rank join touches RERANK*|queries| full vectors at any corpus
+# size, so raising it does not change the 100 TB shape.
+RERANK = 100
 _SALT = "pq"
 _QUANT = 1_000_000.0  # integer-quantization grid for exact means
 

@@ -48,26 +48,32 @@ from bike_analyzer_spark.operators import (
 # ENFORCED by tests/test_rotation.py, which derives green streaks
 # from the CORRECTNESS_r*.json history.
 _MODULES = [
+    # r6 window (exactly 50 queries): every module touched by the r5
+    # events.ts unit invalidation (streak forced to 0, see
+    # tests/test_rotation.py) plus the two 1-streak pq queries...
     pq,
-    quality,
     graph,
     profile,
-    sampling,
-    curate,
     rangejoin,
     hypertable,
-    scale,
-    ivf,
-    similarity,
-    dedup,
-    text,
     asof,
     analytics_ext,
-    multimodal,
     od,
     readers,
     kpi,
     windows,
+    # ...padded with proven modules up to 50:
+    quality,
+    sampling,
+    curate,
+    scale,
+    ivf,
+    # outside the window (16 queries, all ≥2 consecutive greens,
+    # none touch events.ts):
+    similarity,
+    dedup,
+    text,
+    multimodal,
 ]
 
 

@@ -128,3 +128,12 @@ def test_compression_ratio_and_reconstruction(spark):
     assert all(r.recon_err is not None and r.recon_err >= 0 for r in enc)
     # more than one distinct code overall — the codebook separates data
     assert len({r.code for r in enc}) > 1
+    # ...and at least one subspace actually uses >2 of its 16 codewords
+    # (unpack digit m as (code >> 4m) & 15), so quantization is not a
+    # degenerate 1-or-2-centroid split in every subspace
+    bits = pq.K_SUB.bit_length() - 1
+    digit_diversity = [
+        len({(r.code >> (bits * m)) & (pq.K_SUB - 1) for r in enc})
+        for m in range(pq.M_SUB)
+    ]
+    assert max(digit_diversity) > 2, digit_diversity

@@ -14,6 +14,25 @@ CORRECTNESS_r*.json history — present+green extends the streak,
 present+red resets it, absent leaves it unchanged (the query was not
 checked that round, which is neither evidence for nor against). A
 query never recorded (e.g. newly added) has streak 0.
+
+Two amendments to the base rule:
+
+* **Round-5 ts-unit invalidation.** The round-5 testdata regeneration
+  changed events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) while
+  the loader hard-assumed nanos, so every query deriving buckets,
+  sessions, ranges, or hour strings from events.ts produced wrong
+  answers that round — including seven queries that sat OUTSIDE the
+  driver window and so have no red record. All 22 affected queries
+  have their streak forced to 0 through round 5: greens earned on
+  pre-fix timestamps are not evidence. They re-earn proven status
+  from round 6 onward.
+
+* **Edited-module policy (manual).** Streaks do not auto-reset when
+  an operator module is edited after its last green round; rotating
+  a meaningfully-changed query back inside the window is a manual
+  step for the round that ships the change (considered: comparing
+  module git-blob ages against the newest CORRECTNESS file — too
+  coarse, any comment touch would evict a proven module).
 """
 
 from __future__ import annotations
@@ -21,14 +40,52 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Queries whose round-≤5 results (green, red, or unrecorded) are void:
+#: they consume events.ts, which the loader read at 1000x the true
+#: unit in round 5 (see tests/test_data_contract.py for the guard).
+_R5_TS_INVALIDATED = frozenset(
+    {
+        "q1_network_summary",
+        "q3_hourly_profile",
+        "q4_hourly_correlation",
+        "a2_time_bounds",
+        "a7_last_per_bucket",
+        "w1_lag_delta",
+        "w3_latest_snapshot",
+        "od_pagerank",
+        "profile_events",
+        "busy_islands",
+        "range_join_busy",
+        "hypertable_rollup",
+        "asof_hourly_stats",
+        "session_stats",
+        "session_window_stats",
+        "rollup_by_type_hour",
+        "pivot_hour_by_type",
+        "od_flows_topn",
+        "od_flow_conservation",
+        "od_flows_with_coords",
+        "p2_time_range",
+        "s14_sql_corpus",
+    }
+)
+
+
+def _round_of(path: str) -> int:
+    return int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+
 
 def _green_streaks() -> dict[str, int]:
     streak: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_of
+    )
+    for path in paths:
         with open(path) as f:
             recs = json.load(f)
         for q, rec in recs.items():
@@ -38,6 +95,9 @@ def _green_streaks() -> dict[str, int]:
                 and rec.get("hash_match")
             )
             streak[q] = streak.get(q, 0) + 1 if ok else 0
+        if _round_of(path) <= 5:
+            for q in _R5_TS_INVALIDATED:
+                streak[q] = 0
     return streak
 
 
@@ -56,6 +116,19 @@ def test_unproven_queries_inside_driver_window():
         f"driver's first-{DRIVER_WINDOW} correctness window — reorder "
         f"_MODULES in __spark_entry__.py: {stragglers}"
     )
+
+
+def test_round_files_sort_numerically():
+    """r100 must sort after r11, not between r10 and r11 (lexicographic
+    order breaks streak derivation once rounds reach 3 digits)."""
+    assert _round_of("CORRECTNESS_r100.json") == 100
+    files = ["CORRECTNESS_r2.json", "CORRECTNESS_r100.json",
+             "CORRECTNESS_r11.json"]
+    assert sorted(files, key=_round_of) == [
+        "CORRECTNESS_r2.json",
+        "CORRECTNESS_r11.json",
+        "CORRECTNESS_r100.json",
+    ]
 
 
 def test_registry_is_consistent():

@@ -106,6 +106,61 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: single-file fixtures whose scans feed CPU-heavy per-row work
+#: (shingling, hashing, matmuls) — read through a many-file copy so
+#: the scan stage parallelizes (see _load_spread)
+SPREAD_TABLES = ("documents", "embeddings")
+
+
+def _fingerprint_ok(marker: str, fp: dict) -> bool:
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            return json.load(f) == fp
+    except (OSError, ValueError):
+        return False
+
+
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table through a many-file warehouse copy.
+
+    The driver fixtures are ONE parquet file with ONE row group, and a
+    scan can never split below row-group granularity — so every sf0.1
+    text/embedding query ran its scan stage on 1 task while 31 cores
+    idled (r4 judge ask #7). Materializing a defaultParallelism-file
+    copy once per sf_dir fixes every downstream query with no
+    per-query shuffle and no plan-shape change (scans stay scans). A
+    real warehouse table is already many files, so a directory source
+    reads directly and this is a no-op.
+    """
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(src):
+        return spark.read.schema(TESTDATA[name]).parquet(src)
+    path = os.path.join(
+        PARTITIONED_CACHE_DIR.replace("events_by_date", f"{name}_spread"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "loader_version": LOADER_VERSION,
+    }
+    if not _fingerprint_ok(marker, fp):
+        (
+            spark.read.schema(TESTDATA[name])
+            .parquet(src)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(TESTDATA[name]).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema.
 
@@ -120,6 +175,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(_CONFIGURED_FLAG, "true")
     if name == "events":
         return _load_events(spark, sf_dir)
+    if name in SPREAD_TABLES:
+        return _load_spread(spark, sf_dir, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Pinned schema (never inferSchema): plans stay stable across scale
     # factors and the scan prunes to exactly the referenced columns.
@@ -234,14 +291,7 @@ def events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mtime_ns": st.st_mtime_ns,
         "loader_version": LOADER_VERSION,
     }
-    ok = False
-    if os.path.exists(marker):
-        try:
-            with open(marker) as f:
-                ok = json.load(f) == fp
-        except (OSError, ValueError):
-            ok = False
-    if not ok:
+    if not _fingerprint_ok(marker, fp):
         materialize_events_partitioned(spark, sf_dir, path)
         with open(marker, "w") as f:
             json.dump(fp, f)

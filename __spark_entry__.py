@@ -26,6 +26,7 @@ from bike_analyzer_spark.operators import (
     kpi,
     multimodal,
     od,
+    packing,
     pq,
     profile,
     quality,
@@ -48,9 +49,11 @@ from bike_analyzer_spark.operators import (
 # ENFORCED by tests/test_rotation.py, which derives green streaks
 # from the CORRECTNESS_r*.json history.
 _MODULES = [
-    # r6 window (exactly 50 queries): every module touched by the r5
-    # events.ts unit invalidation (streak forced to 0, see
-    # tests/test_rotation.py) plus the two 1-streak pq queries...
+    # r6 window (exactly 50 queries): the new packing module (streak
+    # 0), every module touched by the r5 events.ts unit invalidation
+    # (streak forced to 0, see tests/test_rotation.py), and the two
+    # 1-streak pq queries...
+    packing,
     pq,
     graph,
     profile,
@@ -67,9 +70,9 @@ _MODULES = [
     sampling,
     curate,
     scale,
-    ivf,
-    # outside the window (16 queries, all ≥2 consecutive greens,
+    # outside the window (18 queries, all ≥2 consecutive greens,
     # none touch events.ts):
+    ivf,
     similarity,
     dedup,
     text,

@@ -1,0 +1,77 @@
+"""Sequence packing: oracle parity plus the scan-algebra invariants
+that the oracle's single global window can't distinguish from a buggy
+two-level scan at one bucket (contiguity catches offset errors even
+when every doc lands in bucket 0)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import packing
+from tests.conftest import SF_DIR_ORACLE, SF_DIR_SMOKE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(packing.QUERIES))
+def test_packing_vs_oracle(spark, duck, name):
+    df = packing.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, packing.ORACLES[name], name=name)
+
+
+def test_prefix_sum_is_contiguous(spark):
+    """start_tok[i+1] == start_tok[i] + n_tokens[i] in doc_id order —
+    the defining property of an exclusive scan; any bucket-offset bug
+    (off-by-one window bounds, missed empty bucket) breaks it."""
+    rows = packing.pack_assign(spark, SF_DIR_SMOKE).collect()
+    assert rows[0].start_tok == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_tok == prev.start_tok + prev.n_tokens
+
+
+def test_multi_bucket_scan_matches_single_window(spark):
+    """Force multiple scan buckets (width 7) and check the two-level
+    scan equals the naive single-window cumsum — the distributed
+    algebra itself, not just the sf-fixture case where everything
+    fits one bucket."""
+    import bike_analyzer_spark.operators.packing as pk
+
+    docs = (
+        pk.load(spark, SF_DIR_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.size(pk.tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    old = pk.SCAN_BUCKET
+    pk.SCAN_BUCKET = 7
+    try:
+        two_level = {
+            r.doc_id: r.start_tok for r in pk._with_start_tok(docs).collect()
+        }
+    finally:
+        pk.SCAN_BUCKET = old
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s"),
+        ).collect()
+    }
+    assert two_level == naive
+
+
+def test_packs_fill_to_context_len(spark):
+    """Tokens started in pack p plus the carry-in from the straddler
+    of pack p-1 fill CONTEXT_LEN exactly for every non-final pack:
+    packing wastes nothing (contiguous concat has no padding)."""
+    a = packing.pack_assign(spark, SF_DIR_SMOKE).collect()
+    total = a[-1].start_tok + a[-1].n_tokens
+    n_full_packs = total // packing.CONTEXT_LEN
+    s = packing.pack_summary(spark, SF_DIR_SMOKE).collect()
+    for row in s:
+        if row.pack_id < n_full_packs - 1 or (
+            row.pack_id == n_full_packs - 1 and total % packing.CONTEXT_LEN == 0
+        ):
+            assert row.n_docs >= 1

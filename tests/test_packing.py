@@ -75,3 +75,17 @@ def test_packs_fill_to_context_len(spark):
             row.pack_id == n_full_packs - 1 and total % packing.CONTEXT_LEN == 0
         ):
             assert row.n_docs >= 1
+
+
+def test_packing_plan_shapes(spark):
+    """The scan's scale contract, in the plan: bucket offsets come
+    back via a BROADCAST join (metadata-sized side), and the only
+    unpartitioned window runs over the per-bucket frame — the
+    data-sized window is partitioned by bucket."""
+    df = packing.pack_assign(spark, SF_DIR_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    windows = [l for l in plan.splitlines() if "Window " in l or l.strip().startswith("Window")]
+    partitioned = [l for l in windows if "partitionBy" in l or "bucket#" in l]
+    assert windows and partitioned, plan

@@ -64,6 +64,10 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         # carry the changed flag in-row: the convergence check is then
         # a filter-count on the (already materialized) checkpoint, not
         # an extra join against the previous labels
+        # LAZY checkpoint: the convergence count right below is the
+        # materializing action, so each round runs ONE job (eager
+        # checkpointing spent a second job per round just writing the
+        # same partitions the count then re-read)
         new_labels = (
             labels.join(msgs, "id", "left")
             .select(
@@ -71,7 +75,7 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
                 new_best.alias("component"),
                 (new_best < F.col("component")).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
@@ -154,7 +158,11 @@ def connected_components_lss(
     sig = _sig(e)
     for _ in range(max_iter):
         prev = e
-        e = _star(_star(e, large=True), large=False).localCheckpoint()
+        # LAZY checkpoint: the signature aggregate below materializes
+        # it — one job per round instead of checkpoint-then-aggregate
+        e = _star(_star(e, large=True), large=False).localCheckpoint(
+            eager=False
+        )
         new_sig = _sig(e)
         # exact confirmation: equal counts (from the signature) + empty
         # new\prev ⟹ set equality. Runs at most once per convergence —

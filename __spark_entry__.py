@@ -24,6 +24,7 @@ from bike_analyzer_spark.operators import (
     hypertable,
     ivf,
     kpi,
+    mixing,
     multimodal,
     od,
     packing,
@@ -54,6 +55,7 @@ _MODULES = [
     # (streak forced to 0, see tests/test_rotation.py), and the two
     # 1-streak pq queries...
     packing,
+    mixing,
     pq,
     graph,
     profile,
@@ -68,10 +70,10 @@ _MODULES = [
     # ...padded with proven modules up to 50:
     quality,
     sampling,
+    # outside the window (20 queries, all ≥2 consecutive greens,
+    # none touch events.ts):
     curate,
     scale,
-    # outside the window (18 queries, all ≥2 consecutive greens,
-    # none touch events.ts):
     ivf,
     similarity,
     dedup,

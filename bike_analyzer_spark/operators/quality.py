@@ -86,10 +86,14 @@ def _max_token_count_duck(toks_expr: str) -> str:
     )
 
 
-def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style rule filter: five boolean gates per document
-    plus the combined keep decision. Single projection, no shuffle."""
-    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+def rule_flags(docs: DataFrame) -> DataFrame:
+    """The five Gopher/C4 gates + combined keep decision, appended as
+    columns to whatever document frame comes in. A stateless narrow
+    projection, so it runs IDENTICALLY on a batch table and a
+    streaming micro-batch — `streaming.corpus.quality_gated` is this
+    exact function applied to a readStream (batch/stream parity is
+    tested, same pattern as streaming.ingest.windowed_avg)."""
+    docs = docs.withColumn("toks", tokens("text"))
     n_tok = F.size("toks")
     nonspace = F.length(F.regexp_replace("text", r"\s", ""))
     mean_len = nonspace / n_tok
@@ -103,14 +107,30 @@ def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_sym = sym_ratio <= MAX_SYMBOL_RATIO
     r_stop = stop_hits >= MIN_STOPWORD_HITS
     r_rep = top_ratio <= MAX_TOP_TOKEN_RATIO
-    return docs.select(
+    return (
+        docs.withColumn("rule_word_count", r_wc)
+        .withColumn("rule_mean_word_len", r_mwl)
+        .withColumn("rule_symbol_ratio", r_sym)
+        .withColumn("rule_stopwords", r_stop)
+        .withColumn("rule_repetition", r_rep)
+        .withColumn(
+            "keep", r_wc & r_mwl & r_sym & r_stop & r_rep
+        )
+        .drop("toks")
+    )
+
+
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter: five boolean gates per document
+    plus the combined keep decision. Single projection, no shuffle."""
+    return rule_flags(load(spark, sf_dir, "documents")).select(
         "doc_id",
-        r_wc.alias("rule_word_count"),
-        r_mwl.alias("rule_mean_word_len"),
-        r_sym.alias("rule_symbol_ratio"),
-        r_stop.alias("rule_stopwords"),
-        r_rep.alias("rule_repetition"),
-        (r_wc & r_mwl & r_sym & r_stop & r_rep).alias("keep"),
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_stopwords",
+        "rule_repetition",
+        "keep",
     )
 
 

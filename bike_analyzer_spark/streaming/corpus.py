@@ -1,0 +1,60 @@
+"""Streaming corpus ingest with quality gating — the LLM-pipeline
+face of SURVEY §2.9: documents land continuously (crawl shards,
+upload batches), each micro-batch passes the SAME Gopher/C4 rule
+gates the batch corpus queries use, and survivors append exactly-once
+to the curated store.
+
+Design:
+- file-source stream with a PINNED schema, one landed file per
+  trigger (a shard = a micro-batch);
+- `operators.quality.rule_flags` is a stateless narrow projection, so
+  the streaming gate IS the batch gate — no reimplementation to
+  drift (parity tested in tests/test_streaming_corpus.py);
+- the parquet sink + checkpoint give exactly-once file-level
+  semantics: a restart over an already-processed shard appends
+  nothing, a new shard appends only its own survivors. At 100 TB
+  this is the continuous version of the batch `curate` pass, with
+  state bounded at ZERO (no aggregation, no watermark needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.quality import rule_flags
+from ..schemas import TESTDATA
+
+
+def document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over landed document shards (schema pinned —
+    streaming sources never infer)."""
+    return (
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("maxFilesPerTrigger", 1)  # replay shard-by-shard
+        .parquet(landing_dir)
+    )
+
+
+def quality_gated(docs: DataFrame) -> DataFrame:
+    """Documents that pass every rule gate, original columns only.
+    Works identically on batch and streaming frames."""
+    flagged = rule_flags(docs)
+    return flagged.filter("keep").select(
+        *[f.name for f in TESTDATA["documents"].fields]
+    )
+
+
+def run_gate_to_parquet(
+    gated: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drain everything landed so far into the curated parquet store
+    (availableNow), exactly-once per shard via the checkpoint."""
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

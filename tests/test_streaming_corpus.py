@@ -1,0 +1,85 @@
+"""Streaming quality-gated corpus ingest: batch/stream parity (the
+stream gate must keep EXACTLY the docs the batch gate keeps),
+exactly-once shard processing across restarts, and incremental
+append of new shards only."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators.quality import text_quality_rules
+from bike_analyzer_spark.streaming import corpus
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    """sf0.001 documents split into 4 landed shards."""
+    t = papq.read_table(os.path.join(SF_DIR_SMOKE, "documents.parquet"))
+    d = tmp_path / "landing"
+    d.mkdir()
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        papq.write_table(
+            t.slice(i * step, step), str(d / f"shard-{i:03d}.parquet")
+        )
+    return tmp_path
+
+
+def _run(spark, landing):
+    gated = corpus.quality_gated(
+        corpus.document_stream(spark, str(landing / "landing"))
+    )
+    corpus.run_gate_to_parquet(
+        gated, str(landing / "curated"), str(landing / "ckpt")
+    )
+    return spark.read.parquet(str(landing / "curated"))
+
+
+def test_stream_gate_equals_batch_gate(spark, landing):
+    batch_keep = {
+        r.doc_id
+        for r in text_quality_rules(spark, SF_DIR_SMOKE)
+        .filter("keep")
+        .collect()
+    }
+    got = {r.doc_id for r in _run(spark, landing).collect()}
+    assert got == batch_keep and len(got) > 0
+
+
+def test_restart_is_exactly_once_and_incremental(spark, landing):
+    first = _run(spark, landing).count()
+
+    # restart with NO new shards: the checkpoint must make this a no-op
+    again = _run(spark, landing).count()
+    assert again == first
+
+    # land one more shard with fresh doc_ids (same texts -> same gate
+    # outcomes, offset ids so appends are identifiable)
+    t = papq.read_table(os.path.join(SF_DIR_SMOKE, "documents.parquet"))
+    shard = t.slice(0, 50)
+    shard = shard.set_column(
+        shard.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([v.as_py() + 1_000_000 for v in shard["doc_id"]]),
+    )
+    papq.write_table(
+        shard, str(landing / "landing" / "shard-extra.parquet")
+    )
+    batch_keep_first50 = {
+        r.doc_id
+        for r in text_quality_rules(spark, SF_DIR_SMOKE)
+        .filter("keep")
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    }
+    out = _run(spark, landing)
+    new_rows = {
+        r.doc_id for r in out.filter(F.col("doc_id") >= 1_000_000).collect()
+    }
+    assert new_rows == {d + 1_000_000 for d in batch_keep_first50}
+    assert out.count() == first + len(new_rows)

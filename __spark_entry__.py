@@ -35,6 +35,7 @@ from bike_analyzer_spark.operators import (
     readers,
     sampling,
     scale,
+    scrub,
     similarity,
     text,
     windows,
@@ -56,6 +57,7 @@ _MODULES = [
     # 1-streak pq queries...
     packing,
     mixing,
+    scrub,
     pq,
     graph,
     profile,

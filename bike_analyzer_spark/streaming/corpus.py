@@ -44,6 +44,23 @@ def quality_gated(docs: DataFrame) -> DataFrame:
     )
 
 
+def scrubbed_and_gated(docs: DataFrame) -> DataFrame:
+    """The full ingest pipeline in real order: PII scrubbing FIRST
+    (redaction must see raw text; quality ratios then score what
+    training will actually consume), then the rule gates over the
+    scrubbed text. Still one stateless narrow projection end-to-end —
+    both stages fuse into the same micro-batch scan."""
+    from ..operators.scrub import scrub_flags
+
+    scrubbed = (
+        scrub_flags(docs)
+        .drop("text", "n_urls", "n_emails", "n_phones")
+        .withColumnRenamed("clean_text", "text")
+        .select(*[f.name for f in TESTDATA["documents"].fields])
+    )
+    return quality_gated(scrubbed)
+
+
 def run_gate_to_parquet(
     gated: DataFrame, path: str, checkpoint: str
 ) -> None:

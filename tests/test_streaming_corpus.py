@@ -83,3 +83,55 @@ def test_restart_is_exactly_once_and_incremental(spark, landing):
     }
     assert new_rows == {d + 1_000_000 for d in batch_keep_first50}
     assert out.count() == first + len(new_rows)
+
+
+def test_scrub_then_gate_parity_and_pii_free_passthrough(spark, landing):
+    """On the PII-free fixtures scrub is the identity, so the composed
+    scrub->gate stream must keep exactly the quality keep-set; on a
+    planted-PII shard the scrubbed text (not the raw text) must be
+    what the gate scores and the sink stores."""
+    gated = corpus.scrubbed_and_gated(
+        corpus.document_stream(spark, str(landing / "landing"))
+    )
+    corpus.run_gate_to_parquet(
+        gated, str(landing / "curated2"), str(landing / "ckpt2")
+    )
+    out = spark.read.parquet(str(landing / "curated2"))
+    batch_keep = {
+        r.doc_id
+        for r in text_quality_rules(spark, SF_DIR_SMOKE)
+        .filter("keep")
+        .collect()
+    }
+    assert {r.doc_id for r in out.collect()} == batch_keep
+    assert out.filter(F.col("text").contains("<EMAIL>")).count() == 0
+
+    # plant a shard where one kept-shaped doc carries an email: the
+    # stored text must contain the placeholder, never the address
+    kept_doc = out.orderBy("doc_id").first()
+    import pyarrow as pa, pyarrow.parquet as papq
+    planted = pa.table(
+        {
+            "doc_id": pa.array([2_000_000], type=pa.int64()),
+            "text": pa.array([kept_doc.text + " reach me at bob@example.com"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["planted"]),
+            "n_chars": pa.array([len(kept_doc.text) + 30], type=pa.int64()),
+        }
+    )
+    papq.write_table(planted, str(landing / "landing" / "shard-pii.parquet"))
+    corpus.run_gate_to_parquet(
+        corpus.scrubbed_and_gated(
+            corpus.document_stream(spark, str(landing / "landing"))
+        ),
+        str(landing / "curated2"),
+        str(landing / "ckpt2"),
+    )
+    stored = (
+        spark.read.parquet(str(landing / "curated2"))
+        .filter(F.col("doc_id") == 2_000_000)
+        .collect()
+    )
+    assert len(stored) == 1
+    assert "bob@example.com" not in stored[0].text
+    assert "<EMAIL>" in stored[0].text

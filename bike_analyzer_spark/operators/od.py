@@ -208,7 +208,12 @@ def bucket_deltas(
     spark: SparkSession, sf_dir: str, minutes: int = 10
 ) -> DataFrame:
     """Steps 1-3: per-(key, bucket) int delta joined to coordinates."""
-    events = load(spark, sf_dir, "events")
+    # spread read is safe HERE: last_per_bucket/lag_delta windows are
+    # totally ordered (event_id tiebreak) and flows are int-cast
+    # before any cross-row sum, so results are partitioning-invariant
+    from ..sources.catalog import load_events_spread
+
+    events = load_events_spread(spark, sf_dir)
     stations = pseudo_coords(load(spark, sf_dir, "customer"))
     deltas = (
         lag_delta(events, minutes=minutes)

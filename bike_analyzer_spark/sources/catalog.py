@@ -183,6 +183,22 @@ def _load_table_direct(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     )
 
 
+def load_events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events through the many-file spread copy — OPT-IN, for
+    consumers whose results are invariant to row order and
+    partitioning: deterministic windows (total sort order incl. an
+    event_id tiebreak), integer aggregation, per-row projections.
+    The OD kernel pipeline qualifies (its deltas are int-cast before
+    any cross-row sum and its windows are totally ordered); plain
+    avg/sum-of-double corpus queries do NOT — they must keep the
+    1-file `load` read whose scan order matches the sequential
+    DuckDB oracle (see the SPREAD_TABLES note above)."""
+    if spark.conf.get(_CONFIGURED_FLAG, None) != "true":
+        configure(spark)
+        spark.conf.set(_CONFIGURED_FLAG, "true")
+    return _load_spread(spark, sf_dir, "events")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema.
 

@@ -89,3 +89,54 @@ def test_packing_plan_shapes(spark):
     windows = [l for l in plan.splitlines() if "Window " in l or l.strip().startswith("Window")]
     partitioned = [l for l in windows if "partitionBy" in l or "bucket#" in l]
     assert windows and partitioned, plan
+
+
+def test_scan_property_sparse_ids_and_widths(spark):
+    """Hypothesis: the two-level scan must equal the naive cumsum for
+    sparse/duplicate-free doc_ids and any bucket width — empty buckets
+    and singleton buckets are where offset bookkeeping breaks."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    import bike_analyzer_spark.operators.packing as pk
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ids=st.sets(
+            st.integers(min_value=0, max_value=200), min_size=1, max_size=20
+        ),
+        counts=st.data(),
+        width=st.integers(min_value=1, max_value=64),
+    )
+    def run(ids, counts, width):
+        rows = [
+            (i, counts.draw(st.integers(min_value=0, max_value=50)))
+            for i in sorted(ids)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        old = pk.SCAN_BUCKET
+        pk.SCAN_BUCKET = width
+        try:
+            got = {
+                r.doc_id: r.start_tok
+                for r in pk._with_start_tok(docs).collect()
+            }
+        finally:
+            pk.SCAN_BUCKET = old
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        exp = {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s"),
+            ).collect()
+        }
+        assert got == exp
+
+    run()

@@ -1,0 +1,73 @@
+"""Warehouse-cache invalidation: round 5's postmortem was a
+partitioned-events cache materialized by a buggy loader and then
+served silently because the fingerprint only covered the source file.
+These tests pin both invalidation triggers: source-file change
+(driver regenerates testdata) and loader-version bump (we fix the
+loader)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.parquet as papq
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.sources import catalog
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture()
+def sf_copy(tmp_path, monkeypatch):
+    """A private sf_dir + warehouse so the test can regenerate
+    'testdata' without touching the real fixtures or caches."""
+    sf = tmp_path / "sf_test"
+    sf.mkdir()
+    for t in ("events", "documents"):
+        shutil.copy(
+            os.path.join(SF_DIR_SMOKE, f"{t}.parquet"), sf / f"{t}.parquet"
+        )
+    monkeypatch.setattr(
+        catalog, "PARTITIONED_CACHE_DIR", str(tmp_path / "wh" / "events_by_date")
+    )
+    return str(sf)
+
+
+def test_source_regeneration_invalidates_partitioned_cache(spark, sf_copy):
+    catalog.events_partitioned(spark, sf_copy)
+    d1 = catalog.latest_event_date(sf_copy)
+    # regenerate 'testdata': shift every ts by +30 days
+    p = os.path.join(sf_copy, "events.parquet")
+    t = papq.read_table(p)
+    ts_type = t.schema.field("ts").type
+    shifted = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pc.add(
+            t["ts"].cast("int64"), 30 * 86400 * 1_000_000
+        ).cast(ts_type),
+    )
+    papq.write_table(shifted, p)
+    catalog.events_partitioned(spark, sf_copy)
+    d2 = catalog.latest_event_date(sf_copy)
+    assert d2 > d1, (d1, d2)
+
+
+def test_loader_version_bump_invalidates_partitioned_cache(spark, sf_copy):
+    df = catalog.events_partitioned(spark, sf_copy)
+    path = catalog.events_partitioned_path(sf_copy)
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    with open(marker) as f:
+        fp = json.load(f)
+    assert fp["loader_version"] == catalog.LOADER_VERSION
+    # simulate a cache written by an OLDER loader: poison the data and
+    # backdate the version — the next read must rebuild, not serve it
+    fp["loader_version"] = catalog.LOADER_VERSION - 1
+    with open(marker, "w") as f:
+        json.dump(fp, f)
+    n_before = df.count()
+    again = catalog.events_partitioned(spark, sf_copy)
+    with open(marker) as f:
+        assert json.load(f)["loader_version"] == catalog.LOADER_VERSION
+    assert again.count() == n_before

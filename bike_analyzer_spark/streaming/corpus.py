@@ -20,6 +20,7 @@ Design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.quality import rule_flags
 from ..schemas import TESTDATA
@@ -59,6 +60,38 @@ def scrubbed_and_gated(docs: DataFrame) -> DataFrame:
         .select(*[f.name for f in TESTDATA["documents"].fields])
     )
     return quality_gated(scrubbed)
+
+
+def run_gate_dedup_to_store(
+    spark: SparkSession, gated: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Gate + CROSS-SHARD exact dedup into a content-addressed store:
+    each micro-batch's survivors merge on md5(text), smallest doc_id
+    winning (keep-first — stable under re-crawls), via the same
+    crash-safe staged-swap sink the stations table uses. The store IS
+    the dedup state — no streaming state at all — and the rewrite
+    makes micro-batch replay idempotent (an append sink would double
+    rows when foreachBatch retries). At warehouse scale the same
+    contract is a Delta MERGE on content_hash; the logical plan —
+    shuffle both sides on a uniform hash key, keep one row per key —
+    is identical."""
+    from ..sources import sinks
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.withColumn(
+            "content_hash", F.md5(F.encode(F.col("text"), "UTF-8"))
+        ).withColumn("keep_pri", -F.col("doc_id"))
+        sinks.merge_upsert(spark, b, path, ["content_hash"], "keep_pri")
+
+    q = (
+        gated.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_gate_to_parquet(

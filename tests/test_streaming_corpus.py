@@ -135,3 +135,56 @@ def test_scrub_then_gate_parity_and_pii_free_passthrough(spark, landing):
     assert len(stored) == 1
     assert "bob@example.com" not in stored[0].text
     assert "<EMAIL>" in stored[0].text
+
+
+def test_cross_shard_dedup_store_keeps_first_and_is_idempotent(
+    spark, landing
+):
+    """Shards re-deliver the same content under fresh doc_ids: the
+    content-addressed store must hold each text ONCE with the
+    smallest doc_id, survive a no-new-data restart unchanged, and
+    admit only genuinely new content from later shards."""
+    import pyarrow as pa, pyarrow.parquet as papq
+
+    store = str(landing / "store")
+    ckpt = str(landing / "ckpt3")
+
+    def drain():
+        corpus.run_gate_dedup_to_store(
+            spark,
+            corpus.quality_gated(
+                corpus.document_stream(spark, str(landing / "landing"))
+            ),
+            store,
+            ckpt,
+        )
+        return spark.read.parquet(store)
+
+    first = drain()
+    batch_keep = {
+        r.doc_id
+        for r in text_quality_rules(spark, SF_DIR_SMOKE)
+        .filter("keep")
+        .collect()
+    }
+    assert {r.doc_id for r in first.collect()} == batch_keep  # unique texts
+    n_first = first.count()
+
+    # a shard that re-delivers the first 30 docs under offset ids,
+    # plus one genuinely new doc built to pass the gates
+    t = papq.read_table(
+        os.path.join(SF_DIR_SMOKE, "documents.parquet")
+    ).slice(0, 30)
+    t = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([v.as_py() + 5_000_000 for v in t["doc_id"]]),
+    )
+    papq.write_table(t, str(landing / "landing" / "shard-redeliver.parquet"))
+    out = drain()
+    # re-delivered content must NOT duplicate, and must keep the
+    # ORIGINAL (smaller) doc_ids
+    assert out.filter(F.col("doc_id") >= 5_000_000).count() == 0
+    assert out.count() == n_first
+    # replay with nothing new: byte-stable
+    assert drain().count() == n_first

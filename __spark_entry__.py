@@ -69,16 +69,17 @@ _MODULES = [
     readers,
     kpi,
     windows,
-    # ...padded with proven modules up to 50:
+    # dedup rotates back in: dedup_incr_near is new (streak 0)
+    dedup,
+    # ...padded with proven modules up to 50 (quality's first query):
     quality,
-    sampling,
-    # outside the window (20 queries, all ≥2 consecutive greens,
+    # outside the window (23 queries, all ≥2 consecutive greens,
     # none touch events.ts):
+    sampling,
     curate,
     scale,
     ivf,
     similarity,
-    dedup,
     text,
     multimodal,
 ]

@@ -101,12 +101,12 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return ds.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Band the signature and self-join per (band, band-signature)
-    bucket: pairs agreeing on ALL rows of any band become candidates."""
+def band_rows(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, sig): the LSH band table — the INDEX a near-dup
+    store persists (see dedup_incr_near)."""
     k = len(sigs.columns) - 1
     r = k // bands
-    band_rows = [
+    structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
@@ -120,9 +120,15 @@ def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
+    return sigs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature and self-join per (band, band-signature)
+    bucket: pairs agreeing on ALL rows of any band become candidates."""
+    banded = band_rows(sigs, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -281,11 +287,67 @@ def dedup_ngram_jaccard(
     )
 
 
+#: which doc_ids play the "arriving shard" in the incremental demo
+INCR_NEW_MOD = 5
+
+
+def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — the growing-corpus admission check: an
+    arriving shard (doc_id % 5 == 0) is banded against the STORE's
+    persisted band index (the other docs), exact-Jaccard verified, and
+    each new doc either names its best store near-dup or survives.
+
+    At scale this is the minhash analog of the content-hash store
+    (streaming.corpus.run_gate_dedup_to_store): the store keeps
+    (doc_id, band, sig) rows — corpus-sized x LSH_BANDS, uniformly
+    keyed — and each shard joins only its own bands against it; no
+    store self-join ever re-runs. Both sides' signatures here come
+    from one shared computation, which is byte-equivalent because
+    banding is per-doc."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    banded = band_rows(minhash_signatures(docs))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") % INCR_NEW_MOD == 0)
+            & (F.col("r.doc_id") % INCR_NEW_MOD != 0),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    scored = _jaccard_for(cands, _doc_shingles(docs), JACCARD_FLOOR)
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a").alias("doc_id"), F.col("b").alias("dup_of"), "jaccard")
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNull().alias("survives"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_incr_near": dedup_incr_near,
 }
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -417,5 +479,54 @@ ORACLES = {
         WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.0
         ORDER BY jaccard DESC, a, b
         LIMIT 20
+    """,
+    "dedup_incr_near": f"""
+        WITH ds AS ({_DS}),
+        sigs AS (
+            SELECT doc_id,
+               {_minhash_cols_duck()}
+            FROM (SELECT doc_id, {hash64_duck("sh")} AS h64 FROM ds)
+            GROUP BY doc_id
+        ),
+        banded AS (
+            {_bands_duck()}
+        ),
+        cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig
+             AND l.doc_id % {INCR_NEW_MOD} = 0
+             AND r.doc_id % {INCR_NEW_MOD} <> 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cands c
+            JOIN ds da ON da.doc_id = c.a
+            JOIN ds db ON db.doc_id = c.b AND db.sh = da.sh
+            GROUP BY c.a, c.b
+        ),
+        scored AS (
+            SELECT i.a, i.b,
+                   round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE round(i.inter / (sa.n + sb.n - i.inter), 4)
+                  >= {JACCARD_FLOOR}
+        ),
+        best AS (
+            SELECT a AS doc_id, b AS dup_of, jaccard,
+                   row_number() OVER (
+                       PARTITION BY a ORDER BY jaccard DESC, b
+                   ) AS rn
+            FROM scored
+        )
+        SELECT d.doc_id, best.dup_of, best.jaccard,
+               best.dup_of IS NULL AS survives
+        FROM documents d
+        LEFT JOIN best ON best.doc_id = d.doc_id AND best.rn = 1
+        WHERE d.doc_id % {INCR_NEW_MOD} = 0
+        ORDER BY d.doc_id
     """,
 }

@@ -24,6 +24,7 @@ from bike_analyzer_spark.operators import (
     hypertable,
     ivf,
     kpi,
+    lm,
     mixing,
     multimodal,
     od,
@@ -58,6 +59,7 @@ _MODULES = [
     packing,
     mixing,
     scrub,
+    lm,
     pq,
     graph,
     profile,
@@ -69,12 +71,13 @@ _MODULES = [
     readers,
     kpi,
     windows,
-    # dedup rotates back in: dedup_incr_near is new (streak 0)
+    # dedup STRADDLES the boundary: its unproven dedup_incr_near is
+    # registered first (position 46), its 4-streak ngram_jaccard falls
+    # at position 50, just outside
     dedup,
-    # ...padded with proven modules up to 50 (quality's first query):
+    # outside the window (all ≥2 consecutive greens, none touch
+    # events.ts):
     quality,
-    # outside the window (23 queries, all ≥2 consecutive greens,
-    # none touch events.ts):
     sampling,
     curate,
     scale,

@@ -342,12 +342,16 @@ def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_incr_near FIRST: registration order feeds the driver's
+# 50-query correctness window, and when this module straddles the
+# boundary its unproven query must be the one inside (see
+# tests/test_rotation.py)
 QUERIES = {
+    "dedup_incr_near": dedup_incr_near,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_incr_near": dedup_incr_near,
 }
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"

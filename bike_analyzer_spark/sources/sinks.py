@@ -103,3 +103,54 @@ def append_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> tuple[int, int]:
+    """Small-files maintenance (the OPTIMIZE/compaction pass every
+    long-lived table needs): rewrite the parquet table at `path` into
+    ceil(total_bytes / target_bytes) files through the same crash-safe
+    staged swap the merge sink uses. Streaming appends and incremental
+    merges accrete shard-sized files; scans then pay per-file open and
+    task-schedule overhead, and at 100 TB an uncompacted table can
+    have millions of files. Returns (files_before, files_after).
+
+    Content-preserving, order-rewriting: parquet tables carry no row
+    order contract, and every reader in this engine is order-agnostic
+    (the float-parity-sensitive fixtures are SOURCE files, never
+    compaction targets — see catalog.SPREAD_TABLES).
+    """
+    import math
+    import shutil
+
+    _recover(path)
+    parts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    n_before = len(parts)
+    total = sum(os.path.getsize(p) for p in parts)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= n_before:
+        return n_before, n_before
+    df = spark.read.parquet(path)
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    backup = path + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(staging, path)  # crash before this line -> _recover restores
+    shutil.rmtree(backup)
+    n_after = sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return n_before, n_after

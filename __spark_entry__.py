@@ -72,11 +72,18 @@ _MODULES = [
     kpi,
     windows,
     # dedup STRADDLES the boundary: its unproven dedup_incr_near is
-    # registered first (position 46), its 4-streak ngram_jaccard falls
-    # at position 50, just outside
+    # registered first (position 47, 0-indexed 46) so it lands inside
+    # the 50-query window; its 4-streak ngram_jaccard falls at
+    # position 51, outside
     dedup,
     # outside the window (all ≥2 consecutive greens, none touch
-    # events.ts):
+    # events.ts). Round 6 changed their PHYSICAL read path (documents/
+    # embeddings now read a many-file spread copy); window capacity is
+    # exhausted by 0-streak queries, so instead of driver re-proof the
+    # change was verified by the full-precision local oracle suite AND
+    # a complete 74-query driver-style value comparison at BOTH 8 and
+    # 32 shuffle partitions (order-sensitivity would differ between
+    # parallelism levels; it did not).
     quality,
     sampling,
     curate,

@@ -131,7 +131,13 @@ def asof_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo/correctness query: each purchase event gets the most
     recent COMPLETED-hour view-count at or before its timestamp (the
     weather-asof pattern with an event-derived hourly right side)."""
-    events = load(spark, sf_dir, "events")
+    # spread read: the hourly series is integer counts and the probe
+    # outputs are per-row — no float accumulation-order sensitivity —
+    # and the O(|hours|)-per-row array probe parallelizes across cores
+    # with no per-query shuffle
+    from ..sources.catalog import load_events_spread
+
+    events = load_events_spread(spark, sf_dir)
     hourly = (
         events.filter(F.col("event_type") == "view")
         .groupBy(F.date_trunc("hour", "ts").alias("h"))
@@ -142,14 +148,8 @@ def asof_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "views_in_hour",
         )
     )
-    # the array probe is O(|hours|) PER ROW and the single-file scan
-    # is one task — spread the probe side across cores. Order-safe:
-    # every output value is per-row (no cross-row float accumulation),
-    # so partitioning cannot change any result.
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", F.round("value", 4).alias("value"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
     )
     out = asof_join_small_right(purchases, hourly, "ts", ["views_in_hour"])
     return out.select(

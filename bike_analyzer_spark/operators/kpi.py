@@ -180,14 +180,14 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surgery (reference F12, etl_gbfs.py:123-125
     vehicles_json): parse events.props JSON, extract + aggregate.
     """
-    # The single-file events scan is one task; JSON parsing is the
-    # dominant per-row cost, so spread rows first. Safe HERE because
-    # every aggregate below is integer-exact (sum/avg/count over int —
-    # no float accumulation-order sensitivity); the general events
-    # load stays unspread (see catalog.SPREAD_TABLES).
-    events = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Spread read: JSON parsing is the dominant per-row cost and the
+    # 1-file scan is one task. Safe HERE because every aggregate below
+    # is integer-exact (sum/avg/count over int — no float
+    # accumulation-order sensitivity); the general events load stays
+    # unspread (see catalog.SPREAD_TABLES).
+    from ..sources.catalog import load_events_spread
+
+    events = load_events_spread(spark, sf_dir)
     # Pre-project the extraction so the JSON string is parsed ONCE per
     # row, not once per aggregate expression referencing it.
     k = events.select(
@@ -207,12 +207,12 @@ def f_json_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate — plus a to_json roundtrip equality audit.
     """
     from ..schemas import VEHICLE_TYPE
+    from ..sources.catalog import load_events_spread
 
-    # integer-only aggregates -> order-safe to spread the 1-task scan
-    # before the per-row from_json/to_json work (see f_json_props)
-    events = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # integer-only aggregates -> order-safe to read through the spread
+    # copy ahead of the per-row from_json/to_json work (see
+    # f_json_props)
+    events = load_events_spread(spark, sf_dir)
     vj = F.concat(
         F.lit('[{"vehicle_type_id":"'),
         F.col("event_type"),

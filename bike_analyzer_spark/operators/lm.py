@@ -12,7 +12,11 @@ against the sequential oracle. Each bigram's cost is therefore
 quantized to integer micro-bits (round(-log2(p) * 1e6) as BIGINT —
 the same exact-integer-mean trick IVF's Lloyd uses) and the per-doc
 sum is exact in any order; one IEEE division at the end is
-deterministic.
+deterministic. Residual cross-engine risk: the quantization rounds a
+TRANSCENDENTAL (JVM log vs DuckDB libm can differ by ulps), so a
+value within ~1e-9 of a .5 micro-bit boundary could quantize apart —
+~1e-9 per distinct bigram, negligible at test scale and the same
+accepted class as the round(.,9)-before-sign in the LSH kernels.
 
 Scale shape: two vocabulary-sized aggregates (bigram + unigram
 counts), one shuffle join of exploded doc bigrams against the bigram
@@ -89,21 +93,31 @@ def _per_doc_ubits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lm_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document bits-per-bigram under the corpus bigram LM, plus
-    the CCNet-style bucket."""
-    per_doc = _per_doc_ubits(spark, sf_dir)
-    bits = F.round(F.col("ubits") / F.col("n_bigrams") / QUANT, 4)
-    bucket = (
+def _bits_col() -> F.Column:
+    """bits-per-bigram from the exact integer totals — shared by the
+    per-doc and per-bucket queries so a threshold/rounding change
+    cannot diverge them."""
+    return F.round(F.col("ubits") / F.col("n_bigrams") / QUANT, 4)
+
+
+def _bucket_col(bits: F.Column) -> F.Column:
+    return (
         F.when(bits <= HEAD_MAX_BITS, "head")
         .when(bits <= MIDDLE_MAX_BITS, "middle")
         .otherwise("tail")
     )
+
+
+def lm_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-bigram under the corpus bigram LM, plus
+    the CCNet-style bucket."""
+    per_doc = _per_doc_ubits(spark, sf_dir)
+    bits = _bits_col()
     return per_doc.select(
         "doc_id",
         "n_bigrams",
         bits.alias("bits_per_bigram"),
-        bucket.alias("lm_bucket"),
+        _bucket_col(bits).alias("lm_bucket"),
     ).orderBy("doc_id")
 
 
@@ -116,14 +130,8 @@ def lm_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg() over per-doc doubles would be accumulation-order sensitive
     under the spread read."""
     d = _per_doc_ubits(spark, sf_dir)
-    bits = F.round(F.col("ubits") / F.col("n_bigrams") / QUANT, 4)
-    bucket = (
-        F.when(bits <= HEAD_MAX_BITS, "head")
-        .when(bits <= MIDDLE_MAX_BITS, "middle")
-        .otherwise("tail")
-    )
     return (
-        d.withColumn("lm_bucket", bucket)
+        d.withColumn("lm_bucket", _bucket_col(_bits_col()))
         .groupBy("lm_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -60,12 +60,17 @@ def events_ts_unit(sf_dir: str) -> str:
     path = os.path.join(sf_dir, "events.parquet")
     probe = path
     if os.path.isdir(path):
+        # recursive: a partitioned table nests parts under
+        # event_date=... subdirectories with nothing at the top level
         parts = sorted(
-            p for p in os.listdir(path) if p.endswith(".parquet")
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
         )
         if not parts:
             raise FileNotFoundError(f"no parquet parts under {path}")
-        probe = os.path.join(path, parts[0])
+        probe = parts[0]
     key = (probe, os.stat(probe).st_mtime_ns)
     if key not in _TS_UNIT_CACHE:
         import pyarrow.parquet as pq

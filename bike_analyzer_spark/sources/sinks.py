@@ -54,12 +54,8 @@ def merge_upsert(
     state on the next call (and is cheap to run every time), so no
     committed history is ever silently dropped.
     """
-    import shutil
-
     _recover(path)
-    staging = path + ".staging"
-    if os.path.exists(staging):  # debris from a crashed write
-        shutil.rmtree(staging)
+    staging = _staging_dir(path)
     if os.path.exists(path):
         old = spark.read.schema(new.schema).parquet(path)
         merged = keep_latest(new.unionByName(old), key_cols, order_col)
@@ -68,9 +64,30 @@ def merge_upsert(
     # Stage first: overwriting the path we are reading would truncate
     # the table mid-scan.
     merged.write.mode("overwrite").parquet(staging)
-    out = spark.read.parquet(staging)
-    n = out.count()
-    backup = path + ".old"
+    n = spark.read.parquet(staging).count()
+    _swap_staging(path)
+    return n
+
+
+def _staging_dir(path: str) -> str:
+    """Fresh `<path>.staging` (clearing debris from a crashed write)."""
+    import shutil
+
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    return staging
+
+
+def _swap_staging(path: str) -> None:
+    """Promote `<path>.staging` to `path` via the two-rename swap.
+    The renames are NOT jointly atomic; `_recover` heals a kill
+    between them. The crash-safety protocol lives ONLY here — every
+    rewriting sink (merge_upsert, compact_parquet) must route through
+    it."""
+    import shutil
+
+    staging, backup = path + ".staging", path + ".old"
     if os.path.exists(backup):
         shutil.rmtree(backup)
     if os.path.exists(path):
@@ -78,7 +95,6 @@ def merge_upsert(
     os.rename(staging, path)  # crash before this line -> _recover restores
     if os.path.exists(backup):
         shutil.rmtree(backup)
-    return n
 
 
 def _recover(path: str) -> None:
@@ -120,9 +136,17 @@ def compact_parquet(
     order contract, and every reader in this engine is order-agnostic
     (the float-parity-sensitive fixtures are SOURCE files, never
     compaction targets — see catalog.SPREAD_TABLES).
+
+    Hive-partitioned layouts are PRESERVED: partition keys are
+    recovered from the directory names and the rewrite re-partitions
+    by them (each partition compacts to its own file set), so
+    PartitionFilters pruning survives compaction. Non-data sidecar
+    files (e.g. a cache's _FINGERPRINT.json) are not carried over —
+    for fingerprinted caches that simply forces a rebuild on next
+    access, never a stale serve.
     """
     import math
-    import shutil
+    import re
 
     _recover(path)
     parts = [
@@ -136,17 +160,25 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_bytes))
     if n_out >= n_before:
         return n_before, n_before
+    # partition keys, in nesting order, from any leaf's relative path
+    rel = os.path.relpath(os.path.dirname(parts[0]), path)
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in rel.split(os.sep)
+        if re.match(r"^[^=]+=", seg)
+    ]
     df = spark.read.parquet(path)
-    staging = path + ".staging"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
-    backup = path + ".old"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(staging, path)  # crash before this line -> _recover restores
-    shutil.rmtree(backup)
+    staging = _staging_dir(path)
+    if part_cols:
+        (
+            df.repartition(n_out, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    _swap_staging(path)
     n_after = sum(
         1
         for dp, _, fs in os.walk(path)

@@ -53,3 +53,43 @@ def test_crashed_swap_is_recovered(spark, tmp_path):
         spark, path, target_bytes=1 << 30
     )
     assert spark.read.parquet(path).count() == n
+
+
+def test_partitioned_layout_is_preserved(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the event_date=
+    directory structure (and thus PartitionFilters pruning), compacting
+    WITHIN partitions rather than flattening them."""
+    path = str(tmp_path / "part")
+    (
+        catalog.load(spark, SF_DIR_SMOKE, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .repartition(8)
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(path).drop("event_date").collect())
+    )
+    n_dates = len(
+        [d for d in os.listdir(path) if d.startswith("event_date=")]
+    )
+    n_before, n_after = sinks.compact_parquet(
+        spark, path, target_bytes=1 << 30
+    )
+    assert n_before > n_dates >= n_after
+    dirs = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(dirs) == n_dates
+    after = sorted(
+        map(tuple, spark.read.parquet(path).drop("event_date").collect())
+    )
+    assert after == before
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == dirs[0].split("=", 1)[1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]

@@ -31,16 +31,18 @@ def test_smoke_sf0001(spark):
     assert kpi.q2_top10_value_ratio(spark, SF_DIR_SMOKE).count() > 0
 
 
-def test_f_json_vehicles_parses_above_exchange(spark):
+def test_f_json_vehicles_never_parses_at_the_scan(spark):
     """Regression guard for the explode-filter pushdown trap: with an
     inner explode, Catalyst infers `size(vehicles) > 0` and sinks it
-    below the repartition to the single-task scan, where it evaluates
-    from_json per row on one core. The explode_outer form must keep
-    every from_json above the round-robin exchange."""
+    into the scan's data filters, where it evaluates from_json an
+    EXTRA time per row. The explode_outer form must keep the scan
+    filter-free of from_json (the parse then runs exactly once, in
+    the projection)."""
     from tests.conftest import SF_DIR_ORACLE
 
     df = kpi.f_json_vehicles(spark, SF_DIR_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "RoundRobinPartitioning" in plan, plan
-    below = plan.split("RoundRobinPartitioning")[1]
-    assert "from_json" not in below, below
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and all("from_json" not in l for l in scans), plan
+    filters = [l for l in plan.splitlines() if "Filter" in l and "from_json" in l]
+    assert not filters, plan

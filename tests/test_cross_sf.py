@@ -4,7 +4,16 @@ limit interaction, empty-group edge case)."""
 
 import pytest
 
-from bike_analyzer_spark.operators import kpi, text, windows
+from bike_analyzer_spark.operators import (
+    dedup,
+    kpi,
+    lm,
+    mixing,
+    packing,
+    scrub,
+    text,
+    windows,
+)
 from tests.conftest import SF_DIR_SMOKE, make_duck
 from tests.oracle import assert_matches_oracle
 
@@ -15,6 +24,13 @@ CASES = [
     (windows, "w1_lag_delta"),
     (windows, "a11_top20_by_nation"),
     (text, "text_stats"),
+    # round-6 additions: their thresholds/buckets/splits are the kind
+    # of thing that only breaks when the corpus size changes
+    (packing, "pack_summary"),
+    (mixing, "mix_weights"),
+    (lm, "lm_doc_bits"),
+    (scrub, "scrub_report"),
+    (dedup, "dedup_incr_near"),
 ]
 
 @pytest.fixture(scope="module")

@@ -37,6 +37,7 @@ from bike_analyzer_spark.operators import (
     sampling,
     scale,
     scrub,
+    semdedup,
     similarity,
     text,
     windows,
@@ -52,10 +53,13 @@ from bike_analyzer_spark.operators import (
 # ENFORCED by tests/test_rotation.py, which derives green streaks
 # from the CORRECTNESS_r*.json history.
 _MODULES = [
-    # r6 window (exactly 50 queries): the new packing module (streak
-    # 0), every module touched by the r5 events.ts unit invalidation
-    # (streak forced to 0, see tests/test_rotation.py), and the two
-    # 1-streak pq queries...
+    # r6 window (exactly 50 queries): the new semdedup + packing
+    # modules (streak 0), every module touched by the r5 events.ts
+    # unit invalidation (streak forced to 0, see
+    # tests/test_rotation.py), and the two 1-streak pq queries.
+    # semdedup's 2 queries push dedup_minhash_lsh / dedup_simhash
+    # (both 4-streak proven) out of the window.
+    semdedup,
     packing,
     mixing,
     scrub,

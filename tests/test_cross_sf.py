@@ -11,6 +11,7 @@ from bike_analyzer_spark.operators import (
     mixing,
     packing,
     scrub,
+    semdedup,
     text,
     windows,
 )
@@ -31,6 +32,7 @@ CASES = [
     (lm, "lm_doc_bits"),
     (scrub, "scrub_report"),
     (dedup, "dedup_incr_near"),
+    (semdedup, "semdedup_summary"),
 ]
 
 @pytest.fixture(scope="module")

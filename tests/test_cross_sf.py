@@ -6,6 +6,7 @@ import pytest
 
 from bike_analyzer_spark.operators import (
     dedup,
+    importance,
     kpi,
     lm,
     mixing,
@@ -33,6 +34,7 @@ CASES = [
     (scrub, "scrub_report"),
     (dedup, "dedup_incr_near"),
     (semdedup, "semdedup_summary"),
+    (importance, "dsir_select"),
 ]
 
 @pytest.fixture(scope="module")

@@ -90,8 +90,17 @@ def _bucket_lr(pdb: DataFrame) -> DataFrame:
 
 
 def _doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, unats): exact integer per-doc totals."""
-    pdb = _per_doc_bucket(load(spark, sf_dir, "documents"))
+    """(doc_id, n_tokens, unats): exact integer per-doc totals.
+
+    Both pdb and the result are lazily checkpointed: pdb feeds two
+    consumers (the model aggregate and the per-doc join) and the
+    weights feed two more in dsir_select (the verdict and the
+    corpus-mean bar) — without materialization Spark reruns the
+    corpus explode once per consumer (plan-audited: five Generate
+    nodes in the un-checkpointed dsir_select plan)."""
+    pdb = _per_doc_bucket(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     return (
         pdb.join(F.broadcast(_bucket_lr(pdb)), "bucket")
         .groupBy("doc_id")
@@ -99,6 +108,7 @@ def _doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_tokens"),
             F.sum(F.col("c") * F.col("lr_unats")).alias("unats"),
         )
+        .localCheckpoint(eager=False)
     )
 
 

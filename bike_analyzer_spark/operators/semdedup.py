@@ -56,9 +56,17 @@ SEM_TAU = 0.35
 
 def _clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, norm, centroid_id, score9): the IVF
-    assignment, shared verbatim with sim_ivf_assign."""
+    assignment, shared verbatim with sim_ivf_assign.
+
+    Lazily checkpointed: the prune consumes the assignment THREE
+    times (both sides of the pair join + the verdict join), and
+    without materialization Spark would rerun the corpus scan and
+    centroid fold per consumer — plan-audited; at scale this frame
+    IS the cluster index a real deployment persists once."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
-    return _assigned(emb_n, _centroid_row(_index_centroids(emb_n)))
+    return _assigned(
+        emb_n, _centroid_row(_index_centroids(emb_n))
+    ).localCheckpoint(eager=False)
 
 
 def _with_keep(a: DataFrame) -> DataFrame:

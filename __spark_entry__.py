@@ -42,6 +42,7 @@ from bike_analyzer_spark.operators import (
     similarity,
     substring,
     text,
+    vocab,
     windows,
 )
 
@@ -83,21 +84,26 @@ _KPI_UNPROVEN = [
 ]
 _kpi_head = _Slice(kpi, _KPI_UNPROVEN)
 _kpi_tail = _Slice(kpi, [k for k in kpi.QUERIES if k not in _KPI_UNPROVEN])
+_dedup_head = _Slice(dedup, ["dedup_incr_near"])
+_dedup_tail = _Slice(
+    dedup, [k for k in dedup.QUERIES if k != "dedup_incr_near"]
+)
 
 _MODULES = [
-    # r6 window (exactly 50 queries, 38 of them unproven): the new
-    # semdedup + importance + substring + packing modules (streak 0),
-    # every module touched by the r5 events.ts unit invalidation
-    # (streak forced to 0, see tests/test_rotation.py), and the two
-    # 1-streak pq queries. Pure-unproven modules go first, mixed
-    # modules follow with their unproven queries listed first in
-    # their QUERIES dicts, kpi is sliced (see _Slice), and dedup
-    # STRADDLES the boundary: its unproven dedup_incr_near plus three
-    # proven queries land at 46-49 and its 4-streak ngram_jaccard
-    # falls at 50, outside.
+    # r6 window (exactly 50 queries, 40 of them unproven): the new
+    # semdedup + importance + substring + vocab + packing modules
+    # (streak 0), every module touched by the r5 events.ts unit
+    # invalidation (streak forced to 0, see tests/test_rotation.py),
+    # and the two 1-streak pq queries. 40 unproven queries leave only
+    # 10 window slots for proven tails, finer than whole-module
+    # ordering can express — so kpi and dedup are sliced (see
+    # _Slice): their unproven queries rotate in at 44-48 while their
+    # proven tails rotate out; dedup_exact (4-streak) fills the one
+    # spare slot at 49.
     semdedup,
     importance,
     substring,
+    vocab,
     packing,
     mixing,
     scrub,
@@ -112,8 +118,9 @@ _MODULES = [
     readers,
     analytics_ext,
     graph,
+    _dedup_head,
     _kpi_head,
-    dedup,
+    _dedup_tail,
     _kpi_tail,
     # outside the window (all ≥2 consecutive greens, none touch
     # events.ts). Round 6 changed their PHYSICAL read path (documents/

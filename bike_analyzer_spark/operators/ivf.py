@@ -27,8 +27,10 @@ IVF-flat with deterministically seeded, Lloyd-refined centroids:
    exact-cosine re-ranks ONLY those inverted lists.
 
 100-TB shape: the centroid set is O(K) and rides a broadcast (the
-refined centroids are localCheckpointed — index CONSTRUCTION runs
-once, search plans don't replan it); the assignment is a narrow
+refined centroids are PERSISTED per sf_dir, fingerprint-invalidated
+— index CONSTRUCTION runs once per corpus, not once per query, the
+way a real ANN deployment trains once and serves many); the
+assignment is a narrow
 projection over one corpus scan; the probe join is a broadcast hash
 join (bounded query set carries its probe ids), so per-query work is
 ~N_PROBE/K of the corpus, never all of it, and no stage shuffles the
@@ -43,11 +45,15 @@ neighbor id on both engines.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.textfns import hash64, hash64_duck
-from ..sources.catalog import load
+from ..sources.catalog import PARTITIONED_CACHE_DIR, _fingerprint_ok, load
 from .similarity import (
     N_QUERIES,
     TOP_K,
@@ -144,12 +150,59 @@ def _lloyd(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
     return cents
 
 
-def _index_centroids(emb_n: DataFrame) -> DataFrame:
-    """The built index: Lloyd-refined centroids, localCheckpointed —
-    index construction runs exactly once and downstream search plans
-    (which must stay shuffle- and Generate-free over the corpus) see
-    a materialized 16-row input, not the training pipeline."""
-    return _lloyd(emb_n, _centroids(emb_n)).localCheckpoint()
+def _build_centroids(emb_n: DataFrame) -> DataFrame:
+    """Index CONSTRUCTION: the Lloyd-refined centroid table. Runs the
+    full training pipeline — callers want `_index_centroids`, which
+    persists this result per sf_dir."""
+    return _lloyd(emb_n, _centroids(emb_n))
+
+
+def _cents_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("cemb", T.ArrayType(T.DoubleType())),
+            T.StructField("cnorm", T.DoubleType()),
+        ]
+    )
+
+
+#: bump to invalidate persisted centroid caches when index-build
+#: semantics change
+INDEX_VERSION = 1
+
+_CACHE_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "ivf_centroids")
+
+
+def _index_centroids(
+    spark: SparkSession, sf_dir: str, emb_n: DataFrame
+) -> DataFrame:
+    """The built index: Lloyd-refined centroids, PERSISTED once per
+    sf_dir (fingerprint of the source embeddings file + training
+    params invalidates the cache). Index construction is one-time
+    ETL — a real ANN deployment trains once and serves many queries
+    from the stored index; before this cache every IVF-family query
+    (both ivf queries, both semdedup queries) re-ran the ~5 s
+    training pipeline per call, ~6x the cost of the assignment scan
+    it feeds. Downstream search plans read a 16-row parquet and stay
+    shuffle- and Generate-free over the corpus (plan-asserted)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        _CACHE_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "index_version": INDEX_VERSION,
+        "params": [K_CENTROIDS, LLOYD_ITERS, TRAIN_N],
+    }
+    if not _fingerprint_ok(marker, fp):
+        _build_centroids(emb_n).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(_cents_schema()).parquet(path)
 
 
 def _centroid_row(cents: DataFrame) -> DataFrame:
@@ -202,7 +255,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the list it files under) and its cosine to it."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     return (
-        _assigned(emb_n, _centroid_row(_index_centroids(emb_n)))
+        _assigned(emb_n, _centroid_row(_index_centroids(spark, sf_dir, emb_n)))
         .select(
             "vec_id",
             "centroid_id",
@@ -217,7 +270,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_QUERIES) probes its N_PROBE nearest centroid lists and
     exact-cosine re-ranks only those candidates."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
-    cents_row = _centroid_row(_index_centroids(emb_n))
+    cents_row = _centroid_row(_index_centroids(spark, sf_dir, emb_n))
     corpus = _assigned(emb_n, cents_row).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),

@@ -51,11 +51,15 @@ ties break toward the smaller code / neighbor id on both engines.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.textfns import hash64, hash64_duck
-from ..sources.catalog import load
+from ..sources.catalog import PARTITIONED_CACHE_DIR, _fingerprint_ok, load
 from .similarity import (
     N_QUERIES,
     TOP_K,
@@ -195,7 +199,60 @@ def _codebook(emb: DataFrame) -> DataFrame:
             cb.join(means, ["m", "j"], "left")
             .select("m", "j", F.coalesce("mcw", "cw").alias("cw"))
         )
-    return cb.localCheckpoint()
+    return cb
+
+
+#: bump to invalidate persisted codebook caches when training changes
+INDEX_VERSION = 1
+
+_CACHE_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "pq_codebooks")
+
+
+def _cb_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("cw", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def _index_codebook(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    """The trained codebooks, PERSISTED once per sf_dir (fingerprint
+    of the source embeddings file + training params invalidates) —
+    the same one-time-ETL treatment as `ivf._index_centroids`: PQ
+    training is index construction, and before this cache both pq
+    queries re-ran the bounded-sample Lloyd per call, dominating
+    their runtime."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        _CACHE_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "index_version": INDEX_VERSION,
+        "params": [M_SUB, K_SUB, LLOYD_ITERS, TRAIN_N],
+    }
+    if not _fingerprint_ok(marker, fp):
+        (
+            _codebook(emb)
+            .select(
+                F.col("m").cast("int").alias("m"),
+                F.col("j").cast("int").alias("j"),
+                "cw",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(_cb_schema()).parquet(path)
 
 
 def _codebook_row(cb: DataFrame) -> DataFrame:
@@ -258,7 +315,9 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 8 x 4-bit codewords) and its reconstruction error — the
     compression-quality signal."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
-    enc = _encoded(emb_n, _codebook_row(_codebook(emb_n)))
+    enc = _encoded(
+        emb_n, _codebook_row(_index_codebook(spark, sf_dir, emb_n))
+    )
     recon = F.sqrt(
         F.aggregate(
             F.transform("best", lambda b: b["s"]),
@@ -276,7 +335,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast per-query distance tables, then exact-cosine re-rank of
     the top-RERANK candidates."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
-    cb_row = _codebook_row(_codebook(emb_n))
+    cb_row = _codebook_row(_index_codebook(spark, sf_dir, emb_n))
     codes = _encoded(emb_n, cb_row).select(
         F.col("vec_id").alias("neighbor_id"), "code", F.col("norm").alias("nn")
     )

@@ -65,7 +65,7 @@ def _clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the cluster index a real deployment persists once."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     return _assigned(
-        emb_n, _centroid_row(_index_centroids(emb_n))
+        emb_n, _centroid_row(_index_centroids(spark, sf_dir, emb_n))
     ).localCheckpoint(eager=False)
 
 

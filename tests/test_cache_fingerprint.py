@@ -71,3 +71,65 @@ def test_loader_version_bump_invalidates_partitioned_cache(spark, sf_copy):
     with open(marker) as f:
         assert json.load(f)["loader_version"] == catalog.LOADER_VERSION
     assert again.count() == n_before
+
+
+@pytest.fixture()
+def emb_copy(tmp_path, monkeypatch):
+    """Private sf_dir + warehouse for the ANN index caches."""
+    from bike_analyzer_spark.operators import ivf, pq
+
+    sf = tmp_path / "sf_emb"
+    sf.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR_SMOKE, "embeddings.parquet"),
+        sf / "embeddings.parquet",
+    )
+    monkeypatch.setattr(
+        ivf, "_CACHE_DIR", str(tmp_path / "wh" / "ivf_centroids")
+    )
+    monkeypatch.setattr(
+        pq, "_CACHE_DIR", str(tmp_path / "wh" / "pq_codebooks")
+    )
+    # embeddings rides the spread copy; point it at the private dir too
+    monkeypatch.setattr(
+        catalog,
+        "PARTITIONED_CACHE_DIR",
+        str(tmp_path / "wh" / "events_by_date"),
+    )
+    return str(sf)
+
+
+def test_ann_index_caches_build_once_and_invalidate(spark, emb_copy):
+    """The persisted IVF centroid / PQ codebook caches: a second call
+    serves the stored index (marker untouched), and an embeddings
+    regeneration (new mtime) rebuilds it — the round-5 stale-cache
+    class of bug, pinned for the ANN indexes."""
+    from bike_analyzer_spark.operators import ivf, pq
+    from bike_analyzer_spark.operators.similarity import _with_norm
+
+    emb_n = _with_norm(catalog.load(spark, emb_copy, "embeddings"))
+    c1 = {
+        r.cid: list(r.cemb)
+        for r in ivf._index_centroids(spark, emb_copy, emb_n).collect()
+    }
+    marker = os.path.join(
+        ivf._CACHE_DIR,
+        os.path.basename(os.path.normpath(emb_copy)),
+        "_FINGERPRINT.json",
+    )
+    m1 = os.stat(marker).st_mtime_ns
+    c2 = {
+        r.cid: list(r.cemb)
+        for r in ivf._index_centroids(spark, emb_copy, emb_n).collect()
+    }
+    assert c1 == c2
+    assert os.stat(marker).st_mtime_ns == m1  # served, not rebuilt
+
+    cb1 = pq._index_codebook(spark, emb_copy, emb_n).count()
+    assert cb1 == pq.M_SUB * pq.K_SUB
+
+    # 'regenerate' embeddings: bump mtime — both caches must rebuild
+    src = os.path.join(emb_copy, "embeddings.parquet")
+    os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1))
+    ivf._index_centroids(spark, emb_copy, emb_n).count()
+    assert os.stat(marker).st_mtime_ns > m1  # rebuilt

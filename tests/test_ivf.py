@@ -90,7 +90,7 @@ def test_lloyd_moves_centroids_and_keeps_recall(spark):
         r.cid: list(r.cemb) for r in ivf._centroids(emb_n).collect()
     }
     refined = {
-        r.cid: list(r.cemb) for r in ivf._index_centroids(emb_n).collect()
+        r.cid: list(r.cemb) for r in ivf._build_centroids(emb_n).collect()
     }
     assert set(seeds) == set(refined)  # ids stable across refinement
     assert any(seeds[c] != refined[c] for c in seeds)

@@ -265,48 +265,106 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k through the inverted file: each query (vec_id <
-    N_QUERIES) probes its N_PROBE nearest centroid lists and
-    exact-cosine re-ranks only those candidates."""
+_LISTS_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "ivf_lists")
+
+
+def _lists_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("centroid_id", T.LongType()),
+        ]
+    )
+
+
+def inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted lists themselves, persisted as parquet
+    PARTITIONED BY centroid_id — the on-disk layout a real IVF index
+    uses: a probe of N_PROBE lists reads N_PROBE partition
+    directories and nothing else (PartitionFilters, not a full-corpus
+    scan). Fingerprint-invalidated like the centroid cache."""
+    emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = _index_centroids(spark, sf_dir, emb_n)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        _LISTS_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "index_version": INDEX_VERSION,
+        "params": [K_CENTROIDS, LLOYD_ITERS, TRAIN_N],
+    }
+    if not _fingerprint_ok(marker, fp):
+        (
+            _assigned(emb_n, _centroid_row(cents))
+            .select("vec_id", "embedding", "norm", "centroid_id")
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(_lists_schema()).parquet(path)
+
+
+def topk_for(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF top-k for an arbitrary bounded query frame
+    (query_id, embedding) — the SERVING entry: each query probes its
+    N_PROBE nearest centroid lists in the persisted index and
+    exact-cosine re-ranks only those candidates. The query side is
+    broadcast (bounded by contract: a micro-batch, a user request
+    set); the corpus side is the partitioned lists scan, pruned to
+    the probed centroid directories. `exclude_self` drops
+    neighbor_id == query_id matches for self-query demos."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     cents_row = _centroid_row(_index_centroids(spark, sf_dir, emb_n))
-    corpus = _assigned(emb_n, cents_row).select(
+    corpus = inverted_lists(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
         F.col("norm").alias("nn"),
         "centroid_id",
     )
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
     # desc-sorted scored array -> first N_PROBE centroid ids
     probe_cids = F.transform(
         F.slice(
             F.reverse(
-                F.array_sort(
-                    _scored_cents(F.col("embedding"), F.col("norm"))
-                )
+                F.array_sort(_scored_cents(F.col("qe"), F.col("qn")))
             ),
             1,
             N_PROBE,
         ),
         lambda s: -s["ncid"],
     )
-    probes = (
-        emb_n.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents_row))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("norm").alias("qn"),
-            F.explode(probe_cids).alias("centroid_id"),
-        )
+    probes = q.crossJoin(F.broadcast(cents_row)).select(
+        "query_id",
+        "qe",
+        "qn",
+        F.explode(probe_cids).alias("centroid_id"),
     )
     cos = _cosine_from(
         _dot(F.col("qe"), F.col("ne")), F.col("qn"), F.col("nn")
     )
-    scored = (
-        corpus.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos"))
+    scored = corpus.join(F.broadcast(probes), "centroid_id")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -317,6 +375,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the inverted file: each query (vec_id <
+    N_QUERIES) probes its N_PROBE nearest centroid lists and
+    exact-cosine re-ranks only those candidates. A thin wrapper over
+    `topk_for`, the general serving entry."""
+    emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
+    queries = emb_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_for(spark, sf_dir, queries, exclude_self=True)
 
 
 QUERIES = {

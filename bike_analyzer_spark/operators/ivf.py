@@ -318,6 +318,7 @@ def topk_for(
     sf_dir: str,
     queries: DataFrame,
     exclude_self: bool = False,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k for an arbitrary bounded query frame
     (query_id, embedding) — the SERVING entry: each query probes its
@@ -326,10 +327,14 @@ def topk_for(
     broadcast (bounded by contract: a micro-batch, a user request
     set); the corpus side is the partitioned lists scan, pruned to
     the probed centroid directories. `exclude_self` drops
-    neighbor_id == query_id matches for self-query demos."""
+    neighbor_id == query_id matches for self-query demos; `lists`
+    substitutes a caller-maintained lists frame (e.g. the streaming
+    ingest's growing index) for the per-sf_dir corpus cache."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     cents_row = _centroid_row(_index_centroids(spark, sf_dir, emb_n))
-    corpus = inverted_lists(spark, sf_dir).select(
+    if lists is None:
+        lists = inverted_lists(spark, sf_dir)
+    corpus = lists.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
         F.col("norm").alias("nn"),

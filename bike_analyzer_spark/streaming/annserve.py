@@ -20,9 +20,18 @@ over already-served shards appends nothing).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.ivf import topk_for
+from ..operators.ivf import (
+    _assigned,
+    _centroid_row,
+    _index_centroids,
+    _lists_schema,
+    topk_for,
+)
+from ..operators.similarity import _with_norm
+from ..sources.catalog import load
 
 #: pinned request schema: streaming sources never infer
 QUERY_SCHEMA = T.StructType(
@@ -69,3 +78,62 @@ def run_topk_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str,
+    index_path: str,
+    checkpoint: str,
+) -> None:
+    """Index MAINTENANCE — the write path next to `run_topk_to_parquet`'s
+    read path: newly embedded vectors land continuously, each
+    micro-batch is assigned under the FROZEN trained centroids (the
+    standard IVF maintenance contract: the coarse quantizer retrains
+    offline on a schedule, arrivals between retrains file into the
+    existing lists), and appends to a caller-owned partitioned lists
+    store. Exactly-once per shard via the checkpoint; the store is
+    immediately servable with `serve_index` / `ivf.topk_for`."""
+    cents_row = _centroid_row(
+        _index_centroids(
+            spark, sf_dir, _with_norm(load(spark, sf_dir, "embeddings"))
+        )
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _assigned(
+                _with_norm(
+                    batch_df.withColumnRenamed("query_id", "vec_id")
+                ),
+                cents_row,
+            )
+            .select("vec_id", "embedding", "norm", "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(index_path)
+        )
+
+    q = (
+        vector_query_stream(spark, landing_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def serve_index(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    index_path: str,
+) -> DataFrame:
+    """Top-k against a streaming-maintained lists store (same probe
+    path as the corpus queries; same partition-pruned scan shape)."""
+    lists = spark.read.schema(_lists_schema()).parquet(index_path)
+    return topk_for(spark, sf_dir, queries, lists=lists)

@@ -102,3 +102,55 @@ def test_probe_scan_is_partition_pruned(spark):
     df = ivf.topk_for(spark, SF_DIR_SMOKE, queries)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_index_ingest_and_serve(spark, tmp_path):
+    """The maintenance path: landed vector shards append to a
+    caller-owned lists store under the frozen centroids, the store
+    serves identically to a batch-built lists frame over the same
+    vectors, and shard replay is exactly-once."""
+    from bike_analyzer_spark.operators.similarity import _with_norm
+    from bike_analyzer_spark.sources.catalog import load as cat_load
+
+    flat, all_rows = _query_shards(spark, tmp_path)
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    annserve.run_index_ingest(spark, SF_DIR_SMOKE, flat, index, ckpt)
+
+    lists = spark.read.schema(ivf._lists_schema()).parquet(index)
+    n1 = lists.count()
+    assert n1 == len(all_rows)  # every landed vector filed into a list
+
+    # serving parity vs a batch-built lists frame over the same vectors
+    emb_n = _with_norm(cat_load(spark, SF_DIR_SMOKE, "embeddings"))
+    cents_row = ivf._centroid_row(
+        ivf._index_centroids(spark, SF_DIR_SMOKE, emb_n)
+    )
+    landed = spark.createDataFrame(all_rows, annserve.QUERY_SCHEMA)
+    batch_lists = ivf._assigned(
+        _with_norm(landed.withColumnRenamed("query_id", "vec_id")),
+        cents_row,
+    ).select("vec_id", "embedding", "norm", "centroid_id")
+    queries = landed.filter(F.col("query_id") < 10_003)
+    served = sorted(
+        map(
+            tuple,
+            annserve.serve_index(spark, SF_DIR_SMOKE, queries, index).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            ivf.topk_for(
+                spark, SF_DIR_SMOKE, queries, lists=batch_lists
+            ).collect(),
+        )
+    )
+    assert served == direct
+    assert len(served) > 0
+
+    # replay: same landing dir + checkpoint appends nothing
+    annserve.run_index_ingest(spark, SF_DIR_SMOKE, flat, index, ckpt)
+    assert (
+        spark.read.schema(ivf._lists_schema()).parquet(index).count() == n1
+    )

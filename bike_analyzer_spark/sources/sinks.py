@@ -186,3 +186,49 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     return n_before, n_after
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+    salt: str = "shuffle",
+) -> None:
+    """Deterministic global corpus shuffle into training shards — the
+    one-time 'shuffle the corpus before training' job every LLM run
+    starts with: rows are ordered by a portable md5 hash of their key
+    (+ salt), range-partitioned into n_shards on that order, and each
+    shard is written sorted. Properties a training pipeline needs:
+
+    * deterministic — same (corpus, salt) always yields the same
+      shard assignment AND the same within-shard order (resumable,
+      reproducible runs; no RNG state to persist);
+    * re-shuffleable — a new salt is a fresh independent permutation
+      (epoch reshuffles without rewriting the reader);
+    * balanced — the hash is uniform, so repartitionByRange's sampled
+      range bounds split it evenly; no shard inherits upstream
+      clustering (source/time locality in doc_id ranges).
+
+    Scale shape: one hash-exchange on a uniform key + a per-shard
+    sort — the cost of any global shuffle, and the ONLY place the
+    pipeline pays it. Shard assignment is an EXPLICIT hash partition
+    (`repartition(n, key)`) rather than `repartitionByRange`: range
+    bounds come from a sampling pass whose seed varies per run, so a
+    range layout is neither rerun-stable nor sampling-free; the hash
+    layout is a pure function of the data. The sort key is dropped
+    before the write so shard files carry the corpus schema
+    unchanged.
+    """
+    from ..functions.textfns import hash64
+
+    keyed = df.withColumn(
+        "_shuffle_key", hash64(F.col(key).cast("string"), salt)
+    )
+    (
+        keyed.repartition(n_shards, "_shuffle_key")
+        .sortWithinPartitions("_shuffle_key", key)
+        .drop("_shuffle_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

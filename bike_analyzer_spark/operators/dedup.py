@@ -127,8 +127,13 @@ def band_rows(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 
 def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Band the signature and self-join per (band, band-signature)
-    bucket: pairs agreeing on ALL rows of any band become candidates."""
-    banded = band_rows(sigs, bands)
+    bucket: pairs agreeing on ALL rows of any band become candidates.
+
+    The band table is lazily materialized: it feeds BOTH sides of the
+    self-join, and without the checkpoint Spark re-runs the full
+    shingle+minhash pipeline per side (plan-audited — the same
+    shared-subtree lesson as semdedup/dsir in round 6)."""
+    banded = band_rows(sigs, bands).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -147,7 +152,12 @@ def _jaccard_for(
     candidates: DataFrame, ds: DataFrame, floor: float
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: intersection via
-    a shingle equi-join, union by inclusion-exclusion."""
+    a shingle equi-join, union by inclusion-exclusion.
+
+    `ds` is consumed THREE times (set sizes + both join sides), so it
+    materializes lazily once instead of re-exploding the corpus per
+    consumer."""
+    ds = ds.localCheckpoint(eager=False)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = ds.select(F.col("doc_id").alias("a"), "sh")
     b_sh = ds.select(F.col("doc_id").alias("b"), "sh")
@@ -308,7 +318,10 @@ def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
-    banded = band_rows(minhash_signatures(docs))
+    # materialized once: both sides of the shard-vs-store join read it
+    banded = band_rows(minhash_signatures(docs)).localCheckpoint(
+        eager=False
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(

@@ -251,7 +251,12 @@ def od_flow_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     total arrived) — the greedy loop's invariant, checkable in SQL.
     This is the SQL-expressible face of U2, used as its oracle.
     """
-    deltas = bucket_deltas(spark, sf_dir, minutes=10)
+    # materialized once: the kernel and the departed/arrived audit
+    # both consume the delta frame — without the checkpoint the whole
+    # events window pipeline runs twice
+    deltas = bucket_deltas(spark, sf_dir, minutes=10).localCheckpoint(
+        eager=False
+    )
     flows = (
         _kernel_repartition(deltas)
         .mapInPandas(_match_partition, schema=FLOW_SCHEMA)

@@ -330,13 +330,59 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_CODES_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "pq_codes")
+
+
+def _codes_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("norm", T.DoubleType()),
+        ]
+    )
+
+
+def encoded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index payload — every vector's packed code + norm —
+    PERSISTED per sf_dir like the codebooks: the codes ARE the index
+    (8 bytes/vector), and search should scan the stored 32x-compressed
+    table, not re-encode the full-width corpus per query."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        _CODES_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "index_version": INDEX_VERSION,
+        "params": [M_SUB, K_SUB, LLOYD_ITERS, TRAIN_N],
+    }
+    if not _fingerprint_ok(marker, fp):
+        emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
+        cb_row = _codebook_row(_index_codebook(spark, sf_dir, emb_n))
+        (
+            _encoded(emb_n, cb_row)
+            .select("vec_id", "code", "norm")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(_codes_schema()).parquet(path)
+
+
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ ANN: ADC scoring of every corpus code against the
     broadcast per-query distance tables, then exact-cosine re-rank of
-    the top-RERANK candidates."""
+    the top-RERANK candidates. The corpus side reads the PERSISTED
+    code table (8 bytes/vector); full vectors are touched only by the
+    RERANK-candidate re-join."""
     emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
     cb_row = _codebook_row(_index_codebook(spark, sf_dir, emb_n))
-    codes = _encoded(emb_n, cb_row).select(
+    codes = encoded_codes(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"), "code", F.col("norm").alias("nn")
     )
     # query-side ADC tables: dot(q_sub_m, cw(m, j)) for all 128

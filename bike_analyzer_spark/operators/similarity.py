@@ -216,7 +216,11 @@ def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs sharing any (table, bucket), scored with exact
     cosine — the shared core of sim_lsh_candidates and
     dedup_embed_cosine."""
-    buckets = _lsh_buckets(load(spark, sf_dir, "embeddings"))
+    # materialized once: the bucket projection (a per-row matmul fold)
+    # feeds both sides of the candidate self-join
+    buckets = _lsh_buckets(
+        load(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=False)
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
         l.join(

@@ -20,6 +20,7 @@ from bike_analyzer_spark.operators import (
     asof,
     curate,
     dedup,
+    fuzzy,
     graph,
     hypertable,
     importance,
@@ -88,22 +89,24 @@ _dedup_head = _Slice(dedup, ["dedup_incr_near"])
 _dedup_tail = _Slice(
     dedup, [k for k in dedup.QUERIES if k != "dedup_incr_near"]
 )
+_readers_head = _Slice(readers, ["p2_time_range", "s14_sql_corpus"])
+_readers_tail = _Slice(readers, ["p1_projected_notnull"])
 
 _MODULES = [
-    # r6 window (exactly 50 queries, 40 of them unproven): the new
-    # semdedup + importance + substring + vocab + packing modules
-    # (streak 0), every module touched by the r5 events.ts unit
-    # invalidation (streak forced to 0, see tests/test_rotation.py),
-    # and the two 1-streak pq queries. 40 unproven queries leave only
-    # 10 window slots for proven tails, finer than whole-module
-    # ordering can express — so kpi and dedup are sliced (see
-    # _Slice): their unproven queries rotate in at 44-48 while their
-    # proven tails rotate out; dedup_exact (4-streak) fills the one
-    # spare slot at 49.
+    # r6 window (exactly 50 queries, 42 of them unproven): the new
+    # semdedup + importance + substring + vocab + fuzzy + packing
+    # modules (streak 0), every module touched by the r5 events.ts
+    # unit invalidation (streak forced to 0, see
+    # tests/test_rotation.py), and the two 1-streak pq queries. 42
+    # unproven queries leave only 8 window slots for proven tails,
+    # finer than whole-module ordering can express — so kpi, dedup,
+    # and readers are sliced (see _Slice): their unproven queries
+    # rotate in while their proven tails rotate out.
     semdedup,
     importance,
     substring,
     vocab,
+    fuzzy,
     packing,
     mixing,
     scrub,
@@ -115,11 +118,12 @@ _MODULES = [
     asof,
     od,
     windows,
-    readers,
+    _readers_head,
     analytics_ext,
     graph,
     _dedup_head,
     _kpi_head,
+    _readers_tail,
     _dedup_tail,
     _kpi_tail,
     # outside the window (all ≥2 consecutive greens, none touch

@@ -1,0 +1,155 @@
+"""Blocked fuzzy matching over `documents` — the record-linkage /
+entity-resolution primitive (Fellegi-Sunter style blocking + edit-
+distance verify) that complements the dedup pack: MinHash/SimHash
+find set-similar documents, fuzzy matching finds STRING-similar ones
+(typos, small edits, near-identical boilerplate with substitutions).
+
+Classic two-phase shape:
+
+1. **Blocking** — candidate pairs must share a cheap key (here: the
+   document's first TWO tokens; one token left blocks ~30-wide on
+   the synthetic vocabulary, so every block capped out at sf0.1).
+   Blocks larger than BLOCK_CAP are dropped
+   entirely (both engines agree on the cap), which bounds the
+   within-block quadratic fan-out no matter how skewed the corpus —
+   the same df-cap discipline dedup_ngram_jaccard uses.
+2. **Verify** — exact Levenshtein distance over each document's
+   PREFIX_LEN-char prefix. Edit distance is integer-valued and both
+   engines implement the same textbook DP, so scores are exactly
+   comparable cross-engine (no float discipline needed at all).
+
+Output is the bounded TOP_PAIRS closest pairs (distance asc, then
+ids) — always non-degenerate, unlike a fixed distance threshold on a
+synthetic corpus — plus a per-block audit.
+
+Scale shape: one shuffle on the block key, quadratic work confined
+within capped blocks, O(PREFIX_LEN^2) per verified pair, bounded
+top-k output. No all-pairs, no UDF (Levenshtein is a JVM built-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens
+from ..sources.catalog import load
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+#: verify window: edit distance runs over the first PREFIX_LEN chars
+PREFIX_LEN = 64
+#: blocks larger than this are dropped before pairing (skew bound)
+BLOCK_CAP = 40
+#: bounded result size
+TOP_PAIRS = 20
+
+
+def _blocked(docs: DataFrame) -> DataFrame:
+    """(doc_id, blk, prefix) for docs in surviving blocks."""
+    t = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.concat_ws(" ", t[0], t[1]).alias("blk"),
+        F.substring("text", 1, PREFIX_LEN).alias("prefix"),
+    )
+    sizes = d.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    return d.join(
+        F.broadcast(sizes.filter(F.col("n") <= BLOCK_CAP)).select("blk"),
+        "blk",
+    )
+
+
+def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOP_PAIRS most string-similar same-block document pairs by
+    prefix edit distance (deterministic: distance asc, a asc, b asc)."""
+    b = _blocked(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    l = b.select(
+        "blk", F.col("doc_id").alias("a"), F.col("prefix").alias("pa")
+    )
+    r = b.select(
+        "blk", F.col("doc_id").alias("b"), F.col("prefix").alias("pb")
+    )
+    return (
+        l.join(r, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+        )
+        .orderBy(F.asc("edit_dist"), F.asc("a"), F.asc("b"))
+        .limit(TOP_PAIRS)
+    )
+
+
+def fuzzy_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking audit: block-key cardinality, capped-out blocks, and
+    the candidate-pair volume the cap admitted — the number that says
+    whether blocking is doing its job before anyone pays the verify."""
+    t = tokens("text")
+    d = load(spark, sf_dir, "documents").select(
+        F.concat_ws(" ", t[0], t[1]).alias("blk")
+    )
+    sizes = d.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("n") > BLOCK_CAP, 1).otherwise(0)).alias(
+            "n_capped"
+        ),
+        F.sum(
+            F.when(
+                F.col("n") <= BLOCK_CAP, F.col("n") * (F.col("n") - 1) / 2
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+        F.max("n").alias("max_block"),
+    )
+
+
+QUERIES = {
+    "fuzzy_pairs": fuzzy_pairs,
+    "fuzzy_block_stats": fuzzy_block_stats,
+}
+
+_BLOCKED_CTE = f"""
+    d AS (
+        SELECT doc_id,
+               array_to_string(({_TOKS})[1:2], ' ') AS blk,
+               substr(text, 1, {PREFIX_LEN}) AS prefix
+        FROM documents
+    ),
+    ok AS (
+        SELECT blk FROM d GROUP BY blk HAVING count(*) <= {BLOCK_CAP}
+    ),
+    b AS (SELECT d.* FROM d JOIN ok USING (blk))
+"""
+
+ORACLES = {
+    "fuzzy_pairs": f"""
+        WITH {_BLOCKED_CTE}
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(levenshtein(l.prefix, r.prefix) AS INT) AS edit_dist
+        FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+        ORDER BY edit_dist ASC, a ASC, b ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    "fuzzy_block_stats": f"""
+        WITH sizes AS (
+            SELECT array_to_string(({_TOKS})[1:2], ' ') AS blk,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        )
+        SELECT count(*) AS n_blocks,
+               CAST(sum(CASE WHEN n > {BLOCK_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped,
+               CAST(sum(CASE WHEN n <= {BLOCK_CAP}
+                             THEN n * (n - 1) / 2 ELSE 0 END)
+                    AS BIGINT) AS n_candidate_pairs,
+               max(n) AS max_block
+        FROM sizes
+    """,
+}

@@ -8,6 +8,7 @@ Usage:
     python -m bike_analyzer_spark.cli ingest-weather --warehouse DIR
         --start -2d --end +2d [--fixture payload.json]
     python -m bike_analyzer_spark.cli query NAME [--sf-dir DIR]
+    python -m bike_analyzer_spark.cli explain NAME [--mode formatted]
     python -m bike_analyzer_spark.cli list-queries
 """
 
@@ -44,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list-queries", help="list the query corpus")
+
+    e = sub.add_parser(
+        "explain", help="print a query's optimized physical plan"
+    )
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
 
     args = p.parse_args(argv)
 
@@ -88,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = queries[args.name](_spark(), args.sf_dir)
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "explain":
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 2
+        queries[args.name](_spark(), args.sf_dir).explain(args.mode)
         return 0
 
     return 2

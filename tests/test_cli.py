@@ -30,3 +30,18 @@ def test_cli_list_and_unknown_query(spark, capsys):
     names = capsys.readouterr().out.split()
     assert "q1_network_summary" in names and len(names) >= 40
     assert cli.main(["query", "nope_not_real"]) == 2
+
+
+def test_cli_explain(spark, capsys):
+    from tests.conftest import SF_DIR_SMOKE
+
+    assert (
+        cli.main(
+            ["explain", "q2_top10_value_ratio", "--sf-dir", SF_DIR_SMOKE]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "Scan parquet" in out
+    assert cli.main(["explain", "nope_not_real"]) == 2

@@ -6,6 +6,7 @@ import pytest
 
 from bike_analyzer_spark.operators import (
     dedup,
+    fuzzy,
     importance,
     kpi,
     lm,
@@ -13,7 +14,9 @@ from bike_analyzer_spark.operators import (
     packing,
     scrub,
     semdedup,
+    substring,
     text,
+    vocab,
     windows,
 )
 from tests.conftest import SF_DIR_SMOKE, make_duck
@@ -35,6 +38,9 @@ CASES = [
     (dedup, "dedup_incr_near"),
     (semdedup, "semdedup_summary"),
     (importance, "dsir_select"),
+    (substring, "span_top_shared"),
+    (vocab, "vocab_summary"),
+    (fuzzy, "fuzzy_pairs"),
 ]
 
 @pytest.fixture(scope="module")

@@ -62,3 +62,17 @@ def test_edit_distance_against_scalar_reference(spark):
     }
     for r in fuzzy.fuzzy_pairs(spark, SF_DIR_ORACLE).collect():
         assert r.edit_dist == lev(docs[r.a], docs[r.b]), (r.a, r.b)
+
+
+def test_pairs_plan_has_no_cartesian(spark):
+    """The blocking contract in the plan: the pair join is an
+    equi-join on the block key — no CartesianProduct, no
+    BroadcastNestedLoopJoin over documents."""
+    plan = (
+        fuzzy.fuzzy_pairs(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

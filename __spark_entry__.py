@@ -43,6 +43,7 @@ from bike_analyzer_spark.operators import (
     similarity,
     substring,
     text,
+    tpch,
     vocab,
     windows,
 )
@@ -77,31 +78,44 @@ class _Slice:
         }
 
 
-_KPI_UNPROVEN = [
-    "q1_network_summary",
-    "q3_hourly_profile",
-    "q4_hourly_correlation",
-    "a2_time_bounds",
-]
-_kpi_head = _Slice(kpi, _KPI_UNPROVEN)
-_kpi_tail = _Slice(kpi, [k for k in kpi.QUERIES if k not in _KPI_UNPROVEN])
-_dedup_head = _Slice(dedup, ["dedup_incr_near"])
-_dedup_tail = _Slice(
-    dedup, [k for k in dedup.QUERIES if k != "dedup_incr_near"]
+def _split(mod, head_names):
+    head = _Slice(mod, head_names)
+    tail = _Slice(mod, [k for k in mod.QUERIES if k not in head_names])
+    return head, tail
+
+
+_kpi_head, _kpi_tail = _split(
+    kpi,
+    [
+        "q1_network_summary",
+        "q3_hourly_profile",
+        "q4_hourly_correlation",
+        "a2_time_bounds",
+    ],
 )
-_readers_head = _Slice(readers, ["p2_time_range", "s14_sql_corpus"])
-_readers_tail = _Slice(readers, ["p1_projected_notnull"])
+_dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
+_readers_head, _readers_tail = _split(
+    readers, ["p2_time_range", "s14_sql_corpus"]
+)
+_windows_head, _windows_tail = _split(
+    windows, ["w1_lag_delta", "a7_last_per_bucket", "w3_latest_snapshot"]
+)
+_ana_head, _ana_tail = _split(
+    analytics_ext, ["rollup_by_type_hour", "pivot_hour_by_type"]
+)
+_graph_head, _graph_tail = _split(graph, ["od_pagerank"])
 
 _MODULES = [
-    # r6 window (exactly 50 queries, 42 of them unproven): the new
-    # semdedup + importance + substring + vocab + fuzzy + packing
-    # modules (streak 0), every module touched by the r5 events.ts
-    # unit invalidation (streak forced to 0, see
-    # tests/test_rotation.py), and the two 1-streak pq queries. 42
-    # unproven queries leave only 8 window slots for proven tails,
+    # r6 window (exactly 50 queries, 46 of them unproven): the new
+    # tpch + semdedup + importance + substring + vocab + fuzzy +
+    # packing modules (streak 0), every module touched by the r5
+    # events.ts unit invalidation (streak forced to 0, see
+    # tests/test_rotation.py), and the two 1-streak pq queries. 46
+    # unproven queries leave only 4 window slots for proven tails,
     # finer than whole-module ordering can express — so kpi, dedup,
     # and readers are sliced (see _Slice): their unproven queries
     # rotate in while their proven tails rotate out.
+    tpch,
     semdedup,
     importance,
     substring,
@@ -117,12 +131,15 @@ _MODULES = [
     hypertable,
     asof,
     od,
-    windows,
+    _windows_head,
     _readers_head,
-    analytics_ext,
-    graph,
+    _ana_head,
+    _graph_head,
     _dedup_head,
     _kpi_head,
+    _windows_tail,
+    _ana_tail,
+    _graph_tail,
     _readers_tail,
     _dedup_tail,
     _kpi_tail,

@@ -1,0 +1,307 @@
+"""Warehouse-grade star-join suite over the TPC-H-shaped testdata
+(public TPC-H specification, queries Q1/Q3/Q5/Q10 shapes).
+
+The reference's joins max out at one fact→dim hop
+(sql/queries.sql:16-59); a production analytics engine also has to
+run the classic multi-way star plans — chained dimension joins,
+fact-fact shuffle joins, map-side partial aggregation over a
+selective scan. This module adds those shapes over the
+lineitem/orders/customer/supplier/nation/region testdata, which is
+already TPC-H-ish (TESTDATA.md).
+
+Join strategy at 100 TB:
+
+* `region`/`nation` are constant-sized — ALWAYS broadcast
+  (explicit `F.broadcast`, no reliance on autoBroadcast threshold).
+* `supplier` and filtered `customer` grow with SF (10k/SF and
+  ~30k/SF rows) — borderline at SF≥100, so sizing is left to AQE,
+  which broadcasts them while they fit and shuffle-joins past that.
+  Hard-coding broadcast here would OOM the driver at scale.
+* `orders ⋈ lineitem` is the fact-fact join: both sides shuffle on
+  orderkey (co-partitioned; in a real warehouse these two would be
+  bucketed on orderkey — `sources/bucketing.py` — turning it into a
+  zero-exchange SortMergeJoin).
+* Every aggregation is declarative groupBy→agg, so Catalyst plants a
+  partial hash aggregate before the exchange; the selective date /
+  segment / flag predicates all reach the parquet scan as
+  PushedFilters (asserted in tests/test_tpch.py).
+
+Exact cross-engine money math: prices, discounts, taxes, and account
+balances are 2-decimal and quantities are integral (verified on the
+fixtures), so each factor is lifted to exact integers —
+`round(x*100)` cents / percent — and every revenue sum happens in
+bigint units: price_cents × (100−disc) [× (100+tax)]. Division back
+to dollars happens ONCE, on the final aggregate, so double summation
+order can never flip a rounded result between engines. DuckDB sums
+of BIGINT widen to HUGEINT, so oracle SQL casts each sum back to
+BIGINT before the final division — keeping both engines' output
+schemas identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+
+#: Q1 scan cutoff (data spans 1995-01-02 .. 2001-11-04)
+Q1_CUTOFF = "2000-12-31"
+#: Q3 split date: orders placed before, lineitems shipped after
+Q3_DATE = "1999-03-15"
+Q3_SEGMENT = "BUILDING"
+#: Q5 one-year order window + region
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+Q5_REGION = "ASIA"
+#: Q10 one-quarter order window
+Q10_START, Q10_END = "1998-10-01", "1999-01-01"
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+def _cents(col: str) -> F.Column:
+    """2-decimal dollars → exact integer cents."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _pct(col: str) -> F.Column:
+    """2-decimal rate → exact integer percent."""
+    return F.round(F.col(col) * 100, 0).cast("int")
+
+
+#: lineitem with the exact-integer money columns attached
+def _li_money(li: DataFrame) -> DataFrame:
+    return li.withColumns(
+        {
+            "price_c": _cents("l_extendedprice"),
+            "disc_p": _pct("l_discount"),
+            "tax_p": _pct("l_tax"),
+            # cents·percent units; /10000.0 = dollars
+            "rev_u": _cents("l_extendedprice")
+            * (F.lit(100) - _pct("l_discount")),
+        }
+    )
+
+
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: single-scan pricing summary. One selective scan
+    (shipdate pushed down), partial-aggregated map-side into 6
+    (returnflag, linestatus) groups — the canonical 'agg collapses at
+    the mapper' plan; at 100 TB the exchange moves 6 rows per task.
+    """
+    li = _li_money(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= _ts(Q1_CUTOFF)
+        )
+    ).withColumn("qty", F.round("l_quantity", 0).cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.round(F.sum("price_c") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum("rev_u") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("rev_u") * (F.lit(100) + F.col("tax_p")))
+                / 1000000.0,
+                2,
+            ).alias("sum_charge"),
+            F.round(F.sum("qty") / n, 4).alias("avg_qty"),
+            F.round(F.sum("price_c") / (100.0 * n), 4).alias("avg_price"),
+            F.round(F.sum("disc_p") / (100.0 * n), 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: top-10 open-order revenue. Filtered customer dim →
+    orders (AQE-sized join), then the orderkey fact-fact join, then a
+    3-key aggregate and a bounded TakeOrderedAndProject. Revenue ties
+    break on orderkey so the LIMIT is total-order deterministic."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts(Q3_DATE)
+    )
+    li = _li_money(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > _ts(Q3_DATE)
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+def tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: local-supplier volume by nation — the 6-table star.
+    region⋈nation collapse to a broadcast key set; supplier joins on
+    suppkey with the LOCAL-supplier constraint (c_nationkey =
+    s_nationkey) applied as a post-join filter; the only big
+    exchanges are the two fact shuffles on orderkey/custkey."""
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q5_START))
+        & (F.col("o_orderdate") < _ts(Q5_END))
+    )
+    cust = load(spark, sf_dir, "customer")
+    li = _li_money(load(spark, sf_dir, "lineitem"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by returned-item revenue in one
+    quarter. returnflag + date predicates push into both fact scans;
+    customer joins AQE-sized; nation broadcast. custkey tiebreak
+    makes the LIMIT deterministic."""
+    li = _li_money(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q10_START))
+        & (F.col("o_orderdate") < _ts(Q10_END))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+#: shared money-lifting CTE body for the oracles (DuckDB side).
+#: CAST(sum(...) AS BIGINT) everywhere: DuckDB widens BIGINT sums to
+#: HUGEINT, which would leak into the output schema otherwise.
+_LI_MONEY = """
+    SELECT l.*,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS INT) AS disc_p,
+           CAST(round(l_tax * 100) AS INT) AS tax_p,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS INT)) AS rev_u
+    FROM lineitem l
+"""
+
+QUERIES = {
+    "tpch_pricing_summary": tpch_pricing_summary,
+    "tpch_shipping_priority": tpch_shipping_priority,
+    "tpch_regional_revenue": tpch_regional_revenue,
+    "tpch_returned_items": tpch_returned_items,
+}
+
+ORACLES = {
+    "tpch_pricing_summary": f"""
+        WITH li AS ({_LI_MONEY})
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty,
+               round(CAST(sum(price_c) AS BIGINT) / 100.0, 2)
+                 AS sum_base_price,
+               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2)
+                 AS sum_disc_price,
+               round(CAST(sum(rev_u * (100 + tax_p)) AS BIGINT)
+                     / 1000000.0, 2) AS sum_charge,
+               round(CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+                 AS avg_qty,
+               round(CAST(sum(price_c) AS BIGINT)
+                     / (100.0 * count(*)), 4) AS avg_price,
+               round(CAST(sum(disc_p) AS BIGINT)
+                     / (100.0 * count(*)), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM li
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_shipping_priority": f"""
+        WITH li AS ({_LI_MONEY})
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+        FROM li
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+          AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_regional_revenue": f"""
+        WITH li AS ({_LI_MONEY})
+        SELECT n_name,
+               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+        FROM li
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q5_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_START}'
+          AND o_orderdate < TIMESTAMP '{Q5_END}'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "tpch_returned_items": f"""
+        WITH li AS ({_LI_MONEY})
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+               n_name,
+               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+        FROM li
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{Q10_START}'
+          AND o_orderdate < TIMESTAMP '{Q10_END}'
+        GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+}

@@ -126,8 +126,14 @@ def test_compression_ratio_and_reconstruction(spark):
     max_code = pq.K_SUB**pq.M_SUB - 1
     assert all(0 <= r.code <= max_code for r in enc)
     assert all(r.recon_err is not None and r.recon_err >= 0 for r in enc)
-    # more than one distinct code overall — the codebook separates data
-    assert len({r.code for r in enc}) > 1
+    # non-degeneracy, per-subspace: some subspace uses >2 distinct
+    # 4-bit digits across rows (not just "more than one code overall")
+    digits = [
+        {(r.code >> (4 * m)) & 0xF for r in enc} for m in range(pq.M_SUB)
+    ]
+    assert any(len(d) > 2 for d in digits), (
+        "every subspace collapsed to <=2 codewords — degenerate codebook"
+    )
     # ...and at least one subspace actually uses >2 of its 16 codewords
     # (unpack digit m as (code >> 4m) & 15), so quantization is not a
     # degenerate 1-or-2-centroid split in every subspace

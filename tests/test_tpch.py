@@ -1,0 +1,88 @@
+"""TPC-H-shaped star joins: oracle parity, exact-money agreement
+with naive double math, and the plan shapes the module's docstring
+promises (pushdown, partial aggregation, broadcast dims)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import tpch
+from bike_analyzer_spark.sources.catalog import load
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(tpch.QUERIES))
+def test_tpch_vs_oracle(spark, duck, name):
+    df = tpch.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, tpch.ORACLES[name], name=name)
+
+
+def test_pricing_summary_shape(spark):
+    """All 6 (returnflag, linestatus) groups survive the cutoff, and
+    the integer-cents revenue agrees with naive double-precision
+    revenue to within rounding noise."""
+    rows = tpch.tpch_pricing_summary(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 6
+    naive = (
+        load(spark, SF_DIR_ORACLE, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit(tpch.Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+        .collect()
+    )
+    by_key = {(r.l_returnflag, r.l_linestatus): r.rev for r in naive}
+    for r in rows:
+        assert r.sum_disc_price == pytest.approx(
+            by_key[(r.l_returnflag, r.l_linestatus)], abs=0.02
+        )
+        assert 0 <= r.avg_disc <= 0.11
+        assert r.sum_base_price >= r.sum_disc_price
+        assert r.sum_charge >= r.sum_disc_price
+
+
+def test_shipping_priority_deterministic_top10(spark):
+    rows = tpch.tpch_shipping_priority(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # an order is only open if placed before the split date
+    assert all(
+        r.o_orderdate.isoformat() < tpch.Q3_DATE for r in rows
+    )
+
+
+def test_regional_revenue_is_regional(spark, duck):
+    rows = tpch.tpch_regional_revenue(spark, SF_DIR_ORACLE).collect()
+    asia = {
+        r[0]
+        for r in duck.sql(
+            "SELECT n_name FROM nation JOIN region "
+            "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"
+        ).fetchall()
+    }
+    assert {r.n_name for r in rows} <= asia
+    assert len(rows) > 0
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_plan_shapes(spark):
+    """Date/flag/segment predicates reach the scans; nation/region
+    stay broadcast; aggregation is partial before the exchange."""
+    q1 = tpch.tpch_pricing_summary(spark, SF_DIR_ORACLE)
+    p1 = q1._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p1
+    assert "partial_sum" in p1.lower() or "HashAggregate" in p1
+
+    q5 = tpch.tpch_regional_revenue(spark, SF_DIR_ORACLE)
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p5
+    assert "CartesianProduct" not in p5
+
+    q10 = tpch.tpch_returned_items(spark, SF_DIR_ORACLE)
+    p10 = q10._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert "TakeOrderedAndProject" in p10

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bike_analyzer_spark.operators import (
     analytics_ext,
     asof,
+    classifier,
     curate,
     dedup,
     fuzzy,
@@ -26,6 +27,7 @@ from bike_analyzer_spark.operators import (
     importance,
     ivf,
     kpi,
+    layout,
     lm,
     mixing,
     multimodal,
@@ -98,7 +100,13 @@ _readers_head, _readers_tail = _split(
     readers, ["p2_time_range", "s14_sql_corpus"]
 )
 _windows_head, _windows_tail = _split(
-    windows, ["w1_lag_delta", "a7_last_per_bucket", "w3_latest_snapshot"]
+    windows,
+    [
+        "w1_lag_delta",
+        "w4_sliding_hour_avg",
+        "a7_last_per_bucket",
+        "w3_latest_snapshot",
+    ],
 )
 _ana_head, _ana_tail = _split(
     analytics_ext, ["rollup_by_type_hour", "pivot_hour_by_type"]
@@ -106,16 +114,19 @@ _ana_head, _ana_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_pagerank"])
 
 _MODULES = [
-    # r6 window (exactly 50 queries, 46 of them unproven): the new
-    # tpch + semdedup + importance + substring + vocab + fuzzy +
-    # packing modules (streak 0), every module touched by the r5
-    # events.ts unit invalidation (streak forced to 0, see
-    # tests/test_rotation.py), and the two 1-streak pq queries. 46
-    # unproven queries leave only 4 window slots for proven tails,
-    # finer than whole-module ordering can express — so kpi, dedup,
-    # and readers are sliced (see _Slice): their unproven queries
-    # rotate in while their proven tails rotate out.
+    # r6 window (exactly 50 queries, ALL 50 unproven — zero slack):
+    # the new tpch + classifier + layout + w4 + semdedup + importance
+    # + substring + vocab + fuzzy + packing queries (streak 0), every
+    # module touched by the r5 events.ts unit invalidation (streak
+    # forced to 0, see tests/test_rotation.py), and the two 1-streak
+    # pq queries. Zero slots remain for proven tails — kpi, dedup,
+    # readers, windows, analytics_ext, and graph are sliced (see
+    # _Slice): their unproven queries rotate in while their proven
+    # tails rotate out. Adding ONE more driver query this round would
+    # push an unproven query outside the window (test_rotation red).
     tpch,
+    classifier,
+    layout,
     semdedup,
     importance,
     substring,

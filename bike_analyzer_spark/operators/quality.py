@@ -251,9 +251,10 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
 }
 
-ORACLES = {
-    "text_quality_rules": f"""
-        WITH t AS (
+#: DuckDB twin of `rule_flags`'s metric computation (shared with the
+#: classifier module, which uses the combined verdict as its weak
+#: training label) — a WITH-clause fragment defining t and m.
+GATE_METRICS_CTES = f"""t AS (
             SELECT doc_id, text, {_TOKS} AS toks FROM documents
         ),
         m AS (
@@ -267,7 +268,19 @@ ORACLES = {
                        x -> x IN ({_sql_list(STOPWORDS)}))) AS stop_hits,
                    {_max_token_count_duck("toks")} / len(toks) AS top_ratio
             FROM t
-        )
+        )"""
+
+#: DuckDB twin of the combined keep verdict, over the m columns
+KEEP_EXPR = f"""(n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS})
+                   AND (mean_len >= {MIN_MEAN_LEN}
+                        AND mean_len <= {MAX_MEAN_LEN})
+                   AND sym_ratio <= {MAX_SYMBOL_RATIO}
+                   AND stop_hits >= {MIN_STOPWORD_HITS}
+                   AND top_ratio <= {MAX_TOP_TOKEN_RATIO}"""
+
+ORACLES = {
+    "text_quality_rules": f"""
+        WITH {GATE_METRICS_CTES}
         SELECT doc_id,
                n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS}
                    AS rule_word_count,
@@ -276,12 +289,7 @@ ORACLES = {
                sym_ratio <= {MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
                stop_hits >= {MIN_STOPWORD_HITS} AS rule_stopwords,
                top_ratio <= {MAX_TOP_TOKEN_RATIO} AS rule_repetition,
-               (n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS})
-                   AND (mean_len >= {MIN_MEAN_LEN}
-                        AND mean_len <= {MAX_MEAN_LEN})
-                   AND sym_ratio <= {MAX_SYMBOL_RATIO}
-                   AND stop_hits >= {MIN_STOPWORD_HITS}
-                   AND top_ratio <= {MAX_TOP_TOKEN_RATIO} AS keep
+               {KEEP_EXPR} AS keep
         FROM m
     """,
     "text_repetition": f"""

@@ -198,8 +198,62 @@ def a11_top20_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_sliding_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: trailing one-hour time-RANGE frame per event type — the
+    moving-average idiom a status dashboard wants ("average over the
+    LAST HOUR as of each event", not a fixed row count and not a
+    tumbling bucket). `rangeBetween` on epoch seconds, so frames
+    follow event TIME; row-frame windows can't express this when
+    sampling is uneven.
+
+    Exactness: values are quantized ONCE to integer milli-units, so
+    frame sums are exact integers no matter how each engine
+    evaluates the frame (Spark slides per row; DuckDB may use
+    segment trees — float accumulation order would differ). The
+    mean stays INTEGER too — micro-units via integer division —
+    because a rounded double mean sits exactly on a .5 rounding
+    boundary whenever the frame count is a power of two times a
+    5-power (measured: 51.19875 rounded 4-digit differs between
+    Spark's BigDecimal HALF_UP and DuckDB's double rounding).
+
+    Scale shape: one hash partition on event_type + within-partition
+    sort; each task slides its frame in one pass. Skew note: a
+    low-cardinality partition key concentrates rows; at 100 TB this
+    key set is fine (each type's series streams through one task's
+    sort spill), but a single global-ordered range frame (no
+    partitionBy) would be the same single-partition anti-pattern
+    w3's docstring rejects."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "unix_micros(ts) div 1000000 AS ts_s",
+        "CAST(round(value * 1000) AS BIGINT) AS v_m",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("v_m").over(w).alias("sum_mv"),
+    ).selectExpr(
+        "event_id",
+        "event_type",
+        "ts_s",
+        "n_1h",
+        "sum_mv",
+        # trailing-hour mean in exact integer micro-units
+        "(sum_mv * 1000) div n_1h AS avg_uv",
+    )
+
+
 QUERIES = {
     "w1_lag_delta": w1_lag_delta,
+    "w4_sliding_hour_avg": w4_sliding_hour_avg,
     "a7_last_per_bucket": a7_last_per_bucket,
     "w3_latest_snapshot": w3_latest_snapshot,
     "a8_activity_by_user": a8_activity_by_user,
@@ -226,6 +280,22 @@ ORACLES = {
                        PARTITION BY user_id ORDER BY ts, event_id),
                    0), 4) AS delta
         FROM events
+    """,
+    "w4_sliding_hour_avg": """
+        WITH fr AS (
+            SELECT event_id, event_type, ts_s,
+                   count(*) OVER w AS n_1h,
+                   CAST(sum(v_m) OVER w AS BIGINT) AS sum_mv
+            FROM (SELECT event_id, event_type,
+                         epoch_us(ts) // 1000000 AS ts_s,
+                         CAST(round(value * 1000) AS BIGINT) AS v_m
+                  FROM events)
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, ts_s, n_1h, sum_mv,
+               CAST((sum_mv * 1000) // n_1h AS BIGINT) AS avg_uv
+        FROM fr
     """,
     "a7_last_per_bucket": """
         WITH b AS (

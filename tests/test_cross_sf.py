@@ -5,10 +5,12 @@ limit interaction, empty-group edge case)."""
 import pytest
 
 from bike_analyzer_spark.operators import (
+    classifier,
     dedup,
     fuzzy,
     importance,
     kpi,
+    layout,
     lm,
     mixing,
     packing,
@@ -16,6 +18,7 @@ from bike_analyzer_spark.operators import (
     semdedup,
     substring,
     text,
+    tpch,
     vocab,
     windows,
 )
@@ -41,6 +44,14 @@ CASES = [
     (substring, "span_top_shared"),
     (vocab, "vocab_summary"),
     (fuzzy, "fuzzy_pairs"),
+    # round-6 second wave: money sums, classifier calibration bar,
+    # layout grid normalization, and range-frame contents all shift
+    # with corpus size
+    (tpch, "tpch_pricing_summary"),
+    (tpch, "tpch_regional_revenue"),
+    (classifier, "nbq_select"),
+    (layout, "zorder_layout_stats"),
+    (windows, "w4_sliding_hour_avg"),
 ]
 
 @pytest.fixture(scope="module")

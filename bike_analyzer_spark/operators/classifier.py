@@ -50,11 +50,15 @@ corpus is never shuffled on anything wider than (doc_id, bucket).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.textfns import hash64, hash64_duck, tokens
-from ..sources.catalog import load
+from ..sources.catalog import PARTITIONED_CACHE_DIR, _fingerprint_ok, load
 from .quality import GATE_METRICS_CTES, KEEP_EXPR, rule_flags
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -123,13 +127,154 @@ def _prior(pdb: DataFrame) -> DataFrame:
     )
 
 
+#: bump to invalidate persisted model caches when training changes
+MODEL_VERSION = 1
+
+_CACHE_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "nbq_model")
+
+
+def _model_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("c_pos", T.LongType()),
+            T.StructField("c_neg", T.LongType()),
+            T.StructField("w_unats", T.LongType()),
+        ]
+    )
+
+
+def _params_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("prior_unats", T.LongType()),
+            T.StructField("bar_u", T.LongType()),
+        ]
+    )
+
+
+def _margins(pdb: DataFrame, model: DataFrame, prior: DataFrame) -> DataFrame:
+    """(doc_id, pos, margin_u): exact integer posterior log-odds per
+    labeled document — the shared scoring join (B-row model and 1-row
+    prior both broadcast)."""
+    return (
+        pdb.join(F.broadcast(model.select("bucket", "w_unats")), "bucket")
+        .groupBy("doc_id", "pos")
+        .agg(F.sum(F.col("c") * F.col("w_unats")).alias("tok_unats"))
+        .crossJoin(F.broadcast(prior.select("prior_unats")))
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("tok_unats") + F.col("prior_unats")).alias("margin_u"),
+        )
+    )
+
+
+def _calibration_bar(scored: DataFrame) -> DataFrame:
+    """1-row bar_u: midway between the class score centroids, all
+    truncating integer division (exact + overflow-safe cross-engine);
+    a one-class corpus falls back to the raw NB cut (0)."""
+    return scored.groupBy().agg(
+        F.expr(
+            "sum(CASE WHEN pos THEN margin_u ELSE 0 END)"
+            " div nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0)"
+        ).alias("mean_pos_u"),
+        F.expr(
+            "sum(CASE WHEN NOT pos THEN margin_u ELSE 0 END)"
+            " div nullif(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END), 0)"
+        ).alias("mean_neg_u"),
+    ).selectExpr("coalesce((mean_pos_u + mean_neg_u) div 2, 0) AS bar_u")
+
+
+def _index_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The trained classifier, PERSISTED once per sf_dir (the ivf
+    `_index_centroids` discipline: fingerprint of the source
+    documents file + training params invalidates the cache). Returns
+    (model, params): the B-row log-odds table and the 1-row
+    (prior_unats, bar_u) operating point. Train once, serve many —
+    the batch queries AND the streaming shard scorer
+    (`streaming/qualityserve.py`) read this same frozen model, so
+    they cannot drift."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    path = os.path.join(
+        _CACHE_DIR, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    st = os.stat(src)
+    fp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "model_version": MODEL_VERSION,
+        "params": [N_BUCKETS, QUANT, _SALT],
+    }
+    if not _fingerprint_ok(marker, fp):
+        pdb = _labeled_buckets(spark, sf_dir).localCheckpoint(eager=False)
+        model = _model(pdb).localCheckpoint(eager=False)
+        prior = _prior(pdb)
+        bar = _calibration_bar(_margins(pdb, model, prior))
+        model.write.mode("overwrite").parquet(os.path.join(path, "model"))
+        (
+            prior.select("prior_unats")
+            .crossJoin(F.broadcast(bar))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "params"))
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return (
+        spark.read.schema(_model_schema()).parquet(
+            os.path.join(path, "model")
+        ),
+        spark.read.schema(_params_schema()).parquet(
+            os.path.join(path, "params")
+        ),
+    )
+
+
+def score_docs(docs: DataFrame, model: DataFrame, params: DataFrame) -> DataFrame:
+    """Score an arbitrary documents frame under a FROZEN model: the
+    serving path. Stateless narrow work + one (doc_id, bucket)
+    partial agg; model and params ride broadcasts. Used by
+    `nbq_select` on the corpus and by the streaming shard scorer on
+    micro-batches — one code path, parity by construction."""
+    labeled = rule_flags(docs).select(
+        "doc_id", "text", F.col("keep").alias("pos")
+    )
+    pdb = (
+        labeled.select(
+            "doc_id", "pos", F.explode(tokens("text")).alias("w")
+        )
+        .withColumn("bucket", hash64(F.col("w"), _SALT) % N_BUCKETS)
+        .groupBy("doc_id", "pos", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        pdb.join(F.broadcast(model.select("bucket", "w_unats")), "bucket")
+        .groupBy("doc_id", "pos")
+        .agg(F.sum(F.col("c") * F.col("w_unats")).alias("tok_unats"))
+        .crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("tok_unats") + F.col("prior_unats")) / QUANT, 4
+            ).alias("log_odds"),
+            (
+                F.col("tok_unats") + F.col("prior_unats") > F.col("bar_u")
+            ).alias("keep_nb"),
+            F.col("pos").alias("keep_rule"),
+        )
+    )
+
+
 def nbq_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MODEL_HEAD most discriminative hash buckets (|log-odds|
     desc, bucket asc): the inspectable face of the trained model,
-    bounded regardless of corpus size."""
-    pdb = _labeled_buckets(spark, sf_dir)
+    bounded regardless of corpus size. Reads the persisted model."""
+    model, _ = _index_model(spark, sf_dir)
     return (
-        _model(pdb)
+        model
         .select(
             "bucket",
             "c_pos",
@@ -147,49 +292,15 @@ def nbq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide scoring pass: per document the posterior log-odds
     (nats, rounded from the exact integer total), the calibrated NB
     verdict, and the weak rule label it was trained against — so
-    rule/model agreement is directly visible. The model, prior, and
-    the 1-row calibration bar are broadcast; the corpus explode runs
-    once (checkpointed: it feeds the training aggregates, the scoring
-    join, and the calibration)."""
-    pdb = _labeled_buckets(spark, sf_dir).localCheckpoint(eager=False)
-    scored = (
-        pdb.join(F.broadcast(_model(pdb).select("bucket", "w_unats")), "bucket")
-        .groupBy("doc_id", "pos")
-        .agg(F.sum(F.col("c") * F.col("w_unats")).alias("tok_unats"))
-        .crossJoin(F.broadcast(_prior(pdb).select("prior_unats")))
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("tok_unats") + F.col("prior_unats")).alias("margin_u"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    # calibrated cut: midway between the class score centroids, all
-    # truncating integer division (exact + overflow-safe cross-engine)
-    bar = scored.groupBy().agg(
-        F.expr(
-            "sum(CASE WHEN pos THEN margin_u ELSE 0 END)"
-            " div nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0)"
-        ).alias("mean_pos_u"),
-        F.expr(
-            "sum(CASE WHEN NOT pos THEN margin_u ELSE 0 END)"
-            " div nullif(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END), 0)"
-        ).alias("mean_neg_u"),
-    ).selectExpr(
-        # a one-class corpus has no centroid midpoint: fall back to the
-        # raw NB cut (0) instead of a NULL bar that drops every verdict
-        "coalesce((mean_pos_u + mean_neg_u) div 2, 0) AS bar_u"
-    )
-    return (
-        scored.crossJoin(F.broadcast(bar))
-        .select(
-            "doc_id",
-            F.round(F.col("margin_u") / QUANT, 4).alias("log_odds"),
-            (F.col("margin_u") > F.col("bar_u")).alias("keep_nb"),
-            F.col("pos").alias("keep_rule"),
-        )
-        .orderBy("doc_id")
-    )
+    rule/model agreement is directly visible. Reads the PERSISTED
+    model and operating point (`_index_model` — train once, serve
+    many), then runs the shared `score_docs` serving path over the
+    corpus; model and params ride broadcasts, so per-query work is
+    one labeled-explode scan + a (doc_id, bucket) partial agg."""
+    model, params = _index_model(spark, sf_dir)
+    return score_docs(
+        load(spark, sf_dir, "documents"), model, params
+    ).orderBy("doc_id")
 
 
 QUERIES = {

@@ -133,3 +133,36 @@ def test_ann_index_caches_build_once_and_invalidate(spark, emb_copy):
     os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1))
     ivf._index_centroids(spark, emb_copy, emb_n).count()
     assert os.stat(marker).st_mtime_ns > m1  # rebuilt
+
+
+def test_nbq_model_cache_builds_once_and_invalidates(
+    spark, sf_copy, tmp_path, monkeypatch
+):
+    """The persisted NB quality-classifier model (same train-once
+    discipline as the ANN indexes): second call serves the store;
+    a documents regeneration rebuilds it."""
+    from bike_analyzer_spark.operators import classifier
+
+    monkeypatch.setattr(
+        classifier, "_CACHE_DIR", str(tmp_path / "wh" / "nbq_model")
+    )
+    model1, params1 = classifier._index_model(spark, sf_copy)
+    w1 = {r.bucket: r.w_unats for r in model1.collect()}
+    p1 = params1.collect()[0]
+    marker = os.path.join(
+        classifier._CACHE_DIR,
+        os.path.basename(os.path.normpath(sf_copy)),
+        "_FINGERPRINT.json",
+    )
+    m1 = os.stat(marker).st_mtime_ns
+    model2, params2 = classifier._index_model(spark, sf_copy)
+    assert {r.bucket: r.w_unats for r in model2.collect()} == w1
+    assert params2.collect()[0] == p1
+    assert os.stat(marker).st_mtime_ns == m1  # served, not rebuilt
+
+    src = os.path.join(sf_copy, "documents.parquet")
+    os.utime(
+        src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1)
+    )
+    classifier._index_model(spark, sf_copy)
+    assert os.stat(marker).st_mtime_ns > m1  # rebuilt

@@ -111,6 +111,49 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_key(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Events with the Morton key attached (grid cells from the given
+    bounds — in a warehouse these come from table stats, not a
+    per-write scan)."""
+    g = ev.crossJoin(F.broadcast(bounds)).selectExpr(
+        "*",
+        f"((user_id - u_lo) * {1 << GRID_BITS}) div (u_hi - u_lo + 1)"
+        " AS ug",
+        f"((unix_micros(ts) - t_lo) * {1 << GRID_BITS})"
+        " div (t_hi - t_lo + 1) AS tg",
+    )
+    return g.withColumn("z", _morton(F.col("ug"), F.col("tg"))).drop(
+        "u_lo", "u_hi", "t_lo", "t_hi"
+    )
+
+
+def write_zorder(
+    spark: SparkSession, sf_dir: str, path: str, n_files: int = N_FILES
+) -> None:
+    """The actual OPTIMIZE-ZORDER write path the audit query models:
+    compute the Morton key, range-partition the table on it (ONE
+    exchange — the same cost as a single-column sort), sort within
+    partitions, and land one file per partition. Parquet then stores
+    per-file/row-group min/max stats for user_id AND ts that are
+    tight in both dimensions — verified from the written footers in
+    tests/test_layout.py, not just from the audit query."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        "min(user_id) AS u_lo",
+        "max(user_id) AS u_hi",
+        "min(unix_micros(ts)) AS t_lo",
+        "max(unix_micros(ts)) AS t_hi",
+    )
+    (
+        zorder_key(ev, bounds)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("ug", "tg", "z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 QUERIES = {"zorder_layout_stats": zorder_layout_stats}
 
 _Z_SHIFT = 2 * GRID_BITS - N_FILES.bit_length() + 1

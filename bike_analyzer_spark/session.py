@@ -63,4 +63,12 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # testdata events.ts is parquet TIMESTAMP(NANOS): read as raw long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # write timestamps as INT64 micros, not the legacy INT96: INT96
+    # columns carry NO parquet min/max statistics, which silently
+    # disables row-group/file skipping on every timestamp — the exact
+    # pruning the partitioned/z-ordered layouts exist for (caught by
+    # tests/test_layout.py reading the written footers)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     return spark

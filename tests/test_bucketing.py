@@ -45,3 +45,34 @@ def test_bucketed_aggregate_no_exchange(spark, bucketed, no_broadcast):
     df = spark.table("ev_b").groupBy("user_id").agg(F.sum("value"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+def test_fact_fact_bucketed_star_join_no_exchange(spark, no_broadcast):
+    """The tpch module's scale claim, made concrete: orders and
+    lineitem bucketed on orderkey join + aggregate with ZERO
+    Exchange before the final roll-up — the layout a 100 TB
+    deployment uses for its largest recurring join."""
+    ordr = load(spark, SF_DIR_ORACLE, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, SF_DIR_ORACLE, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    bucketing.write_bucketed(ordr, "ord_b", "o_orderkey", 8)
+    bucketing.write_bucketed(li, "li_b", "o_orderkey", 8)
+    try:
+        df = (
+            bucketing.colocated_join(spark, "li_b", "ord_b", "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the join AND the per-orderkey aggregate reuse the bucket
+        # partitioning: no Exchange anywhere in the plan
+        assert "Exchange" not in plan, plan
+        assert df.count() == load(
+            spark, SF_DIR_ORACLE, "lineitem"
+        ).select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")

@@ -62,3 +62,79 @@ def test_zorder_files_tight_in_both_dimensions(spark):
     # both layouts partition the whole table
     n = sum(r.n_rows for r in rows)
     assert sum(r.n_rows for r in z) == sum(r.n_rows for r in t) == n // 2
+
+
+def test_write_zorder_files_have_tight_footer_stats(spark, tmp_path):
+    """The write path, verified from the PARQUET FOOTERS of what it
+    actually lands (not the audit query): per-file min/max stats for
+    user_id and ts are tight in both dimensions under z-order, while
+    a plain time-sorted write leaves user_id spans ~full."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from bike_analyzer_spark.sources.catalog import load
+
+    zpath = str(tmp_path / "events_z")
+    tpath = str(tmp_path / "events_t")
+    layout.write_zorder(spark, SF_DIR_ORACLE, zpath)
+    ev = load(spark, SF_DIR_ORACLE, "events")
+    (
+        ev.repartitionByRange(layout.N_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    def spans(path, col):
+        """Per-file (min, max) of `col`, read from the parquet FOOTER
+        statistics — what an engine's file-skipping actually sees."""
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = papq.ParquetFile(os.path.join(path, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                idx = next(
+                    i
+                    for i in range(row_group.num_columns)
+                    if row_group.column(i).path_in_schema == col
+                )
+                st = row_group.column(idx).statistics
+                assert st is not None, f"no stats for {col} in {f}"
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    u_all = [r.user_id for r in ev.select("user_id").collect()]
+    u_range = max(u_all) - min(u_all)
+    z_spans = spans(zpath, "user_id")
+    t_spans = spans(tpath, "user_id")
+    z_mean = sum(hi - lo for lo, hi in z_spans) / len(z_spans)
+    t_mean = sum(hi - lo for lo, hi in t_spans) / len(t_spans)
+    assert z_mean < 0.5 * u_range        # z files skippable on user_id
+    assert t_mean > 0.9 * u_range        # time files are not
+    # ts stays reasonably tight under z-order too (quarter range)
+    ts_spans = spans(zpath, "ts")
+    full_ts = max(hi for _, hi in ts_spans) - min(lo for lo, _ in ts_spans)
+    z_ts_mean = sum(
+        (hi - lo).total_seconds() if hasattr(hi - lo, "total_seconds")
+        else hi - lo
+        for lo, hi in ts_spans
+    ) / len(ts_spans)
+    full_ts_s = (
+        full_ts.total_seconds() if hasattr(full_ts, "total_seconds")
+        else full_ts
+    )
+    assert z_ts_mean < 0.5 * full_ts_s
+    # lossless: the z-ordered copy holds exactly the source rows
+    assert (
+        spark.read.parquet(zpath).select("event_id").exceptAll(
+            ev.select("event_id")
+        ).count()
+        == 0
+    )
+    assert spark.read.parquet(zpath).count() == ev.count()

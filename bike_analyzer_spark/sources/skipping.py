@@ -1,0 +1,80 @@
+"""File-level data skipping — the public Delta/Iceberg idea of
+storing per-file column min/max stats in table metadata and pruning
+the file list BEFORE the engine ever opens a file.
+
+Spark's parquet reader already skips row groups via footer stats,
+but it still has to LIST and OPEN every file to read those footers;
+at 100 TB (~10^5 files) a stats table turns "open 100k footers" into
+"scan a 100k-row metadata table, open the 40 files that can match".
+This is exactly what `layout.write_zorder` exists to feed: z-ordered
+files are tight in BOTH dimensions, so a 2-D predicate prunes to a
+handful of files; a single-column sort prunes on one dimension only
+(both behaviors pinned in tests/test_skipping.py).
+
+Shape:
+- `build_stats` is ONE aggregation scan grouped by
+  `input_file_name()` — the same cost Delta pays computing add-file
+  stats at write time; it lands as a `<path>._stats` parquet sidecar
+  (metadata ~ 1 row per file, corpus-size-independent per file).
+- `pruned_read` reads the sidecar (not the data), keeps files whose
+  [min,max] interval intersects the predicate, and opens ONLY those
+  — then re-applies the predicate, since file-level stats are
+  necessary, not sufficient.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stats_path(path: str) -> str:
+    return os.path.normpath(path) + "._stats"
+
+
+def build_stats(spark: SparkSession, path: str, cols: list[str]) -> None:
+    """One scan → per-file (n_rows, min/max of each col) sidecar."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_stats_path(path))
+    )
+
+
+def candidate_files(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> list[str]:
+    """Files whose [min,max] for `col` intersects [lo, hi] — resolved
+    from the stats sidecar alone (a metadata-sized read)."""
+    stats = spark.read.parquet(_stats_path(path))
+    rows = stats.filter(
+        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    ).select("file")
+    return [r.file for r in rows.collect()]
+
+
+def pruned_read(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Read only the files that can contain `col` in [lo, hi], then
+    re-apply the exact predicate (file stats are necessary, not
+    sufficient). An empty candidate list short-circuits to an empty
+    frame with the table's schema — no file opens at all."""
+    files = candidate_files(spark, path, col, lo, hi)
+    schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    )

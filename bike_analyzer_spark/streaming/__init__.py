@@ -7,6 +7,7 @@ from .ingest import (
     foreach_batch_upsert,
     run_to_memory,
     status_stream,
+    sliding_avg,
     windowed_avg,
 )
 from .sessions import events_stream, run_sessions_to_memory, session_stream
@@ -19,5 +20,6 @@ __all__ = [
     "run_to_memory",
     "session_stream",
     "status_stream",
+    "sliding_avg",
     "windowed_avg",
 ]

@@ -58,6 +58,37 @@ def windowed_avg(
     )
 
 
+def sliding_avg(
+    status: DataFrame,
+    minutes: int = 10,
+    slide_minutes: int = 5,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """SLIDING-window mean availability per station — the overlapping
+    variant of `windowed_avg` (each event lands in
+    minutes/slide_minutes windows; a dashboard's '10-minute average,
+    refreshed every 5'). Same watermark-bounded state story: state
+    per (station, open window), windows close watermark-late. Works
+    identically on batch and streaming frames — the batch twin of the
+    streaming query IS the parity test (tumbling/session windows get
+    the same treatment; this completes the window-type set)."""
+    df = status
+    if df.isStreaming:
+        df = df.withWatermark("scraped_at", watermark)
+    return (
+        df.groupBy(
+            F.window(
+                "scraped_at", f"{minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("w"),
+            "station_id",
+        )
+        .agg(F.avg("num_bikes_available").alias("avg_bikes"))
+        .select(
+            F.col("w.start").alias("bucket_start"), "station_id", "avg_bikes"
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drain the stream with availableNow (process everything landed,
     then stop) into an in-memory table for inspection/tests."""

@@ -138,3 +138,26 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tdir):
     )
     assert got == batch
     assert len(got) == 4  # 2 stations x 2 distinct timestamps
+
+def test_sliding_stream_matches_batch(spark, tdir):
+    """Sliding (overlapping) windows: each event lands in TWO
+    10-minute/5-minute-slide windows; streaming totals equal the
+    batch run of the same query over the same landed files."""
+    landing = os.path.join(tdir, "landing")
+    t0 = dt.datetime(2025, 9, 4, 15, 0, 0)
+    for i in range(3):
+        _status_batch(spark, t0 + dt.timedelta(minutes=5 * i), 4 + i) \
+            .write.mode("append").parquet(landing)
+    name = f"slideavg_{uuid.uuid4().hex[:6]}"
+    streaming.run_to_memory(
+        streaming.sliding_avg(streaming.status_stream(spark, landing)), name)
+    got = {(r.bucket_start, r.station_id): r.avg_bikes
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    batch = {(r.bucket_start, r.station_id): r.avg_bikes
+             for r in streaming.sliding_avg(spark.read.parquet(landing)).collect()}
+    assert got == batch
+    # 3 snapshots at :00 :05 :10 -> sliding starts :55,:00,:05,:10 x 2 stations
+    assert len(got) == 8
+    # overlap is real: the :05 window averages the :05 and :10 snapshots
+    w05 = got[(t0 + dt.timedelta(minutes=5), "s1")]
+    assert w05 == pytest.approx((5 + 6) / 2)

@@ -86,3 +86,50 @@ def test_plan_shapes(spark):
     p10 = q10._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(l_returnflag,R)" in p10
     assert "TakeOrderedAndProject" in p10
+
+
+def test_money_lift_is_exact_for_all_2dp_values(spark):
+    """Property: for ANY 2-decimal price/discount/tax (hypothesis
+    sweeps the full TPC-H domains), the integer-cents lift reproduces
+    the Decimal-exact revenue and charge — i.e. round(x*100) undoes
+    the float representation error of every 2-dp literal, and the
+    bigint products stay exact."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(deadline=None, max_examples=200)
+    @given(
+        price_c=st.integers(min_value=90000, max_value=10500000),
+        disc_p=st.integers(min_value=0, max_value=10),
+        tax_p=st.integers(min_value=0, max_value=8),
+    )
+    def check(price_c, disc_p, tax_p):
+        price = float(Decimal(price_c) / 100)  # the parquet double
+        lifted_rev = round(price * 100) * (100 - round(0.01 * disc_p * 100))
+        exact_rev = price_c * (100 - disc_p)
+        assert lifted_rev == exact_rev
+        lifted_charge = lifted_rev * (100 + round(0.01 * tax_p * 100))
+        assert lifted_charge == exact_rev * (100 + tax_p)
+
+    check()
+
+
+def test_money_lift_column_matches_python(spark):
+    """The Spark column expression and the Python reference agree on
+    a grid of boundary-ish prices (the .x5 cents where naive float
+    multiplication misrounds)."""
+    rows = [(i, (10000 * i + 5) / 100.0, 0.05) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "id long, l_extendedprice double, l_discount double")
+    got = {
+        r.id: r.rev
+        for r in df.select(
+            "id",
+            (
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("int"))
+            ).alias("rev"),
+        ).collect()
+    }
+    for i, price, _ in rows:
+        assert got[i] == round(price * 100) * 95, (i, price)

@@ -57,6 +57,22 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "codegen", "cost", "formatted"],
     )
 
+    o = sub.add_parser(
+        "optimize",
+        help="table maintenance: compact small files, optionally "
+        "refresh the per-file skip-stats sidecar",
+    )
+    o.add_argument("path", help="parquet table directory")
+    o.add_argument(
+        "--target-mb", type=int, default=128, help="target file size"
+    )
+    o.add_argument(
+        "--stats",
+        nargs="+",
+        metavar="COL",
+        help="rebuild the data-skipping stats sidecar for these columns",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "ingest-gbfs":
@@ -86,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"weather_rows": n}))
         return 0
 
+    if args.cmd == "optimize":
+        return _optimize(args)
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -110,6 +129,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     return 2
+
+
+def _optimize(args) -> int:
+    from .sources import skipping
+    from .sources.sinks import compact_parquet
+
+    spark = _spark()
+    # resolve BEFORE the rewrite: an existing sidecar must be
+    # refreshed even without --stats, or it silently goes stale
+    # against the compacted file set
+    cols = args.stats or skipping.stats_cols(spark, args.path)
+    before, after = compact_parquet(
+        spark, args.path, target_bytes=args.target_mb << 20
+    )
+    out = {"files_before": before, "files_after": after}
+    if cols:
+        skipping.build_stats(spark, args.path, cols)
+        out["stats_cols"] = cols
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":

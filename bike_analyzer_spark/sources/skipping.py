@@ -50,6 +50,20 @@ def build_stats(spark: SparkSession, path: str, cols: list[str]) -> None:
     )
 
 
+def stats_cols(spark: SparkSession, path: str) -> list[str]:
+    """Columns covered by the table's stats sidecar ([] if none) —
+    lets maintenance (`cli optimize`) refresh a sidecar it didn't
+    create instead of leaving it stale after a rewrite."""
+    sp = _stats_path(path)
+    if not os.path.exists(sp):
+        return []
+    return [
+        f.name.removeprefix("min_")
+        for f in spark.read.parquet(sp).schema.fields
+        if f.name.startswith("min_")
+    ]
+
+
 def candidate_files(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> list[str]:

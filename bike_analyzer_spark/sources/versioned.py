@@ -1,0 +1,130 @@
+"""Versioned tables — snapshot isolation + time travel over plain
+parquet, the public Delta/Iceberg log idea reduced to its load-
+bearing core: data files are IMMUTABLE once written, and the only
+mutable thing is a tiny manifest updated with one atomic
+`os.replace`.
+
+Layout:
+
+    table_dir/
+      v00001/ ... parquet (never rewritten)
+      v00002/ ...
+      _MANIFEST.json    {"latest": 2, "versions": {"1": {...}, ...}}
+
+Commit protocol: write the new snapshot under the NEXT version dir,
+then atomically replace the manifest. A crash before the manifest
+lands leaves an orphan directory that readers can never see (the
+next commit overwrites it). Readers resolve a version from the
+manifest once and then scan immutable files — so unlike the
+`.staging` two-rename swap (`sinks._swap_staging`, which mutates the
+live path and needs a recovery routine), a long scan can NEVER be
+truncated by a concurrent commit: that's snapshot isolation, and old
+snapshots stay queryable (time travel) until `vacuum` retires them.
+
+At 100 TB the manifest would also carry per-file stats (see
+`sources/skipping.py` — `build_stats` composes: point it at a
+version dir) and commits would be appends of changed files rather
+than full snapshots; the protocol — immutable data, atomic tiny
+metadata — is the same one Delta's `_delta_log` implements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST)
+
+
+def _read_manifest(table_dir: str) -> dict:
+    try:
+        with open(_manifest_path(table_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"latest": 0, "versions": {}}
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}")
+
+
+def latest_version(table_dir: str) -> int:
+    """0 when the table does not exist yet."""
+    return _read_manifest(table_dir)["latest"]
+
+
+def commit(df: DataFrame, table_dir: str) -> int:
+    """Write df as the next snapshot and publish it atomically.
+    Returns the new version number. A crashed prior commit's orphan
+    directory (data written, manifest never updated) is silently
+    overwritten — it was never visible."""
+    os.makedirs(table_dir, exist_ok=True)
+    m = _read_manifest(table_dir)
+    version = m["latest"] + 1
+    vdir = _version_dir(table_dir, version)
+    if os.path.exists(vdir):  # orphan of a crashed commit
+        shutil.rmtree(vdir)
+    df.write.mode("overwrite").parquet(vdir)
+    n = df.sparkSession.read.parquet(vdir).count()
+    m["versions"][str(version)] = {"n_rows": n}
+    m["latest"] = version
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))  # the atomic publish
+    return version
+
+
+def read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table at `version` (default: latest). Raises KeyError for
+    a version that never committed or was vacuumed."""
+    m = _read_manifest(table_dir)
+    v = m["latest"] if version is None else version
+    if str(v) not in m["versions"]:
+        raise KeyError(
+            f"version {v} not available; history: {sorted(m['versions'])}"
+        )
+    return spark.read.parquet(_version_dir(table_dir, v))
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit history, oldest first: [{version, n_rows}, ...]."""
+    m = _read_manifest(table_dir)
+    return [
+        {"version": int(v), **info}
+        for v, info in sorted(
+            m["versions"].items(), key=lambda kv: int(kv[0])
+        )
+    ]
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Retire all but the newest `keep_last` versions: drop them from
+    the manifest FIRST (atomic — readers resolving afterwards can't
+    pick a dying version), then delete their directories. Returns the
+    retired version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    m = _read_manifest(table_dir)
+    versions = sorted(int(v) for v in m["versions"])
+    retire = versions[:-keep_last]
+    if not retire:
+        return []
+    for v in retire:
+        del m["versions"][str(v)]
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    for v in retire:
+        shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+    return retire

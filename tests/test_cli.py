@@ -45,3 +45,46 @@ def test_cli_explain(spark, capsys):
     assert "Physical Plan" in out
     assert "Scan parquet" in out
     assert cli.main(["explain", "nope_not_real"]) == 2
+
+
+def test_cli_optimize_compacts_and_builds_stats(spark, tdir, capsys):
+    import json as _json
+
+    from bike_analyzer_spark.sources import skipping
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_SMOKE
+
+    path = os.path.join(tdir, "tbl")
+    load(spark, SF_DIR_SMOKE, "events").repartition(24).write.parquet(path)
+    rc = cli.main(["optimize", path, "--stats", "user_id", "ts"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_before"] == 24
+    assert out["files_after"] < 24
+    assert out["stats_cols"] == ["user_id", "ts"]
+    # the sidecar is immediately usable for pruned reads
+    assert skipping.candidate_files(spark, path, "user_id", -10, -1) == []
+
+
+def test_cli_optimize_refreshes_existing_sidecar_without_flag(
+    spark, tdir, capsys
+):
+    import json as _json
+
+    from bike_analyzer_spark.sources import skipping
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_SMOKE
+
+    path = os.path.join(tdir, "tbl2")
+    load(spark, SF_DIR_SMOKE, "events").repartition(8).write.parquet(path)
+    skipping.build_stats(spark, path, ["user_id"])
+    rc = cli.main(["optimize", path])  # no --stats
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats_cols"] == ["user_id"]
+    # sidecar tracks the COMPACTED file set, not the stale one
+    files = set(
+        r.file for r in spark.read.parquet(
+            skipping._stats_path(path)).select("file").collect()
+    )
+    assert len(files) == out["files_after"]

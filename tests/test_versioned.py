@@ -1,0 +1,94 @@
+"""Versioned tables: time travel, snapshot isolation for in-flight
+readers, crash-orphan invisibility, and vacuum retention."""
+
+import os
+import shutil
+
+import pytest
+
+from bike_analyzer_spark.sources import versioned
+from bike_analyzer_spark.sources.catalog import load
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _snap(spark, n):
+    return load(spark, SF_DIR_SMOKE, "documents").limit(n)
+
+
+def test_commit_read_and_time_travel(spark, tdir):
+    assert versioned.latest_version(tdir) == 0
+    v1 = versioned.commit(_snap(spark, 10), tdir)
+    v2 = versioned.commit(_snap(spark, 25), tdir)
+    assert (v1, v2) == (1, 2)
+    assert versioned.read(spark, tdir).count() == 25          # latest
+    assert versioned.read(spark, tdir, 1).count() == 10       # time travel
+    assert [h["version"] for h in versioned.history(tdir)] == [1, 2]
+    assert [h["n_rows"] for h in versioned.history(tdir)] == [10, 25]
+    with pytest.raises(KeyError):
+        versioned.read(spark, tdir, 3)
+
+
+def test_snapshot_isolation_for_inflight_reader(spark, tdir):
+    """A reader resolved before a commit keeps seeing ITS snapshot:
+    version files are immutable, so the new commit can't truncate or
+    change a running scan — the property the .staging swap cannot
+    give."""
+    versioned.commit(_snap(spark, 10), tdir)
+    reader = versioned.read(spark, tdir)          # resolves v1 paths
+    versioned.commit(_snap(spark, 25), tdir)      # v2 publishes
+    assert reader.count() == 10                   # still the v1 snapshot
+    assert versioned.read(spark, tdir).count() == 25
+
+
+def test_crashed_commit_orphan_is_invisible_then_overwritten(spark, tdir):
+    versioned.commit(_snap(spark, 10), tdir)
+    # simulate a crash: v2 data landed but the manifest never updated
+    orphan = versioned._version_dir(tdir, 2)
+    _snap(spark, 5).write.mode("overwrite").parquet(orphan)
+    assert versioned.latest_version(tdir) == 1
+    assert versioned.read(spark, tdir).count() == 10   # orphan invisible
+    # the next commit claims version 2 cleanly
+    v2 = versioned.commit(_snap(spark, 25), tdir)
+    assert v2 == 2
+    assert versioned.read(spark, tdir, 2).count() == 25
+
+
+def test_vacuum_retires_old_versions(spark, tdir):
+    for n in (5, 10, 15, 20):
+        versioned.commit(_snap(spark, n), tdir)
+    retired = versioned.vacuum(tdir, keep_last=2)
+    assert retired == [1, 2]
+    assert [h["version"] for h in versioned.history(tdir)] == [3, 4]
+    assert versioned.read(spark, tdir, 4).count() == 20
+    with pytest.raises(KeyError):
+        versioned.read(spark, tdir, 1)
+    assert not os.path.exists(versioned._version_dir(tdir, 1))
+    # idempotent / bounded
+    assert versioned.vacuum(tdir, keep_last=2) == []
+    with pytest.raises(ValueError):
+        versioned.vacuum(tdir, keep_last=0)
+
+
+def test_skipping_composes_with_versions(spark, tdir):
+    """The per-file stats sidecar works against a version directory —
+    metadata pruning and time travel are orthogonal."""
+    from bike_analyzer_spark.sources import skipping
+
+    versioned.commit(
+        load(spark, SF_DIR_SMOKE, "events").repartitionByRange(4, "user_id"),
+        tdir,
+    )
+    vdir = versioned._version_dir(tdir, 1)
+    skipping.build_stats(spark, vdir, ["user_id"])
+    lo = (
+        versioned.read(spark, tdir)
+        .agg({"user_id": "min"})
+        .collect()[0][0]
+    )
+    files = skipping.candidate_files(spark, vdir, "user_id", lo, lo)
+    assert 1 <= len(files) < 4

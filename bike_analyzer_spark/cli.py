@@ -72,6 +72,16 @@ def main(argv: list[str] | None = None) -> int:
         metavar="COL",
         help="rebuild the data-skipping stats sidecar for these columns",
     )
+    o.add_argument(
+        "--zorder",
+        nargs=2,
+        metavar=("COL_A", "COL_B"),
+        help="rewrite Z-ordered on two columns instead of plain "
+        "compaction (crash-safe staged swap)",
+    )
+    o.add_argument(
+        "--n-files", type=int, default=16, help="files for --zorder"
+    )
 
     args = p.parse_args(argv)
 
@@ -133,17 +143,28 @@ def main(argv: list[str] | None = None) -> int:
 
 def _optimize(args) -> int:
     from .sources import skipping
-    from .sources.sinks import compact_parquet
+    from .sources.sinks import _staging_dir, _swap_staging, compact_parquet
 
     spark = _spark()
     # resolve BEFORE the rewrite: an existing sidecar must be
     # refreshed even without --stats, or it silently goes stale
-    # against the compacted file set
+    # against the rewritten file set
     cols = args.stats or skipping.stats_cols(spark, args.path)
-    before, after = compact_parquet(
-        spark, args.path, target_bytes=args.target_mb << 20
-    )
-    out = {"files_before": before, "files_after": after}
+    if args.zorder:
+        from .operators.layout import write_zorder_cols
+        from .sources.sinks import _recover
+
+        _recover(args.path)  # heal a swap killed between its renames
+        df = spark.read.parquet(args.path)
+        staging = _staging_dir(args.path)
+        write_zorder_cols(df, staging, *args.zorder, n_files=args.n_files)
+        _swap_staging(args.path)
+        out = {"zorder": args.zorder, "n_files": args.n_files}
+    else:
+        before, after = compact_parquet(
+            spark, args.path, target_bytes=args.target_mb << 20
+        )
+        out = {"files_before": before, "files_after": after}
     if cols:
         skipping.build_stats(spark, args.path, cols)
         out["stats_cols"] = cols

@@ -111,46 +111,58 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zorder_key(ev: DataFrame, bounds: DataFrame) -> DataFrame:
-    """Events with the Morton key attached (grid cells from the given
-    bounds — in a warehouse these come from table stats, not a
-    per-write scan)."""
-    g = ev.crossJoin(F.broadcast(bounds)).selectExpr(
-        "*",
-        f"((user_id - u_lo) * {1 << GRID_BITS}) div (u_hi - u_lo + 1)"
-        " AS ug",
-        f"((unix_micros(ts) - t_lo) * {1 << GRID_BITS})"
-        " div (t_hi - t_lo + 1) AS tg",
+def _as_long_expr(df: DataFrame, col: str) -> str:
+    """SQL expression lifting a column to bigint for grid math
+    (timestamps via unix_micros; numerics via cast)."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        return f"unix_micros({col})"
+    return f"CAST({col} AS BIGINT)"
+
+
+def write_zorder_cols(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = N_FILES,
+) -> None:
+    """The actual OPTIMIZE-ZORDER write path for ANY two numeric/
+    timestamp columns: compute the Morton key, range-partition the
+    table on it (ONE exchange — the same cost as a single-column
+    sort), sort within partitions, and land one file per partition.
+    Parquet then stores per-file/row-group min/max stats that are
+    tight in BOTH dimensions — verified from the written footers in
+    tests/test_layout.py, not just from the audit query."""
+    a, b = _as_long_expr(df, col_a), _as_long_expr(df, col_b)
+    bounds = df.selectExpr(
+        f"min({a}) AS u_lo",
+        f"max({a}) AS u_hi",
+        f"min({b}) AS t_lo",
+        f"max({b}) AS t_hi",
     )
-    return g.withColumn("z", _morton(F.col("ug"), F.col("tg"))).drop(
-        "u_lo", "u_hi", "t_lo", "t_hi"
+    g = df.crossJoin(F.broadcast(bounds)).selectExpr(
+        "*",
+        f"(({a} - u_lo) * {1 << GRID_BITS}) div (u_hi - u_lo + 1) AS _ug",
+        f"(({b} - t_lo) * {1 << GRID_BITS}) div (t_hi - t_lo + 1) AS _tg",
+    )
+    (
+        g.withColumn("_z", _morton(F.col("_ug"), F.col("_tg")))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("u_lo", "u_hi", "t_lo", "t_hi", "_ug", "_tg", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
     )
 
 
 def write_zorder(
     spark: SparkSession, sf_dir: str, path: str, n_files: int = N_FILES
 ) -> None:
-    """The actual OPTIMIZE-ZORDER write path the audit query models:
-    compute the Morton key, range-partition the table on it (ONE
-    exchange — the same cost as a single-column sort), sort within
-    partitions, and land one file per partition. Parquet then stores
-    per-file/row-group min/max stats for user_id AND ts that are
-    tight in both dimensions — verified from the written footers in
-    tests/test_layout.py, not just from the audit query."""
-    ev = load(spark, sf_dir, "events")
-    bounds = ev.selectExpr(
-        "min(user_id) AS u_lo",
-        "max(user_id) AS u_hi",
-        "min(unix_micros(ts)) AS t_lo",
-        "max(unix_micros(ts)) AS t_hi",
-    )
-    (
-        zorder_key(ev, bounds)
-        .repartitionByRange(n_files, "z")
-        .sortWithinPartitions("z")
-        .drop("ug", "tg", "z")
-        .write.mode("overwrite")
-        .parquet(path)
+    """events z-ordered on (user_id, ts) — the corpus instance of
+    `write_zorder_cols`."""
+    write_zorder_cols(
+        load(spark, sf_dir, "events"), path, "user_id", "ts", n_files
     )
 
 

@@ -96,6 +96,26 @@ def read(
     return spark.read.parquet(_version_dir(table_dir, v))
 
 
+def commit_upsert(
+    new: DataFrame, table_dir: str, key_cols: list[str], order_col: str
+) -> int:
+    """MERGE into the versioned store: union the incoming rows with
+    the latest snapshot, keep the newest row per key (same newer-wins
+    contract as `sinks.merge_upsert`), and publish as a NEW version —
+    so unlike the in-place swap sink, every pre-merge state stays
+    queryable (audit / rollback / reproducible-training-set reads)."""
+    from .sinks import keep_latest
+
+    spark = new.sparkSession
+    if latest_version(table_dir) > 0:
+        merged = keep_latest(
+            new.unionByName(read(spark, table_dir)), key_cols, order_col
+        )
+    else:
+        merged = keep_latest(new, key_cols, order_col)
+    return commit(merged, table_dir)
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit history, oldest first: [{version, n_rows}, ...]."""
     m = _read_manifest(table_dir)

@@ -88,3 +88,33 @@ def test_cli_optimize_refreshes_existing_sidecar_without_flag(
             skipping._stats_path(path)).select("file").collect()
     )
     assert len(files) == out["files_after"]
+
+
+def test_cli_optimize_zorder_rewrite(spark, tdir, capsys):
+    import json as _json
+
+    from bike_analyzer_spark.sources import skipping
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_SMOKE
+
+    path = os.path.join(tdir, "tblz")
+    src = load(spark, SF_DIR_SMOKE, "events")
+    src.repartition(8).write.parquet(path)
+    rc = cli.main(
+        ["optimize", path, "--zorder", "user_id", "ts",
+         "--n-files", "64", "--stats", "user_id", "ts"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["zorder"] == ["user_id", "ts"]
+    after = spark.read.parquet(path)
+    assert after.count() == src.count()          # lossless rewrite
+    assert set(after.columns) == set(src.columns)  # no helper cols leak
+    # the freshly built sidecar prunes a narrow user band hard
+    b = src.agg({"user_id": "min"}).collect()[0][0], src.agg(
+        {"user_id": "max"}).collect()[0][0]
+    span = b[1] - b[0]
+    lo, hi = b[0] + span * 45 // 100, b[0] + span * 55 // 100
+    files = skipping.candidate_files(spark, path, "user_id", lo, hi)
+    n_total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert 0 < len(files) <= n_total // 2

@@ -92,3 +92,32 @@ def test_skipping_composes_with_versions(spark, tdir):
     )
     files = skipping.candidate_files(spark, vdir, "user_id", lo, lo)
     assert 1 <= len(files) < 4
+
+
+def test_commit_upsert_preserves_history(spark, tdir):
+    """Newer-wins merge publishes a new version; the pre-merge state
+    stays readable — rollback/audit the swap sink can't offer."""
+    from pyspark.sql import functions as F
+
+    base = _snap(spark, 10).withColumn("rev", F.lit(1))
+    versioned.commit_upsert(base, tdir, ["doc_id"], "rev")
+    update = (
+        _snap(spark, 3)
+        .withColumn("rev", F.lit(2))
+        .withColumn("text", F.lit("UPDATED"))
+    )
+    v2 = versioned.commit_upsert(update, tdir, ["doc_id"], "rev")
+    assert v2 == 2
+    latest = versioned.read(spark, tdir)
+    assert latest.count() == 10                       # keys merged
+    assert latest.filter("text = 'UPDATED'").count() == 3
+    # stale update loses (newer-wins), and v1 is untouched history
+    stale = (
+        _snap(spark, 1)
+        .withColumn("rev", F.lit(0))
+        .withColumn("text", F.lit("STALE"))
+    )
+    versioned.commit_upsert(stale, tdir, ["doc_id"], "rev")
+    assert versioned.read(spark, tdir).filter("text = 'STALE'").count() == 0
+    assert versioned.read(spark, tdir, 1).filter(
+        "text = 'UPDATED'").count() == 0

@@ -159,9 +159,10 @@ _MODULES = [
     # embeddings now read a many-file spread copy); window capacity is
     # exhausted by 0-streak queries, so instead of driver re-proof the
     # change was verified by the full-precision local oracle suite AND
-    # a complete 74-query driver-style value comparison at BOTH 8 and
-    # 32 shuffle partitions (order-sensitivity would differ between
-    # parallelism levels; it did not).
+    # a complete driver-style value comparison of the whole corpus
+    # (all 92 queries at end of round) at BOTH 8 and 32 shuffle
+    # partitions (order-sensitivity would differ between parallelism
+    # levels; it did not).
     quality,
     sampling,
     curate,

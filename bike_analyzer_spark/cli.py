@@ -83,7 +83,25 @@ def main(argv: list[str] | None = None) -> int:
         "--n-files", type=int, default=16, help="files for --zorder"
     )
 
+    b = sub.add_parser(
+        "build-corpus",
+        help="end-to-end training corpus: scrub -> gate -> dedup -> "
+        "split -> shuffle-shards -> versioned commit",
+    )
+    b.add_argument("table_dir")
+    b.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    b.add_argument("--shards", type=int, default=8)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "build-corpus":
+        from . import pipeline
+
+        out = pipeline.run_corpus_build(
+            _spark(), args.sf_dir, args.table_dir, n_shards=args.shards
+        )
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "ingest-gbfs":
         from .sources import gbfs

@@ -118,3 +118,17 @@ def test_cli_optimize_zorder_rewrite(spark, tdir, capsys):
     files = skipping.candidate_files(spark, path, "user_id", lo, hi)
     n_total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert 0 < len(files) <= n_total // 2
+
+
+def test_cli_build_corpus(spark, tdir, capsys):
+    import json as _json
+
+    from tests.conftest import SF_DIR_SMOKE
+
+    table = os.path.join(tdir, "corpus")
+    rc = cli.main(["build-corpus", table, "--sf-dir", SF_DIR_SMOKE,
+                   "--shards", "4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["n_shards"] == 4
+    assert out["train_rows"] + out["val_rows"] == out["docs_kept"] > 0

@@ -93,7 +93,9 @@ def read(
         raise KeyError(
             f"version {v} not available; history: {sorted(m['versions'])}"
         )
-    return spark.read.parquet(_version_dir(table_dir, v))
+    # a rollback version aliases an older version's directory
+    d = m["versions"][str(v)].get("dir", f"v{v:05d}")
+    return spark.read.parquet(os.path.join(table_dir, d))
 
 
 def commit_upsert(
@@ -127,6 +129,73 @@ def history(table_dir: str) -> list[dict]:
     ]
 
 
+def rollback(table_dir: str, to_version: int) -> int:
+    """Publish an old snapshot as the NEW latest — metadata-only (no
+    data copy: the new version entry points at the old version's
+    immutable directory, the Delta RESTORE move). History keeps
+    growing monotonically, so the bad versions stay auditable."""
+    m = _read_manifest(table_dir)
+    if str(to_version) not in m["versions"]:
+        raise KeyError(f"version {to_version} not available")
+    src = m["versions"][str(to_version)]
+    version = m["latest"] + 1
+    m["versions"][str(version)] = {
+        "n_rows": src["n_rows"],
+        # resolve through an existing alias so chains stay one hop
+        "dir": src.get("dir", f"v{to_version:05d}"),
+    }
+    m["latest"] = version
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
+
+
+def diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one row per changed
+    key with change ∈ {insert, delete, update}. Computed as a
+    full-outer join on the keys with a row-digest comparison — one
+    shuffle on the key, no row-at-a-time work; the digest is
+    md5(concat of all non-key columns), so any column change
+    surfaces. Incremental consumers replay `diff(latest-1, latest)`
+    instead of re-reading the snapshot."""
+    from pyspark.sql import functions as F
+
+    def digested(v: int) -> DataFrame:
+        df = read(spark, table_dir, v)
+        others = [c for c in df.columns if c not in key_cols]
+        return df.select(
+            *key_cols,
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(c).cast("string") for c in others]
+                )
+            ).alias("_digest"),
+        )
+
+    a = digested(v_from).withColumnRenamed("_digest", "_d_from")
+    b = digested(v_to).withColumnRenamed("_digest", "_d_to")
+    joined = a.join(b, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_d_from").isNull(), F.lit("insert"))
+        .when(F.col("_d_to").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+    ).filter(
+        F.col("_d_from").isNull()
+        | F.col("_d_to").isNull()
+        | (F.col("_d_from") != F.col("_d_to"))
+    )
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     """Retire all but the newest `keep_last` versions: drop them from
     the manifest FIRST (atomic — readers resolving afterwards can't
@@ -139,12 +208,20 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     retire = versions[:-keep_last]
     if not retire:
         return []
+
+    def _dir_of(v: int) -> str:
+        return m["versions"][str(v)].get("dir", f"v{v:05d}")
+
+    dead_dirs = {_dir_of(v) for v in retire}
     for v in retire:
         del m["versions"][str(v)]
+    # a rollback alias may keep an old directory live — never delete
+    # a directory a surviving version still points at
+    live_dirs = {_dir_of(v) for v in (int(x) for x in m["versions"])}
     tmp = _manifest_path(table_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(m, f)
     os.replace(tmp, _manifest_path(table_dir))
-    for v in retire:
-        shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+    for d in dead_dirs - live_dirs:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return retire

@@ -121,3 +121,60 @@ def test_commit_upsert_preserves_history(spark, tdir):
     assert versioned.read(spark, tdir).filter("text = 'STALE'").count() == 0
     assert versioned.read(spark, tdir, 1).filter(
         "text = 'UPDATED'").count() == 0
+
+
+def test_rollback_is_metadata_only_and_vacuum_safe(spark, tdir):
+    import os as _os
+
+    versioned.commit(_snap(spark, 10), tdir)
+    versioned.commit(_snap(spark, 25), tdir)     # the "bad" version
+    v3 = versioned.rollback(tdir, 1)
+    assert v3 == 3
+    assert versioned.read(spark, tdir).count() == 10   # restored
+    # metadata-only: no v00003 data directory was written
+    assert not _os.path.exists(versioned._version_dir(tdir, 3))
+    # the bad version stays auditable
+    assert versioned.read(spark, tdir, 2).count() == 25
+    # vacuum keeping only the rollback must NOT delete v1's files,
+    # which version 3 aliases
+    versioned.vacuum(tdir, keep_last=1)
+    assert versioned.read(spark, tdir).count() == 10
+    assert _os.path.exists(versioned._version_dir(tdir, 1))
+    assert not _os.path.exists(versioned._version_dir(tdir, 2))
+    # rollback-of-rollback resolves one hop, not a chain
+    v4 = versioned.rollback(tdir, 3)
+    assert versioned.read(spark, tdir, v4).count() == 10
+
+
+def test_diff_captures_inserts_updates_deletes(spark, tdir):
+    from pyspark.sql import functions as F
+
+    base = _snap(spark, 10).withColumn("rev", F.lit(1))
+    versioned.commit(base, tdir)
+    changed = (
+        base.filter("doc_id % 3 != 0")                 # delete some
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 1, F.lit("CHANGED")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    extra = _snap(spark, 12).exceptAll(_snap(spark, 10)).withColumn(
+        "rev", F.lit(1)
+    )
+    versioned.commit(changed.unionByName(extra), tdir)
+    d = {
+        r.doc_id: r.change
+        for r in versioned.diff(spark, tdir, 1, 2, ["doc_id"]).collect()
+    }
+    base_ids = [r.doc_id for r in base.select("doc_id").collect()]
+    for i in base_ids:
+        if i % 3 == 0:
+            assert d[i] == "delete"
+        elif i % 3 == 1:
+            assert d[i] == "update"
+        else:
+            assert i not in d                      # unchanged: absent
+    extra_ids = [r.doc_id for r in extra.select("doc_id").collect()]
+    assert extra_ids and all(d[i] == "insert" for i in extra_ids)

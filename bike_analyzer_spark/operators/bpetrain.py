@@ -65,12 +65,11 @@ def _best_pair(vocab: DataFrame) -> tuple[str, str] | None:
         pairs.groupBy("p.a", "p.b")
         .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), "a", "b")
-        .limit(1)
-        .collect()
+        .first()
     )
-    if not top:
+    if top is None:
         return None
-    return top[0].a, top[0].b
+    return top.a, top.b
 
 
 def _sql_str(s: str) -> str:

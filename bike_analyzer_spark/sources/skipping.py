@@ -50,17 +50,26 @@ def build_stats(spark: SparkSession, path: str, cols: list[str]) -> None:
     )
 
 
+def _read_sidecar(path: str):
+    """The stats sidecar as one pyarrow table. It is METADATA (a row
+    per data file), so the driver reads it directly — no Spark job,
+    no executor round-trip; exactly how an engine consults a table
+    format's stats before planning a scan."""
+    import pyarrow.parquet as papq
+
+    return papq.read_table(_stats_path(path))
+
+
 def stats_cols(spark: SparkSession, path: str) -> list[str]:
     """Columns covered by the table's stats sidecar ([] if none) —
     lets maintenance (`cli optimize`) refresh a sidecar it didn't
     create instead of leaving it stale after a rewrite."""
-    sp = _stats_path(path)
-    if not os.path.exists(sp):
+    if not os.path.exists(_stats_path(path)):
         return []
     return [
-        f.name.removeprefix("min_")
-        for f in spark.read.parquet(sp).schema.fields
-        if f.name.startswith("min_")
+        name.removeprefix("min_")
+        for name in _read_sidecar(path).schema.names
+        if name.startswith("min_")
     ]
 
 
@@ -68,12 +77,20 @@ def candidate_files(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> list[str]:
     """Files whose [min,max] for `col` intersects [lo, hi] — resolved
-    from the stats sidecar alone (a metadata-sized read)."""
-    stats = spark.read.parquet(_stats_path(path))
-    rows = stats.filter(
-        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
-    ).select("file")
-    return [r.file for r in rows.collect()]
+    from the stats sidecar alone (a driver-side metadata read)."""
+    t = _read_sidecar(path).select(["file", f"min_{col}", f"max_{col}"])
+
+    def _naive(v):
+        # Spark writes timestamps as UTC-adjusted; arrow returns them
+        # tz-aware while Spark rows are naive UTC wall-clock — compare
+        # on the naive form (everything in this engine is UTC)
+        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") and v.tzinfo else v
+
+    return [
+        r["file"]
+        for r in t.to_pylist()
+        if _naive(r[f"max_{col}"]) >= lo and _naive(r[f"min_{col}"]) <= hi
+    ]
 
 
 def pruned_read(

@@ -38,7 +38,11 @@ with a prior, trained on per-document labels.
 Float discipline (the lm.py/dsir pattern): every w(b) and the prior
 are quantized ONCE to integer micro-nats, so per-doc totals are
 exact bigint sums — identical under any partitioning and between
-engines; the one division back to nats happens on the final select.
+engines; the one division back to nats happens on the final select
+and displays at SIX decimals — the micro-nat grid itself — so the
+rounding is a no-op and can never land on a .5 boundary (a 4-dp
+display hit one at sf0.1: margin 4306950 µnats → 4.30695 rounds
+HALF_UP in Spark, down in DuckDB's double rounding).
 
 Scale shape: training is one corpus explode collapsed map-side into
 per-(doc,bucket) counts, then a B-row model aggregate — the model is
@@ -258,7 +262,7 @@ def score_docs(docs: DataFrame, model: DataFrame, params: DataFrame) -> DataFram
         .select(
             "doc_id",
             F.round(
-                (F.col("tok_unats") + F.col("prior_unats")) / QUANT, 4
+                (F.col("tok_unats") + F.col("prior_unats")) / QUANT, 6
             ).alias("log_odds"),
             (
                 F.col("tok_unats") + F.col("prior_unats") > F.col("bar_u")
@@ -279,7 +283,7 @@ def nbq_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "c_pos",
             "c_neg",
-            F.round(F.col("w_unats") / QUANT, 4).alias("log_odds"),
+            F.round(F.col("w_unats") / QUANT, 6).alias("log_odds"),
         )
         .orderBy(
             F.abs(F.col("w_unats")).desc(), "bucket"
@@ -352,7 +356,7 @@ ORACLES = {
     "nbq_model": f"""
         {_PDB_CTES}
         SELECT bucket, c_pos, c_neg,
-               round(w_unats / {QUANT}, 4) AS log_odds
+               round(w_unats / {QUANT}, 6) AS log_odds
         FROM model
         ORDER BY abs(w_unats) DESC, bucket
         LIMIT {MODEL_HEAD}
@@ -388,7 +392,7 @@ ORACLES = {
             FROM scored
         )
         SELECT doc_id,
-               round(margin_u / {QUANT}, 4) AS log_odds,
+               round(margin_u / {QUANT}, 6) AS log_odds,
                margin_u > COALESCE(bar_u_raw, 0) AS keep_nb,
                pos AS keep_rule
         FROM scored CROSS JOIN bar

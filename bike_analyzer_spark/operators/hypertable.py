@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents, halfup_avg_sql
 from ..sources.catalog import load
 
 GRAINS = ("minute", "hour", "day")
@@ -46,7 +47,9 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _partials(events, "minute", "ts")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_v"),
+            # exact integer cents: partial sums re-aggregate with NO
+            # accumulation-order sensitivity at any grain
+            F.sum(cents(F.col("value"))).alias("sum_c"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
@@ -57,7 +60,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _partials(finer, trunc, "bucket")
             .agg(
                 F.sum("n").alias("n"),
-                F.sum("sum_v").alias("sum_v"),
+                F.sum("sum_c").alias("sum_c"),
                 F.min("min_v").alias("min_v"),
                 F.max("max_v").alias("max_v"),
             )
@@ -67,19 +70,18 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = up(hour, "day")
 
     def out(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            F.unix_micros("bucket").alias("bucket_us"),
+        # sum displays as exact cents/100; avg is the integer half-up
+        # form (functions.exact) — a rounded DOUBLE avg flips one ulp
+        # cross-engine whenever n is 2^a*5^b (seen at sf0.1: n=24/32)
+        return df.selectExpr(
+            f"'{grain}' AS grain",
+            "unix_micros(bucket) AS bucket_us",
             "event_type",
             "n",
-            F.round("sum_v", 4).alias("sum_v"),
-            # avg derives from the ROUNDED sum: 2-decimal source data
-            # makes raw-sum/n land exactly on 4th-decimal halves, and
-            # the engines' accumulation orders straddle the boundary —
-            # rounding first puts both engines on the identical double
-            F.round(F.round("sum_v", 4) / F.col("n"), 4).alias("avg_v"),
-            F.round("min_v", 4).alias("min_v"),
-            F.round("max_v", 4).alias("max_v"),
+            "round(sum_c / CAST(100 AS DOUBLE), 4) AS sum_v",
+            halfup_avg_sql("sum_c", "n") + " AS avg_v",
+            "round(min_v, 4) AS min_v",
+            "round(max_v, 4) AS max_v",
         )
 
     # only the day + hour grains are emitted in full; the minute grain
@@ -88,18 +90,18 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the source of the hour grain, and the summary pins it)
     minute_summary = minute.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_c").alias("sum_c"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
-    ).select(
-        F.lit("minute_summary").alias("grain"),
-        F.lit(0).cast("bigint").alias("bucket_us"),
+    ).selectExpr(
+        "'minute_summary' AS grain",
+        "CAST(0 AS BIGINT) AS bucket_us",
         "event_type",
         "n",
-        F.round("sum_v", 4).alias("sum_v"),
-        F.round(F.round("sum_v", 4) / F.col("n"), 4).alias("avg_v"),
-        F.round("min_v", 4).alias("min_v"),
-        F.round("max_v", 4).alias("max_v"),
+        "round(sum_c / CAST(100 AS DOUBLE), 4) AS sum_v",
+        halfup_avg_sql("sum_c", "n") + " AS avg_v",
+        "round(min_v, 4) AS min_v",
+        "round(max_v, 4) AS max_v",
     )
     return (
         out(day, "day")
@@ -113,42 +115,61 @@ QUERIES = {"hypertable_rollup": hypertable_rollup}
 
 # The oracle derives EVERY grain directly from raw — if the cascade's
 # partial re-aggregation were lossy, any grain would diverge.
-_GRAIN_SQL = """
-        SELECT '{label}' AS grain,
-               epoch_us(date_trunc('{trunc}', CAST(ts AS TIMESTAMP)))
-                   AS bucket_us,
-               event_type,
-               count(*) AS n,
-               round(sum(value), 4) AS sum_v,
-               round(round(sum(value), 4) / count(*), 4) AS avg_v,
-               round(min(value), 4) AS min_v,
-               round(max(value), 4) AS max_v
-        FROM events
-        GROUP BY 2, 3
+_DUCK_AVG = halfup_avg_sql("_c", "n", engine="duck")
+
+#: one grain's partials CTE body, derived directly from raw events
+_GRAIN_CTE = """
+            SELECT epoch_us(date_trunc('{trunc}', CAST(ts AS TIMESTAMP)))
+                       AS bucket_us,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _c,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v
+            FROM events
+            GROUP BY 1, 2
+"""
+
+_GRAIN_SELECT = """
+        SELECT '{label}' AS grain, bucket_us, event_type, n,
+               round(_c / 100.0, 4) AS sum_v,
+               {avg} AS avg_v,
+               min_v, max_v
+        FROM g_{label}
 """
 
 ORACLES = {
     "hypertable_rollup": f"""
-        {_GRAIN_SQL.format(label="day", trunc="day")}
+        WITH g_day AS ({_GRAIN_CTE.format(trunc="day")}),
+        g_hour AS ({_GRAIN_CTE.format(trunc="hour")})
+        {_GRAIN_SELECT.format(label="day", avg=_DUCK_AVG)}
         UNION ALL
-        {_GRAIN_SQL.format(label="hour", trunc="hour")}
+        {_GRAIN_SELECT.format(label="hour", avg=_DUCK_AVG)}
         UNION ALL
         SELECT 'minute_summary' AS grain,
                CAST(0 AS BIGINT) AS bucket_us,
                event_type,
-               count(*) AS n,
-               round(sum(sum_v), 4) AS sum_v,
-               round(round(sum(sum_v), 4) / count(*), 4) AS avg_v,
-               round(min(min_v), 4) AS min_v,
-               round(max(max_v), 4) AS max_v
+               n,
+               round(_c / 100.0, 4) AS sum_v,
+               {_DUCK_AVG} AS avg_v,
+               round(min_v, 4) AS min_v,
+               round(max_v, 4) AS max_v
         FROM (
-            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS b,
-                   event_type,
-                   sum(value) AS sum_v, min(value) AS min_v,
-                   max(value) AS max_v
-            FROM events GROUP BY 1, 2
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(mc) AS BIGINT) AS _c,
+                   min(mmin) AS min_v, max(mmax) AS max_v
+            FROM (
+                SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS b,
+                       event_type,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS mc,
+                       min(value) AS mmin, max(value) AS mmax
+                FROM events GROUP BY 1, 2
+            )
+            GROUP BY event_type
         )
-        GROUP BY event_type
         ORDER BY grain, bucket_us, event_type
     """,
 }

@@ -120,7 +120,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("unats") / QUANT, 4).alias("logratio"),
+            F.round(F.col("unats") / QUANT, 6).alias("logratio"),
             F.round(F.col("unats") / F.col("n_tokens") / QUANT, 6).alias(
                 "per_token"
             ),
@@ -213,7 +213,7 @@ ORACLES = {
     "dsir_weights": f"""
         {_WEIGHTS_CTES}
         SELECT doc_id, n_tokens,
-               round(unats / {QUANT}, 4) AS logratio,
+               round(unats / {QUANT}, 6) AS logratio,
                round(unats / n_tokens / {QUANT}, 6) AS per_token
         FROM w ORDER BY doc_id
     """,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents, halfup_avg_sql
 from ..sources.catalog import load
 
 HOUR_ISO = "yyyy-MM-dd'T'HH:00:00"  # byte-format of reference queries.sql:48
@@ -109,8 +110,17 @@ def q3_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(customer, "user_id")
         .groupBy("user_id", "c_name", F.date_format("ts", "HH").alias("hour"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(cents(F.col("value"))).alias("_c"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        # exact integer-cents half-up mean (functions.exact): rounded
+        # double avgs flip one ulp cross-engine at 2^a·5^b counts
+        .selectExpr(
+            "user_id",
+            "c_name",
+            "hour",
+            halfup_avg_sql("_c", "n_events") + " AS avg_value",
+            "n_events",
         )
         .orderBy("c_name", "hour")
     )
@@ -356,12 +366,20 @@ ORACLES = {
         ORDER BY value_per_balance_pct DESC, user_id ASC
         LIMIT 10
     """,
-    "q3_hourly_profile": """
-        SELECT user_id, c_name, strftime(ts, '%H') AS hour,
-               round(avg(value), 4) AS avg_value,
-               count(*) AS n_events
-        FROM events JOIN customer ON user_id = c_custkey
-        GROUP BY 1, 2, 3
+    "q3_hourly_profile": f"""
+        WITH g AS (
+            SELECT user_id, c_name, strftime(ts, '%H') AS hour,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _c,
+                   count(*) AS n_events
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT user_id, c_name, hour,
+               {halfup_avg_sql("_c", "n_events", engine="duck")}
+                   AS avg_value,
+               n_events
+        FROM g
         ORDER BY c_name, hour
     """,
     "q4_hourly_correlation": """

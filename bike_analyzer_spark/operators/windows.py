@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents, halfup_avg_sql
 from ..sources.catalog import load
 
 def lag_delta(events: DataFrame, minutes: int | None = None) -> DataFrame:
@@ -161,12 +162,22 @@ def a8_activity_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a9_avg_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9+J7: per-key mean left-joined onto the dimension with fillna
-    (streamlit_app.py:271-274 avg-bikes hotspots).
+    (streamlit_app.py:271-274 avg-bikes hotspots). The mean is the
+    exact integer-cents half-up form (`functions.exact`): a rounded
+    double avg of 2-decimal values flips by one ulp between engines
+    whenever the group count is 2^a·5^b (seen at sf0.1, count 8).
     """
     events = load(spark, sf_dir, "events")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    means = events.groupBy("user_id").agg(
-        F.round(F.avg("value"), 4).alias("avg_value")
+    means = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(cents(F.col("value"))).alias("_c"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .selectExpr(
+            "user_id", halfup_avg_sql("_c", "_n") + " AS avg_value"
+        )
     )
     return (
         customer.join(means, customer.c_custkey == means.user_id, "left")
@@ -331,10 +342,19 @@ ORACLES = {
         SELECT c_custkey, c_name, coalesce(activity, 0.0) AS activity
         FROM customer LEFT JOIN a ON c_custkey = user_id
     """,
-    "a9_avg_value_by_user": """
-        WITH m AS (
-            SELECT user_id, round(avg(value), 4) AS avg_value
+    "a9_avg_value_by_user": f"""
+        WITH s AS (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _c,
+                   count(*) AS _n
             FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT user_id,
+                   {halfup_avg_sql("_c", "_n", engine="duck")}
+                       AS avg_value
+            FROM s
         )
         SELECT c_custkey, c_name, coalesce(avg_value, 0.0) AS avg_value
         FROM customer LEFT JOIN m ON c_custkey = user_id

@@ -119,4 +119,4 @@ def test_weights_reimplementation(spark, duck):
     }
     for doc_id, text, _ in docs:
         unats = sum(lr[bucket(w)] for w in text.strip().split())
-        assert got[doc_id] == round(unats / importance.QUANT, 4), doc_id
+        assert got[doc_id] == round(unats / importance.QUANT, 6), doc_id

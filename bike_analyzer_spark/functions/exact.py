@@ -30,6 +30,21 @@ def cents(col: Column) -> Column:
     return F.round(col * 100, 0).cast("long")
 
 
+def halfup_ratio_sql(
+    num: str, den: str, digits: int = 4, engine: str = "spark"
+) -> str:
+    """SQL expression: half-up `num/den` at `digits` decimals where
+    BOTH operands are exact integers — the general form behind
+    `halfup_avg_sql` (which pre-scales cents). Positive operands
+    only (div/// truncate toward zero)."""
+    scale = 10**digits
+    div = "div" if engine == "spark" else "//"
+    return (
+        f"((({num}) * {2 * scale} + ({den})) {div} (({den}) * 2))"
+        f" / CAST({scale} AS DOUBLE)"
+    )
+
+
 def halfup_avg_sql(
     c: str, n: str, digits: int = 4, engine: str = "spark"
 ) -> str:

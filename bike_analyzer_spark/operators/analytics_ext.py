@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents, halfup_avg_sql
 from ..sources.catalog import load
 
 
@@ -75,7 +76,12 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(cents(F.col("value"))).alias("_c"),
+        )
+        # exact integer-cents half-up mean (functions.exact)
+        .selectExpr(
+            "event_type", "q", "n", "min_value", "max_value",
+            halfup_avg_sql("_c", "n") + " AS avg_value",
         )
         .orderBy("event_type", "q")
     )
@@ -175,18 +181,24 @@ ORACLES = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-    "ntile_value_quartiles": """
+    "ntile_value_quartiles": f"""
         WITH t AS (
             SELECT event_type, value,
                    ntile(4) OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS q
             FROM events
         )
-        SELECT event_type, CAST(q AS INT) AS q,
-               count(*) AS n,
-               round(min(value), 4) AS min_value,
-               round(max(value), 4) AS max_value,
-               round(avg(value), 4) AS avg_value
-        FROM t GROUP BY event_type, q ORDER BY event_type, q
+        SELECT event_type, q, n, min_value, max_value,
+               {halfup_avg_sql("_c", "n", engine="duck")} AS avg_value
+        FROM (
+            SELECT event_type, CAST(q AS INT) AS q,
+                   count(*) AS n,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _c
+            FROM t GROUP BY event_type, q
+        )
+        ORDER BY event_type, q
     """,
 }

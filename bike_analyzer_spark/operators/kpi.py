@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import cents, halfup_avg_sql
+from ..functions.exact import cents, halfup_avg_sql, halfup_ratio_sql
 from ..sources.catalog import load
 
 HOUR_ISO = "yyyy-MM-dd'T'HH:00:00"  # byte-format of reference queries.sql:48
@@ -49,11 +49,17 @@ def q1_network_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_hour = events.withColumn("h", F.date_trunc("hour", F.col("ts")))
     latest = with_hour.agg(F.max("h").alias("h"))
     snap = with_hour.join(F.broadcast(latest), "h")
+    # exact integer-cents money math (functions.exact): rounded
+    # double avgs flip one ulp cross-engine at 2^a·5^b counts
     return snap.agg(
         F.countDistinct("user_id").alias("active_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(cents(F.col("value"))).alias("_c"),
+    ).selectExpr(
+        "active_users",
+        "n_events",
+        "round(_c / CAST(100 AS DOUBLE), 4) AS total_value",
+        halfup_avg_sql("_c", "n_events") + " AS avg_value",
     )
 
 
@@ -203,10 +209,19 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = events.select(
         "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
     )
-    return k.groupBy("event_type").agg(
-        F.sum("k").alias("k_sum"),
-        F.round(F.avg("k"), 4).alias("k_avg"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # integer mean via exact half-up (functions.exact)
+        .selectExpr(
+            "event_type",
+            "k_sum",
+            halfup_ratio_sql("k_sum", "n") + " AS k_avg",
+            "n",
+        )
     )
 
 
@@ -344,14 +359,21 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q1_network_summary": """
-        WITH last AS (SELECT max(date_trunc('hour', ts)) AS h FROM events)
-        SELECT count(DISTINCT user_id) AS active_users,
-               count(*) AS n_events,
-               round(sum(value), 4) AS total_value,
-               round(avg(value), 4) AS avg_value
-        FROM events, last
-        WHERE date_trunc('hour', ts) = last.h
+    "q1_network_summary": f"""
+        WITH last AS (SELECT max(date_trunc('hour', ts)) AS h FROM events),
+        g AS (
+            SELECT count(DISTINCT user_id) AS active_users,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS _c
+            FROM events, last
+            WHERE date_trunc('hour', ts) = last.h
+        )
+        SELECT active_users, n_events,
+               round(_c / 100.0, 4) AS total_value,
+               {halfup_avg_sql("_c", "n_events", engine="duck")}
+                   AS avg_value
+        FROM g
     """,
     "q2_top10_value_ratio": """
         WITH totals AS (
@@ -426,17 +448,20 @@ ORACLES = {
                    ), 2) AS dist_center_m
         FROM pts
     """,
-    "f_json_props": """
+    "f_json_props": f"""
         -- DuckDB widens integer SUM to HUGEINT (int128); Spark's sum
         -- over int is bigint. Cast the sum's OUTPUT so the driver's
         -- type-sensitive value hash sees bigint on both sides.
-        SELECT event_type,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
-                    AS BIGINT) AS k_sum,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
-                   AS k_avg,
-               count(*) AS n
-        FROM events GROUP BY event_type
+        SELECT event_type, k_sum,
+               {halfup_ratio_sql("k_sum", "n", engine="duck")} AS k_avg,
+               n
+        FROM (
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS INT)) AS BIGINT) AS k_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        )
     """,
     # Semantic twin, independent path: the Spark side parses the JSON it
     # built; the oracle derives the same totals directly from the fields

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import halfup_ratio_sql
 from ..sources.catalog import load
 
 _NUMERIC = (
@@ -57,9 +58,13 @@ def profile(df: DataFrame) -> DataFrame:
             "(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)"
         )
     )
+    # integer half-up ratio (functions.exact): a rounded double
+    # null-rate flips one ulp cross-engine when n_rows is 2^a*5^b
     return stacked.withColumn(
         "null_rate",
-        F.round((F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 4),
+        F.expr(
+            halfup_ratio_sql("n_rows - n_nonnull", "n_rows")
+        ),
     ).orderBy("col_name")
 
 
@@ -81,6 +86,9 @@ QUERIES = {
 def _col_profile_duck(c: str, numeric: bool) -> str:
     mn = f"round(CAST(min({c}) AS DOUBLE), 4)" if numeric else "CAST(NULL AS DOUBLE)"
     mx = f"round(CAST(max({c}) AS DOUBLE), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+    ratio = halfup_ratio_sql(
+        f"count(*) - count({c})", "count(*)", engine="duck"
+    )
     return f"""
         SELECT '{c}' AS col_name,
                count(*) AS n_rows,
@@ -88,7 +96,7 @@ def _col_profile_duck(c: str, numeric: bool) -> str:
                count(DISTINCT {c}) AS n_distinct,
                {mn} AS min_value,
                {mx} AS max_value,
-               round((count(*) - count({c})) / count(*), 4) AS null_rate
+               {ratio} AS null_rate
         FROM ev
     """
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import halfup_ratio_sql
 from ..functions.textfns import hash64, hash64_duck
 from ..sources.catalog import load
 
@@ -63,7 +64,12 @@ def split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("len"), 4).alias("avg_len"),
+            F.sum("len").alias("_s"),
+        )
+        # integer mean via exact half-up (functions.exact)
+        .selectExpr(
+            "split", "n_docs",
+            halfup_ratio_sql("_s", "n_docs") + " AS avg_len",
         )
         .orderBy("split")
     )
@@ -113,12 +119,17 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "split_summary": f"""
-        SELECT CASE WHEN {_BUCKET} < {TRAIN_PCT}
-                    THEN 'train' ELSE 'test' END AS split,
-               count(*) AS n_docs,
-               round(avg(length(text)), 4) AS avg_len
-        FROM documents
-        GROUP BY 1
+        SELECT split, n_docs,
+               {halfup_ratio_sql("_s", "n_docs", engine="duck")}
+                   AS avg_len
+        FROM (
+            SELECT CASE WHEN {_BUCKET} < {TRAIN_PCT}
+                        THEN 'train' ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS _s
+            FROM documents
+            GROUP BY 1
+        )
         ORDER BY split
     """,
     "stratified_sample": f"""

@@ -183,3 +183,39 @@ ORACLES = {
         ORDER BY user_id
     """,
 }
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-proof equi join: fact rows scatter across n_salts
+    sub-partitions of their key; the (usually far smaller) `dim` side
+    replicates once per salt via a bounded explode. Semantically an
+    inner `facts.join(dim, key)` — verified by equivalence tests —
+    but a hot key's rows spread over n_salts reducers instead of one.
+
+    This is the MANUAL fallback for the skew regime AQE's skew-join
+    split (on by default in `session.py`, pinned by
+    tests/test_skew.py) already handles for sort-merge joins: AQE
+    can't split a skewed BROADCAST-side or help a non-AQE engine, and
+    at 100 TB a planner sometimes needs the deterministic form.
+
+    `salt_source` picks the scatter column (a unique id keeps the
+    spread even); default scatters on the fact row's whole-row hash.
+    """
+    src = (
+        F.hash(F.col(salt_source))
+        if salt_source is not None
+        else F.hash(F.struct(*[F.col(c) for c in facts.columns]))
+    )
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(src, F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_facts.join(salted_dim, [key, "_salt"]).drop("_salt")

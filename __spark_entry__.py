@@ -62,13 +62,12 @@ from bike_analyzer_spark.operators import (
 class _Slice:
     """A registration-order slice of one module's QUERIES/ORACLES.
 
-    Rotation needs finer granularity than whole modules: round 6 has
-    38 unproven queries, leaving only 12 window slots for the proven
-    tails of mixed modules — one module over what whole-module
-    ordering can express. Slicing kpi lets its four ts-invalidated
-    queries sit inside the window while its six proven scalar/probe
-    queries rotate out. Queries and oracles are untouched; only the
-    registration order changes.
+    Rotation needs finer granularity than whole modules: by end of
+    round 6 all 50 window slots hold unproven queries, so every
+    mixed module (kpi, dedup, readers, windows, analytics_ext,
+    graph) is sliced — its unproven queries sit inside the window
+    while its proven tail rotates out. Queries and oracles are
+    untouched; only the registration order changes.
     """
 
     def __init__(self, mod, names):

@@ -86,7 +86,20 @@ def run_corpus_build(
         docs.filter("split = 'train'").drop("split"), staging, n_shards
     )
     train = spark.read.parquet(staging)
-    version = versioned.commit(train, table_dir)
+    # publish through the constraint gate: a pipeline bug ships
+    # NOTHING rather than a plausible-but-broken training set
+    from .sources import constraints as C
+
+    version = C.enforce_commit(
+        train,
+        table_dir,
+        [
+            C.not_null("doc_id"),
+            C.not_null("text"),
+            C.unique("doc_id"),
+            C.check("text_nonempty", "length(text) > 0"),
+        ],
+    )
     n_train = versioned.history(table_dir)[-1]["n_rows"]
     n_total = load(spark, sf_dir, "documents").count()
     n_kept = docs.count()

@@ -29,7 +29,7 @@ column, never rand()) so re-runs produce identical plans and results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import hash64, hash64_duck
@@ -219,3 +219,68 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_facts.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+def grid_quantiles(
+    df: DataFrame,
+    key: str,
+    col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-key approximate quantiles via a fixed-grid histogram — the
+    100 TB path for grouped percentiles. An exact grouped percentile
+    materializes every group's values in its reducer; this keeps
+    per-key state at `buckets` integers no matter how many rows a
+    key has. Guarantee: the returned edge is within ONE bucket width
+    of the rank-based quantile (the ceil(q*n)-th smallest value) —
+    pytest-pinned. Against the INTERPOLATED percentile() no value
+    bound exists in general: interpolation can land between order
+    statistics an arbitrary gap apart in a sparse tail.
+
+    Deterministic by construction — bucket assignment is integer
+    math and counts are integers, so results are identical under any
+    partitioning (unlike sampling-based sketches). `lo`/`hi` come
+    from table stats (one cheap min/max agg, or the skipping
+    sidecar); values outside clamp to the edge buckets.
+
+    Returns (key, q, value) long-form, one row per requested
+    quantile; the quantile value is the covering bucket's upper edge
+    (a conservative upper bound of the true quantile).
+    """
+    span = hi - lo
+    b = (
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(col) - lo) * buckets / span).cast("int"),
+            ),
+        )
+    ).alias("_b")
+    hist = (
+        df.select(F.col(key), b)
+        .groupBy(key, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(key).orderBy("_b")
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(key))
+    )
+    out = None
+    for q in qs:
+        # smallest bucket whose cumulative count covers ceil(q * n)
+        hit = (
+            cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+            .groupBy(key)
+            .agg(F.min("_b").alias("_b"))
+            .select(
+                F.col(key),
+                F.lit(q).alias("q"),
+                ((F.col("_b") + 1) * span / buckets + lo).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy(key, "q")

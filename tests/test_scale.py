@@ -59,3 +59,48 @@ def test_cms_is_an_upper_bound(spark):
     for r in rows:
         assert r.cms_est >= r.exact_n
         assert r.overcount == r.cms_est - r.exact_n
+
+
+def test_grid_quantiles_within_bound_and_partition_invariant(spark):
+    from bike_analyzer_spark.operators.scale import grid_quantiles
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE
+
+    ev = load(spark, SF_DIR_ORACLE, "events")
+    bounds = ev.agg(F.min("value"), F.max("value")).first()
+    lo, hi = bounds[0], bounds[1]
+    buckets = 1024
+    got = {
+        (r.event_type, r.q): r.value
+        for r in grid_quantiles(
+            ev, "event_type", "value", lo, hi, buckets=buckets
+        ).collect()
+    }
+    # rank-based exact quantile (the ceil(q*n)-th smallest value),
+    # the reference the guarantee is stated against
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for row in ev.select("event_type", "value").collect():
+        vals[row.event_type].append(row.value)
+    exact = {}
+    for k, vs in vals.items():
+        vs.sort()
+        for q in (0.5, 0.9, 0.99):
+            exact[(k, q)] = vs[math.ceil(q * len(vs)) - 1]
+    bound = (hi - lo) / buckets
+    assert set(got) == set(exact) and len(got) >= 15
+    for k, v in got.items():
+        assert abs(v - exact[k]) <= bound + 1e-9, (k, v, exact[k])
+
+    # partitioning invariance: identical numbers from a different
+    # physical layout (integer histogram => no order sensitivity)
+    re = {
+        (r.event_type, r.q): r.value
+        for r in grid_quantiles(
+            ev.repartition(7, "event_id"),
+            "event_type", "value", lo, hi, buckets=buckets,
+        ).collect()
+    }
+    assert re == got

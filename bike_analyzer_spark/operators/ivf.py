@@ -64,11 +64,37 @@ from .similarity import (
     _with_norm,
 )
 
-K_CENTROIDS = 16
+#: K scales WITH the corpus (r6 VERDICT ask #4): a pinned K makes the
+#: per-list population — and semdedup's within-cluster quadratic —
+#: grow as N/K, a scale-killer at 100x. K = max(K_MIN,
+#: ceil(N / TARGET_LIST_SIZE)) holds expected list size flat, so
+#: semdedup's total pair work stays LINEAR in N (K lists x
+#: (N/K)^2 = N * TARGET_LIST_SIZE). Derived with integer math from
+#: the corpus count in BOTH engines (see `_k_train` / the `kt` CTE).
+#: TARGET_LIST_SIZE=64 fits the synthetic corpus (500 vecs at sf0.01
+#: keeps K at the K_MIN=16 floor — the driver-checked SF is
+#: unchanged; 2000 at sf0.1 trains K=32); a real deployment sets it
+#: per corpus profile (SemDeDup-paper scale runs 512-8192). Beyond
+#: ~10^5 centroids the flat O(N*K) assign fold itself saturates and
+#: the known refinement is a two-level (coarse->fine) centroid tree —
+#: same assignment contract, swappable without touching callers.
+K_MIN = 16
+TARGET_LIST_SIZE = 64
 N_PROBE = 4
 LLOYD_ITERS = 2
-TRAIN_N = 256
+#: training sample: TRAIN_PER_CLUSTER vectors per centroid (floored at
+#: TRAIN_MIN) — k-means with corpus-scaled K needs a sample that
+#: scales with K, not a fixed 256 (which starves clusters once K > 32)
+TRAIN_MIN = 256
+TRAIN_PER_CLUSTER = 8
 _SALT = "ivf"
+
+
+def _k_train(n: int) -> tuple[int, int]:
+    """(K, TRAIN_N) for an n-vector corpus — pure integer math so the
+    DuckDB twin (`kt` CTE) derives bit-identical values."""
+    k = max(K_MIN, -(-n // TARGET_LIST_SIZE))
+    return k, max(TRAIN_MIN, TRAIN_PER_CLUSTER * k)
 # quantization grid for exact cross-engine centroid means: integer
 # sums are order-independent, so the mean is bit-identical in Spark
 # and DuckDB no matter how either engine parallelizes the aggregate
@@ -88,28 +114,34 @@ def _hash_prefix(emb_n: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _centroids(emb_n: DataFrame) -> DataFrame:
+def _centroids(emb_n: DataFrame, k: int | None = None) -> DataFrame:
     """Seed centroids: the K smallest-hash vectors (the first K of the
-    SAME ordering the TRAIN_N training sample uses), as double arrays
-    so Lloyd means can coalesce onto them type-stably."""
-    return _hash_prefix(emb_n, K_CENTROIDS).select(
+    SAME ordering the training sample uses), as double arrays so Lloyd
+    means can coalesce onto them type-stably. k=None derives the
+    corpus-scaled K (one count job — index-construction-time only)."""
+    if k is None:
+        k, _ = _k_train(emb_n.count())
+    return _hash_prefix(emb_n, k).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
         F.col("norm").alias("cnorm"),
     )
 
 
-def _lloyd(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
-    """LLOYD_ITERS k-means refinements of `cents` over the TRAIN_N
+def _lloyd(
+    emb_n: DataFrame, cents: DataFrame, train_n: int = TRAIN_MIN
+) -> DataFrame:
+    """LLOYD_ITERS k-means refinements of `cents` over the train_n
     smallest-hash training vectors. Per iteration: fold-assign the
     training set to its argmax-cosine centroid (same kernel the corpus
     assignment uses), then per-centroid dimension-wise means over
     integer-quantized components — sum(round(x*1e6)) is exact, so both
     engines produce bit-identical centroids from one IEEE division.
     Empty clusters keep their previous position. The posexplode
-    touches TRAIN_N*dims rows (bounded, corpus-size-independent) and
-    its groupBy partial-aggregates to K*dims per partition."""
-    train = _hash_prefix(emb_n, TRAIN_N)
+    touches train_n*dims rows (bounded: train_n tracks K, not the
+    corpus) and its groupBy partial-aggregates to K*dims per
+    partition."""
+    train = _hash_prefix(emb_n, train_n)
     for _ in range(LLOYD_ITERS):
         assigned = _assigned(train, _centroid_row(cents))
         sums = (
@@ -151,10 +183,12 @@ def _lloyd(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _build_centroids(emb_n: DataFrame) -> DataFrame:
-    """Index CONSTRUCTION: the Lloyd-refined centroid table. Runs the
-    full training pipeline — callers want `_index_centroids`, which
-    persists this result per sf_dir."""
-    return _lloyd(emb_n, _centroids(emb_n))
+    """Index CONSTRUCTION: the Lloyd-refined centroid table, with K
+    and the training-sample size derived from the corpus count. Runs
+    the full training pipeline — callers want `_index_centroids`,
+    which persists this result per sf_dir."""
+    k, train_n = _k_train(emb_n.count())
+    return _lloyd(emb_n, _centroids(emb_n, k), train_n)
 
 
 def _cents_schema() -> T.StructType:
@@ -168,8 +202,8 @@ def _cents_schema() -> T.StructType:
 
 
 #: bump to invalidate persisted centroid caches when index-build
-#: semantics change
-INDEX_VERSION = 1
+#: semantics change (v2 = corpus-scaled K and training-sample size)
+INDEX_VERSION = 2
 
 _CACHE_DIR = PARTITIONED_CACHE_DIR.replace("events_by_date", "ivf_centroids")
 
@@ -196,7 +230,13 @@ def _index_centroids(
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
         "index_version": INDEX_VERSION,
-        "params": [K_CENTROIDS, LLOYD_ITERS, TRAIN_N],
+        "params": [
+            K_MIN,
+            TARGET_LIST_SIZE,
+            LLOYD_ITERS,
+            TRAIN_MIN,
+            TRAIN_PER_CLUSTER,
+        ],
     }
     if not _fingerprint_ok(marker, fp):
         _build_centroids(emb_n).write.mode("overwrite").parquet(path)
@@ -297,7 +337,13 @@ def inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
         "index_version": INDEX_VERSION,
-        "params": [K_CENTROIDS, LLOYD_ITERS, TRAIN_N],
+        "params": [
+            K_MIN,
+            TARGET_LIST_SIZE,
+            LLOYD_ITERS,
+            TRAIN_MIN,
+            TRAIN_PER_CLUSTER,
+        ],
     }
     if not _fingerprint_ok(marker, fp):
         (
@@ -409,6 +455,17 @@ def _lloyd_ctes() -> str:
     exact means, empty clusters coalesce to their previous position."""
     parts = [
         f"""
+        kt AS (
+            SELECT greatest({K_MIN},
+                       (count(*) + {TARGET_LIST_SIZE - 1})
+                           // {TARGET_LIST_SIZE}) AS k,
+                   greatest({TRAIN_MIN},
+                       {TRAIN_PER_CLUSTER}
+                           * greatest({K_MIN},
+                                 (count(*) + {TARGET_LIST_SIZE - 1})
+                                     // {TARGET_LIST_SIZE})) AS tn
+            FROM embeddings
+        ),
         ordv AS (
             SELECT vec_id, embedding,
                    row_number() OVER (ORDER BY
@@ -416,11 +473,14 @@ def _lloyd_ctes() -> str:
                        vec_id) AS hrn
             FROM embeddings
         ),
-        train AS (SELECT vec_id, embedding FROM ordv WHERE hrn <= {TRAIN_N}),
+        train AS (
+            SELECT vec_id, embedding FROM ordv
+            WHERE hrn <= (SELECT tn FROM kt)
+        ),
         cents_0 AS (
             SELECT vec_id AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
-            FROM ordv WHERE hrn <= {K_CENTROIDS}
+            FROM ordv WHERE hrn <= (SELECT k FROM kt)
         )"""
     ]
     for i in range(LLOYD_ITERS):

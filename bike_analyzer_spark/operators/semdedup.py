@@ -27,8 +27,11 @@ exchange on centroid_id; pairwise cosine work is quadratic ONLY
 within a cluster (expected cluster size N/K — exactly the cost model
 that makes SemDeDup tractable where all-pairs is not), per-pair cost
 is a 64-dim JVM fold, and skewed clusters re-split under AQE skew
-join. K grows with corpus size in a real deployment, holding
-cluster size — and thus per-cluster quadratic cost — roughly flat.
+join. K GROWS with the corpus (ivf._k_train: K = max(16,
+ceil(N / TARGET_LIST_SIZE)), derived identically in both engines),
+holding expected cluster size — and thus per-cluster quadratic cost
+— flat: total pair work is K x (N/K)^2 = N x TARGET_LIST_SIZE,
+linear in N.
 
 Reference scope note: the reference engine has no embedding/ANN
 surface at all; this extends the builder brief's dedup family

@@ -76,3 +76,44 @@ def test_minhash_finds_planted_near_dup(spark):
     got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.8
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_bloom_prune_keeps_all_matches_and_prunes_misses(spark):
+    """The store-side Bloom prune (r6 VERDICT ask #6): zero false
+    negatives — every store row whose (band, sig) really occurs in the
+    shard survives — while rows sharing nothing with the shard are
+    (almost all) pruned map-side."""
+    shard = spark.createDataFrame(
+        [(i, i % 4, f"sig{i % 50}") for i in range(0, 200, 2)],
+        "doc_id long, band int, sig string",
+    )
+    matching = [(1000 + i, i % 4, f"sig{i % 50}") for i in range(0, 200, 2)]
+    disjoint = [(2000 + i, i % 4, f"other{i}") for i in range(400)]
+    store = spark.createDataFrame(
+        matching + disjoint, "doc_id long, band int, sig string"
+    )
+    kept = dedup._bloom_prune(spark, store, shard, n_keys=shard.count())
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert {d for d, _, _ in matching} <= kept_ids  # no false negatives
+    fp = len(kept_ids) - len(matching)
+    assert fp <= len(disjoint) * 0.05, f"{fp} false positives"
+
+
+def test_incr_near_bloom_path_matches_and_filters_store_scan(
+    spark, monkeypatch
+):
+    """With the cost-model gate forced open, dedup_incr_near must (a)
+    return byte-identical rows to the un-pruned path and (b) carry the
+    Bloom bit-test filter on the store side of its plan — the
+    element_at probe against the broadcast `bf` word array, evaluated
+    during the store scan stage, BEFORE the band join's exchange."""
+    base = dedup.dedup_incr_near(spark, SF_DIR_ORACLE)
+    plain = [tuple(r) for r in base.collect()]
+    assert "element_at" not in base._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setattr(dedup, "BLOOM_MIN_DOCS", 0)
+    pruned_df = dedup.dedup_incr_near(spark, SF_DIR_ORACLE)
+    pruned = [tuple(r) for r in pruned_df.collect()]
+    assert pruned == plain
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan and "bf" in plan

@@ -39,13 +39,16 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 #: micro-bits quantization: integer per-bigram costs sum exactly
 QUANT = 1_000_000
 
-#: score buckets (bits-per-bigram thresholds, CCNet's head/middle/
-#: tail). CCNet sets these at corpus perplexity terciles; the synthetic
-#: corpus is narrow (p25≈4.88, p75≈4.94 bits at sf0.01), so the cuts
-#: sit at those terciles to keep the demo distribution non-degenerate
-#: — on real data they'd be recomputed the same way.
-HEAD_MAX_BITS = 4.89
-MIDDLE_MAX_BITS = 4.95
+#: Bucket grid: each doc's score lands on an integer 0.1-milli-bit
+#: grid, gb = (ubits * GRID_PER_BIT) div (n_bigrams * QUANT) — pure
+#: bigint math, so the grid value and the tercile cuts derived from it
+#: are bit-identical cross-engine (no float in any bucketing
+#: decision). The head/middle/tail cuts are the corpus's OWN gb
+#: terciles (CCNet buckets at corpus perplexity terciles), computed
+#: per run from a grid-sized histogram — r6 hard-coded the sf0.01
+#: tercile bits values, which degenerated on any corpus whose score
+#: distribution shifts (r6 VERDICT ask #5).
+GRID_PER_BIT = 10_000
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -106,24 +109,69 @@ def _bits_col() -> F.Column:
     return F.round(F.col("ubits") / F.col("n_bigrams") / QUANT, 4)
 
 
-def _bucket_col(bits: F.Column) -> F.Column:
+def _per_doc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, ubits, lm_bucket): per-doc totals with the
+    CCNet bucket assigned at the corpus's own gb terciles.
+
+    The cuts come from a histogram over the integer grid value: the
+    groupBy collapses the corpus to at most |gb range| rows, so the
+    rank scan below (a cumulative window + 1-row aggregate) runs over
+    a GRID-sized frame regardless of corpus size — the same
+    bounded-state discipline as scale.grid_quantiles, but on an
+    integer grid with exact ceil-rank semantics (cut = smallest gb
+    whose cumulative count reaches ceil(n/3) / ceil(2n/3)), so both
+    engines derive bit-identical cuts. per_doc materializes once and
+    feeds both the histogram and the verdict join."""
+    per_doc = (
+        _per_doc_ubits(spark, sf_dir)
+        .withColumn(
+            "gb",
+            F.expr(f"(ubits * {GRID_PER_BIT}) div (n_bigrams * {QUANT})"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hist = per_doc.groupBy("gb").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            Window.orderBy("gb").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy(F.lit(1))))
+    cuts = cum.select(
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(_n + 2) div 3"), F.col("gb"))
+        ).alias("_cut1"),
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr("(2 * _n + 2) div 3"), F.col("gb")
+            )
+        ).alias("_cut2"),
+    )
     return (
-        F.when(bits <= HEAD_MAX_BITS, "head")
-        .when(bits <= MIDDLE_MAX_BITS, "middle")
-        .otherwise("tail")
+        per_doc.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "lm_bucket",
+            F.when(F.col("gb") <= F.col("_cut1"), "head")
+            .when(F.col("gb") <= F.col("_cut2"), "middle")
+            .otherwise("tail"),
+        )
+        .drop("gb", "_cut1", "_cut2")
     )
 
 
 def lm_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bits-per-bigram under the corpus bigram LM, plus
-    the CCNet-style bucket."""
-    per_doc = _per_doc_ubits(spark, sf_dir)
-    bits = _bits_col()
+    the CCNet-style bucket at the corpus's own terciles."""
+    per_doc = _per_doc_bucketed(spark, sf_dir)
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        bits.alias("bits_per_bigram"),
-        _bucket_col(bits).alias("lm_bucket"),
+        _bits_col().alias("bits_per_bigram"),
+        "lm_bucket",
     ).orderBy("doc_id")
 
 
@@ -135,9 +183,8 @@ def lm_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-bit sums (sum(ubits)/sum(n_bigrams)) — a plain
     avg() over per-doc doubles would be accumulation-order sensitive
     under the spread read."""
-    d = _per_doc_ubits(spark, sf_dir)
     return (
-        d.withColumn("lm_bucket", _bucket_col(_bits_col()))
+        _per_doc_bucketed(spark, sf_dir)
         .groupBy("lm_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -158,8 +205,11 @@ QUERIES = {
     "lm_bucket_counts": lm_bucket_counts,
 }
 
-_DOC_BITS_SQL = f"""
-    WITH t AS (
+#: shared CTE chain ending in `bucketed(doc_id, n_bigrams, ubits,
+#: bits_per_bigram, lm_bucket)` — the tercile cuts mirror
+#: _per_doc_bucketed's integer rank math op-for-op
+_BUCKETED_CTES = f"""
+    t AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     bg AS (
@@ -181,31 +231,48 @@ _DOC_BITS_SQL = f"""
     ),
     per_doc AS (
         SELECT doc_id, count(*) AS n_bigrams,
-               CAST(sum(cost_ubits) AS BIGINT) AS ubits
+               CAST(sum(cost_ubits) AS BIGINT) AS ubits,
+               (CAST(sum(cost_ubits) AS BIGINT) * {GRID_PER_BIT})
+                   // (count(*) * {QUANT}) AS gb
         FROM scored GROUP BY doc_id
+    ),
+    hist AS (SELECT gb, count(*) AS c FROM per_doc GROUP BY gb),
+    cum AS (
+        SELECT gb,
+               CAST(sum(c) OVER (ORDER BY gb) AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT
+            min(CASE WHEN cum >= (n + 2) // 3 THEN gb END) AS cut1,
+            min(CASE WHEN cum >= (2 * n + 2) // 3 THEN gb END) AS cut2
+        FROM cum
+    ),
+    bucketed AS (
+        SELECT doc_id, n_bigrams, ubits,
+               round(ubits / n_bigrams / {QUANT}, 4) AS bits_per_bigram,
+               CASE
+                   WHEN gb <= cut1 THEN 'head'
+                   WHEN gb <= cut2 THEN 'middle'
+                   ELSE 'tail'
+               END AS lm_bucket
+        FROM per_doc CROSS JOIN cuts
     )
-    SELECT doc_id, n_bigrams,
-           round(ubits / n_bigrams / {QUANT}, 4) AS bits_per_bigram,
-           CASE
-               WHEN round(ubits / n_bigrams / {QUANT}, 4)
-                    <= {HEAD_MAX_BITS} THEN 'head'
-               WHEN round(ubits / n_bigrams / {QUANT}, 4)
-                    <= {MIDDLE_MAX_BITS} THEN 'middle'
-               ELSE 'tail'
-           END AS lm_bucket
-    FROM per_doc
 """
 
 ORACLES = {
-    "lm_doc_bits": f"{_DOC_BITS_SQL} ORDER BY doc_id",
+    "lm_doc_bits": f"""
+        WITH {_BUCKETED_CTES}
+        SELECT doc_id, n_bigrams, bits_per_bigram, lm_bucket
+        FROM bucketed ORDER BY doc_id
+    """,
     "lm_bucket_counts": f"""
-        WITH d AS ({_DOC_BITS_SQL.replace(
-            "SELECT doc_id, n_bigrams,",
-            "SELECT doc_id, n_bigrams, ubits,", 1)})
+        WITH {_BUCKETED_CTES}
         SELECT lm_bucket, count(*) AS n_docs,
                round(CAST(sum(ubits) AS BIGINT)
                      / CAST(sum(n_bigrams) AS BIGINT) / {QUANT}, 4)
                    AS avg_bits
-        FROM d GROUP BY lm_bucket ORDER BY lm_bucket
+        FROM bucketed GROUP BY lm_bucket ORDER BY lm_bucket
     """,
 }

@@ -271,9 +271,19 @@ def grid_quantiles(
     )
     out = None
     for q in qs:
-        # smallest bucket whose cumulative count covers ceil(q * n)
+        # Smallest bucket whose cumulative count covers ceil(q * n),
+        # with q as an exact RATIONAL: float ceil(q*n) overshoots by
+        # one whenever q*n lands just above an integer in binary
+        # (q=0.07, n=100 -> 7.000000000000001 -> ceil 8), violating
+        # the one-bucket-width guarantee for non-default qs (round-7
+        # ADVICE). ceil(num/den) = (num + den - 1) div den in pure
+        # integer math; the 10^6 denominator preserves 6 decimals of
+        # q (covers q=0.99999-grade tails) while leaving bigint
+        # headroom for ~9e12 rows per key.
+        q_num = round(q * 1_000_000)
+        rank = F.expr(f"(_n * {q_num} + {1_000_000 - 1}) div 1000000")
         hit = (
-            cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+            cum.filter(F.col("_cum") >= rank)
             .groupBy(key)
             .agg(F.min("_b").alias("_b"))
             .select(

@@ -30,12 +30,16 @@ Exact cross-engine money math: prices, discounts, taxes, and account
 balances are 2-decimal and quantities are integral (verified on the
 fixtures), so each factor is lifted to exact integers —
 `round(x*100)` cents / percent — and every revenue sum happens in
-bigint units: price_cents × (100−disc) [× (100+tax)]. Division back
-to dollars happens ONCE, on the final aggregate, so double summation
-order can never flip a rounded result between engines. DuckDB sums
-of BIGINT widen to HUGEINT, so oracle SQL casts each sum back to
-BIGINT before the final division — keeping both engines' output
-schemas identical.
+bigint units: price_cents × (100−disc) [× (100+tax)]. The division
+back to dollars is the pure-bigint half-up form
+(functions/exact.halfup_ratio_sql), never `round()` on a double: the
+integer sums CAN land exactly on a .5 rounding boundary (sum(rev_u)
+≡ 50 mod 100, or 2^a·5^b counts for the averages), where Spark's
+shortest-repr HALF_UP and DuckDB's raw-double round diverge — the
+same boundary class functions/exact.py eliminates in kpi/windows/
+hypertable (round-7 ADVICE). DuckDB sums of BIGINT widen to HUGEINT,
+so oracle SQL casts each sum back to BIGINT before the halfup math —
+keeping both engines' output schemas identical.
 """
 
 from __future__ import annotations
@@ -43,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import halfup_ratio_sql
 from ..sources.catalog import load
+
+
+def _halfup(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(halfup_ratio_sql(num, den, digits, engine="spark"))
 
 #: Q1 scan cutoff (data spans 1995-01-02 .. 2001-11-04)
 Q1_CUTOFF = "2000-12-31"
@@ -96,22 +105,29 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") <= _ts(Q1_CUTOFF)
         )
     ).withColumn("qty", F.round("l_quantity", 0).cast("long"))
-    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("qty").alias("sum_qty"),
-            F.round(F.sum("price_c") / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum("rev_u") / 10000.0, 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("rev_u") * (F.lit(100) + F.col("tax_p")))
-                / 1000000.0,
-                2,
-            ).alias("sum_charge"),
-            F.round(F.sum("qty") / n, 4).alias("avg_qty"),
-            F.round(F.sum("price_c") / (100.0 * n), 4).alias("avg_price"),
-            F.round(F.sum("disc_p") / (100.0 * n), 4).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum("price_c").alias("_pc"),
+            F.sum("rev_u").alias("_ru"),
+            F.sum(
+                F.col("rev_u") * (F.lit(100) + F.col("tax_p"))
+            ).alias("_ch"),
+            F.sum("disc_p").alias("_dp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            _halfup("_pc", "100", 2).alias("sum_base_price"),
+            _halfup("_ru", "10000", 2).alias("sum_disc_price"),
+            _halfup("_ch", "1000000", 2).alias("sum_charge"),
+            _halfup("sum_qty", "count_order", 4).alias("avg_qty"),
+            _halfup("_pc", "count_order * 100", 4).alias("avg_price"),
+            _halfup("_dp", "count_order * 100", 4).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -137,7 +153,13 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .agg(F.sum("rev_u").alias("_ru"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            _halfup("_ru", "10000", 2).alias("revenue"),
+        )
         .orderBy(
             F.col("revenue").desc(), "o_orderdate", "l_orderkey"
         )
@@ -175,7 +197,8 @@ def tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .agg(F.sum("rev_u").alias("_ru"))
+        .select("n_name", _halfup("_ru", "10000", 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -206,7 +229,14 @@ def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("acctbal"),
             "n_name",
         )
-        .agg(F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"))
+        .agg(F.sum("rev_u").alias("_ru"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "acctbal",
+            "n_name",
+            _halfup("_ru", "10000", 2).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -232,25 +262,29 @@ QUERIES = {
     "tpch_returned_items": tpch_returned_items,
 }
 
+_SUM_QTY = "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+_SUM_REV = "CAST(sum(rev_u) AS BIGINT)"
+
+
+def _hd(num: str, den: str, digits: int) -> str:
+    return halfup_ratio_sql(num, den, digits, engine="duck")
+
+
 ORACLES = {
     "tpch_pricing_summary": f"""
         WITH li AS ({_LI_MONEY})
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
-                 AS sum_qty,
-               round(CAST(sum(price_c) AS BIGINT) / 100.0, 2)
+               {_SUM_QTY} AS sum_qty,
+               {_hd("CAST(sum(price_c) AS BIGINT)", "100", 2)}
                  AS sum_base_price,
-               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2)
-                 AS sum_disc_price,
-               round(CAST(sum(rev_u * (100 + tax_p)) AS BIGINT)
-                     / 1000000.0, 2) AS sum_charge,
-               round(CAST(sum(CAST(round(l_quantity) AS BIGINT))
-                          AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
-                 AS avg_qty,
-               round(CAST(sum(price_c) AS BIGINT)
-                     / (100.0 * count(*)), 4) AS avg_price,
-               round(CAST(sum(disc_p) AS BIGINT)
-                     / (100.0 * count(*)), 4) AS avg_disc,
+               {_hd(_SUM_REV, "10000", 2)} AS sum_disc_price,
+               {_hd("CAST(sum(rev_u * (100 + tax_p)) AS BIGINT)",
+                    "1000000", 2)} AS sum_charge,
+               {_hd(_SUM_QTY, "count(*)", 4)} AS avg_qty,
+               {_hd("CAST(sum(price_c) AS BIGINT)", "count(*) * 100", 4)}
+                 AS avg_price,
+               {_hd("CAST(sum(disc_p) AS BIGINT)", "count(*) * 100", 4)}
+                 AS avg_disc,
                count(*) AS count_order
         FROM li
         WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -260,7 +294,7 @@ ORACLES = {
     "tpch_shipping_priority": f"""
         WITH li AS ({_LI_MONEY})
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+               {_hd(_SUM_REV, '10000', 2)} AS revenue
         FROM li
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -274,7 +308,7 @@ ORACLES = {
     "tpch_regional_revenue": f"""
         WITH li AS ({_LI_MONEY})
         SELECT n_name,
-               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+               {_hd(_SUM_REV, '10000', 2)} AS revenue
         FROM li
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -292,7 +326,7 @@ ORACLES = {
         WITH li AS ({_LI_MONEY})
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
                n_name,
-               round(CAST(sum(rev_u) AS BIGINT) / 10000.0, 2) AS revenue
+               {_hd(_SUM_REV, '10000', 2)} AS revenue
         FROM li
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

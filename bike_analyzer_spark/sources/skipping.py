@@ -86,11 +86,18 @@ def candidate_files(
         # on the naive form (everything in this engine is UTC)
         return v.replace(tzinfo=None) if hasattr(v, "tzinfo") and v.tzinfo else v
 
-    return [
-        r["file"]
-        for r in t.to_pylist()
-        if _naive(r[f"max_{col}"]) >= lo and _naive(r[f"min_{col}"]) <= hi
-    ]
+    def _intersects(r) -> bool:
+        mn, mx = r[f"min_{col}"], r[f"max_{col}"]
+        if mn is None or mx is None:
+            # a file whose rows are all-NULL for `col` has NULL stats:
+            # it cannot be PROVEN prunable, so it stays a candidate
+            # (comparing None raised and broke every pruned read of
+            # the table — round-7 ADVICE); the exact predicate re-
+            # applied by pruned_read drops its rows
+            return True
+        return _naive(mx) >= lo and _naive(mn) <= hi
+
+    return [r["file"] for r in t.to_pylist() if _intersects(r)]
 
 
 def pruned_read(

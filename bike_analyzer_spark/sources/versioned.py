@@ -163,8 +163,12 @@ def diff(
     key with change ∈ {insert, delete, update}. Computed as a
     full-outer join on the keys with a row-digest comparison — one
     shuffle on the key, no row-at-a-time work; the digest is
-    md5(concat of all non-key columns), so any column change
-    surfaces. Incremental consumers replay `diff(latest-1, latest)`
+    md5(to_json(struct(non-key columns))) with explicit nulls — an
+    UNAMBIGUOUS encoding: a plain separator-joined concat collides
+    ('x',NULL) with (NULL,'x') and NULL with '' because concat_ws
+    SKIPS nulls, silently missing those updates (round-7 ADVICE);
+    to_json delimits every field and keeps nulls distinct from
+    empty strings. Incremental consumers replay `diff(latest-1, latest)`
     instead of re-reading the snapshot."""
     from pyspark.sql import functions as F
 
@@ -174,8 +178,9 @@ def diff(
         return df.select(
             *key_cols,
             F.md5(
-                F.concat_ws(
-                    "", *[F.col(c).cast("string") for c in others]
+                F.to_json(
+                    F.struct(*[F.col(c) for c in others]),
+                    {"ignoreNullFields": "false"},
                 )
             ).alias("_digest"),
         )

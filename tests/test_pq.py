@@ -126,20 +126,17 @@ def test_compression_ratio_and_reconstruction(spark):
     max_code = pq.K_SUB**pq.M_SUB - 1
     assert all(0 <= r.code <= max_code for r in enc)
     assert all(r.recon_err is not None and r.recon_err >= 0 for r in enc)
-    # non-degeneracy, per-subspace: some subspace uses >2 distinct
-    # 4-bit digits across rows (not just "more than one code overall")
-    digits = [
-        {(r.code >> (4 * m)) & 0xF for r in enc} for m in range(pq.M_SUB)
-    ]
-    assert any(len(d) > 2 for d in digits), (
-        "every subspace collapsed to <=2 codewords — degenerate codebook"
-    )
-    # ...and at least one subspace actually uses >2 of its 16 codewords
-    # (unpack digit m as (code >> 4m) & 15), so quantization is not a
-    # degenerate 1-or-2-centroid split in every subspace
+    # non-degeneracy, per-subspace (unpack digit m as
+    # (code >> bits*m) & (K_SUB-1)): at least one subspace must use
+    # its FULL K_SUB codeword range — the docstring's actual claim
+    # (round-7 ADVICE tightened this from ">2 distinct codes"; the
+    # trained codebook currently saturates all 16 codewords in EVERY
+    # subspace, so the full-range assert has headroom) — and no
+    # subspace may collapse to a 1-or-2-centroid split
     bits = pq.K_SUB.bit_length() - 1
     digit_diversity = [
         len({(r.code >> (bits * m)) & (pq.K_SUB - 1) for r in enc})
         for m in range(pq.M_SUB)
     ]
-    assert max(digit_diversity) > 2, digit_diversity
+    assert max(digit_diversity) == pq.K_SUB, digit_diversity
+    assert min(digit_diversity) > 2, digit_diversity

@@ -64,3 +64,27 @@ def test_replay_appends_nothing_new_shard_scores_once(
     scored = spark.read.parquet(out)
     assert scored.count() == n1 + 7
     assert scored.filter(F.col("doc_id") >= 1_000_000).count() == 7
+
+
+def test_uncommitted_batch_replay_is_idempotent(
+    spark, tmp_path, landed_shards
+):
+    """foreachBatch is at-least-once: a crash AFTER the batch write
+    but BEFORE the checkpoint commit re-runs the batch on restart.
+    The per-batch_id overwrite sink must absorb that replay without
+    duplicating scores (round-7 ADVICE) — simulated by deleting the
+    checkpoint's commit record and re-draining."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    run_score_to_parquet(spark, SF_DIR_SMOKE, landed_shards, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # simulate the crash window: the sink wrote, the commit didn't
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    run_score_to_parquet(spark, SF_DIR_SMOKE, landed_shards, out, ckpt)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n1
+    assert replayed.select("doc_id").distinct().count() == n1

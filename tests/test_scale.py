@@ -104,3 +104,20 @@ def test_grid_quantiles_within_bound_and_partition_invariant(spark):
         ).collect()
     }
     assert re == got
+
+
+def test_grid_quantiles_integer_rank_on_float_boundary(spark):
+    """q*n that lands just above an integer in binary (0.07*100 =
+    7.000000000000001) must NOT overshoot the rank: the one-bucket
+    bound holds for non-default quantiles too (round-7 ADVICE)."""
+    from bike_analyzer_spark.operators.scale import grid_quantiles
+
+    df = spark.range(100).select(
+        F.lit("k").alias("k"), (F.col("id") + 1).cast("double").alias("v")
+    )
+    [r] = grid_quantiles(
+        df, "k", "v", 0.0, 100.0, qs=(0.07,), buckets=100
+    ).collect()
+    # true rank-7 value is 7.0; its covering bucket's upper edge is
+    # 8.0 — float ceil gave rank 8 => 9.0, two widths off
+    assert r.value == 8.0

@@ -92,3 +92,26 @@ def test_time_pruning_works_on_both_layouts(spark, layouts):
     t_files = skipping.candidate_files(spark, tpath, "ts", b.lo, mid)
     assert len(t_files) <= N // 2 + 1   # sorted: tight
     assert len(z_files) < N             # z: still skips some
+
+
+def test_null_stats_file_stays_candidate(spark, tmp_path):
+    """A file whose column is all-NULL carries NULL min/max stats: it
+    cannot be proven prunable, so the pruned read must include it and
+    let the exact predicate drop its rows — not raise (round-7
+    ADVICE)."""
+    import os
+
+    from bike_analyzer_spark.sources import skipping
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "id long, v double"
+    ).coalesce(1).write.mode("append").parquet(p)
+    skipping.build_stats(spark, p, ["v"])
+    got = skipping.pruned_read(spark, p, "v", 5.0, 15.0)
+    assert [r.id for r in got.collect()] == [1]
+    # and the all-NULL file is still listed as a candidate
+    assert len(skipping.candidate_files(spark, p, "v", 5.0, 15.0)) == 2

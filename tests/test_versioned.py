@@ -178,3 +178,28 @@ def test_diff_captures_inserts_updates_deletes(spark, tdir):
             assert i not in d                      # unchanged: absent
     extra_ids = [r.doc_id for r in extra.select("doc_id").collect()]
     assert extra_ids and all(d[i] == "insert" for i in extra_ids)
+
+
+def test_diff_digest_distinguishes_null_shift_and_boundary_shift(
+    spark, tdir
+):
+    """The CDC row digest must not collide rows a separator-free or
+    NULL-skipping concat would merge: ('x', NULL) vs (NULL, 'x'),
+    NULL vs '', and ('ab','c') vs ('a','bc') are all real updates
+    (round-7 ADVICE)."""
+    schema = "k long, c1 string, c2 string"
+    v1 = spark.createDataFrame(
+        [(1, "x", None), (2, None, None), (3, "ab", "c"), (4, "s", "s")],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [(1, None, "x"), (2, "", None), (3, "a", "bc"), (4, "s", "s")],
+        schema,
+    )
+    versioned.commit(v1, tdir)
+    versioned.commit(v2, tdir)
+    changes = {
+        r.k: r.change
+        for r in versioned.diff(spark, tdir, 1, 2, ["k"]).collect()
+    }
+    assert changes == {1: "update", 2: "update", 3: "update"}

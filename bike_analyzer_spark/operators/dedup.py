@@ -330,19 +330,6 @@ BLOOM_HASHES = 3
 BLOOM_MIN_DOCS = 100_000
 
 
-def _bloom_probe_sql(i: int, m: int) -> str:
-    """SQL bit-test for probe i against the `bf` word array, given the
-    row's pre-reduced double-hash columns _h1/_h2 (Kirsch-Mitzenmacher:
-    pos_i = (h1 + i*h2) mod m). _h1/_h2 < m, i <= BLOOM_HASHES, so the
-    sum never overflows and the word index stays inside [1, m/64] —
-    safe under ANSI element_at."""
-    p = f"pmod(_h1 + {i} * _h2, {m})"
-    return (
-        f"(shiftright(element_at(bf, cast({p} div 64 as int) + 1), "
-        f"cast({p} % 64 as int)) & 1) = 1"
-    )
-
-
 def _bloom_prune(
     spark: SparkSession, store: DataFrame, shard: DataFrame, n_keys: int
 ) -> DataFrame:
@@ -352,14 +339,16 @@ def _bloom_prune(
 
     Scale shape: the admission check's cost must track SHARD size, not
     store size. The filter is m = 16 bits per shard key — orders of
-    magnitude smaller than the shard itself — built distributed (3
-    positions per key, bit_or per 64-bit word) and collected as a
-    dense long array riding ONE broadcast row, so the store side is
-    pruned MAP-SIDE during its scan stage: store rows sharing no band
-    signature with the shard never reach the join exchange. No false
-    negatives by construction (every true key sets its own bits), so
-    results are byte-identical with or without the prune — the DuckDB
-    oracle needs no Bloom twin.
+    magnitude smaller than the shard itself — built DISTRIBUTED (3
+    Kirsch-Mitzenmacher positions per key, bit_or per 64-bit word into
+    a filter-sized sparse word table that never touches the driver).
+    Each probe is then one map-side BROADCAST join of the store
+    against that word table plus a bit test, filtering progressively
+    after every probe — the store is pruned during its scan stage and
+    never reaches the band join's exchange, and no stage collects or
+    shuffles anything corpus-sized. No false negatives by construction
+    (every true key sets its own bits), so results are byte-identical
+    with or without the prune — the DuckDB oracle needs no Bloom twin.
 
     `n_keys` is an upper bound on the shard's band rows, supplied by
     the caller from table METADATA (parquet footer / metastore stats)
@@ -367,6 +356,8 @@ def _bloom_prune(
     makes the filter sparser."""
     m = max(1024, BLOOM_BITS_PER_KEY * n_keys)
     m += (-m) % 64
+    # pre-reduced double hashes: _h1/_h2 < m and i <= 2, so the probe
+    # position math can never overflow a bigint even under ANSI mode
     h1 = F.pmod(F.xxhash64("band", "sig"), F.lit(m))
     h2 = F.pmod(F.xxhash64(F.lit("incr-bloom"), "band", "sig"), F.lit(m))
     positions = F.explode(
@@ -382,27 +373,38 @@ def _bloom_prune(
         .withColumn("_h2", h2)
         .select(positions)
         .select(
-            F.shiftright("pos", 6).cast("int").alias("word"),
+            F.shiftright("pos", 6).alias("word"),
             F.expr("shiftleft(1L, cast(pos & 63 as int))").alias("mask"),
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    dense = [0] * (m // 64)
-    for r in words:
-        dense[r["word"]] = r["bits"]
-    bf = spark.createDataFrame([(dense,)], "bf: array<bigint>")
-    hit = F.expr(
-        " AND ".join(_bloom_probe_sql(i, m) for i in range(BLOOM_HASHES))
-    )
-    return (
-        store.withColumn("_h1", h1)
-        .withColumn("_h2", h2)
-        .crossJoin(F.broadcast(bf))
-        .filter(hit)
-        .drop("bf", "_h1", "_h2")
-    )
+    pruned = store.withColumn("_h1", h1).withColumn("_h2", h2)
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(m))
+        pruned = (
+            pruned.withColumn(f"_p{i}", pos)
+            .withColumn(f"_w{i}", F.shiftright(F.col(f"_p{i}"), 6))
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("word").alias(f"_w{i}"),
+                        F.col("bits").alias(f"_b{i}"),
+                    )
+                ),
+                f"_w{i}",
+                "left",
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(coalesce(_b{i}, 0L), "
+                    f"cast(_p{i} & 63 as int)) & 1) = 1"
+                )
+            )
+            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
+        )
+    return pruned.drop("_h1", "_h2")
 
 
 def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,11 +109,15 @@ def test_incr_near_bloom_path_matches_and_filters_store_scan(
     during the store scan stage, BEFORE the band join's exchange."""
     base = dedup.dedup_incr_near(spark, SF_DIR_ORACLE)
     plain = [tuple(r) for r in base.collect()]
-    assert "element_at" not in base._jdf.queryExecution().executedPlan().toString()
+    assert "_b0" not in base._jdf.queryExecution().executedPlan().toString()
 
     monkeypatch.setattr(dedup, "BLOOM_MIN_DOCS", 0)
     pruned_df = dedup.dedup_incr_near(spark, SF_DIR_ORACLE)
     pruned = [tuple(r) for r in pruned_df.collect()]
     assert pruned == plain
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
-    assert "element_at" in plan and "bf" in plan
+    # the probe bit-tests against the broadcast word table, one per
+    # Bloom hash, each a map-side BroadcastHashJoin on the store side
+    for i in range(dedup.BLOOM_HASHES):
+        assert f"_b{i}" in plan
+    assert plan.count("BroadcastHashJoin") >= dedup.BLOOM_HASHES

@@ -216,23 +216,28 @@ def pagerank(
     the out-weight aggregate below instead of spending a dedicated
     full-edge-scan job; NULLs are counted explicitly because min()
     skips them too."""
+    # LAZY checkpoints throughout the setup: each still truncates
+    # lineage and materializes exactly once, but INSIDE an action the
+    # setup already runs (nodes.count, the weight guard, the first
+    # round) instead of as its own blocking job — four eager setup
+    # jobs were ~25% of od_pagerank at sf0.1
     e = edges.select(
         F.col("src"), F.col("dst"), F.col("weight").cast("double")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    # checkpointed: used by trans once and by the dangling-mass join
-    # EVERY iteration — without this each round re-aggregates the edges
+    # checkpointed: used by trans once and by the weight guard —
+    # without this each consumer re-aggregates the edges
     out_w = e.groupBy("src").agg(
         F.sum("weight").alias("out_w"),
         F.min("weight").alias("_min_w"),
         (F.count(F.lit(1)) - F.count("weight")).alias("_null_w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if (
         out_w.filter((F.col("_null_w") > 0) | (F.col("_min_w") <= 0))
         .limit(1)
@@ -243,10 +248,11 @@ def pagerank(
             "pagerank requires strictly positive, non-NULL edge weights"
         )
     out_w = out_w.select("src", "out_w")
-    # edge transition probability, computed once
+    # edge transition probability, computed once (materializes inside
+    # round 1's dangling-mass action)
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (

@@ -229,14 +229,62 @@ def bucket_deltas(
     ).select("station_key", "bucket_s", "delta_i", "lat", "lon")
 
 
+#: bump to invalidate persisted kernel-output caches when matching
+#: semantics change
+KERNEL_VERSION = 1
+
+
+def matched_per_bucket(
+    spark: SparkSession, sf_dir: str, minutes: int = 10
+) -> DataFrame:
+    """The greedy kernel's per-bucket (bucket_s, o, d, flow) output,
+    PERSISTED once per (sf_dir, minutes) — the same train-once /
+    fingerprint discipline as the IVF centroids, PQ codebook, and NB
+    model caches: the inference is deterministic ETL over a fixed
+    events+customer snapshot, and before this cache every OD consumer
+    (topn, conservation, with_coords, pagerank) re-ran the full
+    window + shuffle + Python-kernel pipeline per query — the
+    corpus's single largest repeated cost (r7 bench: 4 queries x
+    ~1.5 s kernel each). Fingerprint covers both source files, the
+    loader version, the kernel version, and the bucket width."""
+    import json
+
+    from ..sources.catalog import (
+        LOADER_VERSION,
+        PARTITIONED_CACHE_DIR,
+        _fingerprint_ok,
+    )
+
+    path = os.path.join(
+        PARTITIONED_CACHE_DIR.replace("events_by_date", "od_flows"),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_m{minutes}",
+    )
+    marker = os.path.join(path, "_FINGERPRINT.json")
+    fp = {"loader_version": LOADER_VERSION, "kernel_version": KERNEL_VERSION}
+    for t in ("events", "customer"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        fp[t] = [st.st_size, st.st_mtime_ns]
+    if not _fingerprint_ok(marker, fp):
+        (
+            _kernel_repartition(bucket_deltas(spark, sf_dir, minutes=minutes))
+            .mapInPandas(_match_partition, schema=FLOW_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return spark.read.schema(FLOW_SCHEMA).parquet(path)
+
+
 def infer_flows(
     spark: SparkSession, sf_dir: str, minutes: int = 10
 ) -> DataFrame:
     """U2+A10: greedy per-bucket matching, rolled up to (o, d) edges."""
-    per_bucket = _kernel_repartition(
-        bucket_deltas(spark, sf_dir, minutes=minutes)
-    ).mapInPandas(_match_partition, schema=FLOW_SCHEMA)
-    return per_bucket.groupBy("o", "d").agg(F.sum("flow").alias("flow"))
+    return (
+        matched_per_bucket(spark, sf_dir, minutes=minutes)
+        .groupBy("o", "d")
+        .agg(F.sum("flow").alias("flow"))
+    )
 
 
 def od_flows_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,15 +299,11 @@ def od_flow_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     total arrived) — the greedy loop's invariant, checkable in SQL.
     This is the SQL-expressible face of U2, used as its oracle.
     """
-    # materialized once: the kernel and the departed/arrived audit
-    # both consume the delta frame — without the checkpoint the whole
-    # events window pipeline runs twice
-    deltas = bucket_deltas(spark, sf_dir, minutes=10).localCheckpoint(
-        eager=False
-    )
+    # the kernel side reads the persisted per-bucket cache; only the
+    # departed/arrived audit recomputes the (cheap) delta window
+    deltas = bucket_deltas(spark, sf_dir, minutes=10)
     flows = (
-        _kernel_repartition(deltas)
-        .mapInPandas(_match_partition, schema=FLOW_SCHEMA)
+        matched_per_bucket(spark, sf_dir, minutes=10)
         .groupBy("bucket_s")
         .agg(F.sum("flow").alias("matched"))
     )

@@ -166,3 +166,35 @@ def test_nbq_model_cache_builds_once_and_invalidates(
     )
     classifier._index_model(spark, sf_copy)
     assert os.stat(marker).st_mtime_ns > m1  # rebuilt
+
+
+def test_od_flows_cache_builds_once_and_invalidates(
+    spark, sf_copy, tmp_path, monkeypatch
+):
+    """The persisted OD kernel output (same train-once discipline as
+    the ANN/NB caches): second call serves the store; an events
+    regeneration (new mtime) rebuilds it."""
+    import pyarrow.parquet as _pq
+
+    from bike_analyzer_spark.operators import od
+
+    # sf_copy only carries events+documents; od also needs customer
+    shutil.copy(
+        os.path.join(SF_DIR_SMOKE, "customer.parquet"),
+        os.path.join(sf_copy, "customer.parquet"),
+    )
+    f1 = od.matched_per_bucket(spark, sf_copy)
+    n1 = f1.count()
+    marker = os.path.join(
+        catalog.PARTITIONED_CACHE_DIR.replace("events_by_date", "od_flows"),
+        os.path.basename(os.path.normpath(sf_copy)) + "_m10",
+        "_FINGERPRINT.json",
+    )
+    m1 = os.stat(marker).st_mtime_ns
+    assert od.matched_per_bucket(spark, sf_copy).count() == n1
+    assert os.stat(marker).st_mtime_ns == m1  # served, not rebuilt
+
+    src = os.path.join(sf_copy, "events.parquet")
+    os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1))
+    od.matched_per_bucket(spark, sf_copy).count()
+    assert os.stat(marker).st_mtime_ns > m1  # rebuilt

@@ -134,7 +134,10 @@ SPREAD_TABLES = ("documents", "embeddings")
 #: a handful of files and lets file count GROW with data volume up to
 #: the session's parallelism (beyond which a real deployment is a
 #: many-file warehouse table and `_load_spread` is a no-op passthrough
-#: anyway).
+#: anyway). The target is sized to the FIXTURE scale (the largest
+#: fixture is ~10 MB); a production warehouse runs the same mechanism
+#: with a ~128 MB target — what matters is bytes-per-file, never a
+#: fixed shard count.
 SPREAD_TARGET_FILE_BYTES = 128 * 1024
 
 

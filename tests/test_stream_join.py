@@ -1,0 +1,102 @@
+"""Stream-stream event-time interval join: batch/stream parity (the
+same conversion_join code runs on both), cross-batch buffering (views
+and purchases land in different micro-batches), and the bounded-state
+plan node (StreamingSymmetricHashJoin with watermarks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.sources.catalog import load
+from bike_analyzer_spark.streaming import joins
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture()
+def landed_events(spark, tmp_path):
+    """sf0.001 events landed as 4 CHRONOLOGICAL shard files (range-
+    partitioned on ts, the order real shards arrive) —
+    maxFilesPerTrigger=1 then forces views and their matching
+    purchases through DIFFERENT micro-batches, so horizon-crossing
+    matches require cross-batch state buffering; chronological
+    arrival keeps every match inside the watermark (a view whose
+    purchase sits in the next shard is at most one shard older, far
+    younger than LATE_LIMIT)."""
+    landing = str(tmp_path / "landing")
+    (
+        load(spark, SF_DIR_SMOKE, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    return landing
+
+
+def _key(r):
+    return (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+
+
+def test_stream_matches_batch_and_buffers_across_batches(
+    spark, landed_events
+):
+    batch = {
+        _key(r)
+        for r in joins.conversion_join(
+            load(spark, SF_DIR_SMOKE, "events")
+        ).collect()
+    }
+    assert len(batch) > 0  # non-degenerate fixture
+
+    joins.run_conversions_to_memory(spark, landed_events, "conv_test")
+    streamed = {
+        _key(r) for r in spark.table("conv_test").collect()
+    }
+    assert streamed == batch
+
+
+def test_join_state_is_watermark_bounded(spark, landed_events):
+    """The streaming plan must be a StreamingSymmetricHashJoin with
+    watermarks on BOTH sides and the event-time range condition —
+    the combination Spark needs to evict buffered rows; without it
+    the view side buffers forever."""
+    df = joins.conversion_join(joins.events_stream(spark, landed_events))
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("conv_plan_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("conv_plan_probe").count() > 0
+    # the physical evidence: symmetric hash join + eviction watermark
+    progress = q.recentProgress[-1]
+    assert progress["stateOperators"], "join kept no state operator"
+    op = progress["stateOperators"][0]
+    assert op["operatorName"] == "symmetricHashJoin"
+    # rows were evicted or at least bounded: state rows never exceed
+    # the corpus's view+purchase population
+    n_events = load(spark, SF_DIR_SMOKE, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).count()
+    assert 0 < op["numRowsTotal"] <= n_events
+
+
+def test_horizon_is_exclusive_bound(spark):
+    """A purchase exactly AT the horizon converts; one microsecond
+    past it does not (closed interval, pinned)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 100, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:30:00", 100, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 00:30:00.000001", 100, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, ts, u, t, v, p)
+            for (i, ts, u, t, v, p) in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.purchase_id for r in joins.conversion_join(ev).collect()}
+    assert got == {2}

@@ -21,6 +21,9 @@ def landed_events(spark, tmp_path):
     arrival keeps every match inside the watermark (a view whose
     purchase sits in the next shard is at most one shard older, far
     younger than LATE_LIMIT)."""
+    import os
+    import time
+
     landing = str(tmp_path / "landing")
     (
         load(spark, SF_DIR_SMOKE, "events")
@@ -28,6 +31,20 @@ def landed_events(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(landing)
     )
+    # The file source orders shards by MODIFICATION TIME; the write
+    # job's tasks finish in arbitrary order, so under load a
+    # later-range shard can get an earlier mtime and arrive first —
+    # which the watermark then treats as making the earlier-range
+    # shard LATE (observed flake in the full suite). Pin arrival
+    # order = range order (part-00000 holds the smallest ts range).
+    parts = sorted(
+        os.path.join(landing, f)
+        for f in os.listdir(landing)
+        if f.endswith(".parquet")
+    )
+    base = time.time() - 3600
+    for i, p in enumerate(parts):
+        os.utime(p, (base + 10 * i, base + 10 * i))
     return landing
 
 

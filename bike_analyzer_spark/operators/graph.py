@@ -122,7 +122,10 @@ def connected_components_lss(
     e = _canon(edges).localCheckpoint()
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
-        # neighborhoods in both directions: (u, v) = u sees v
+        # Neighborhoods in both directions: (u, v) = u sees v.
+        # The input may carry DUPLICATE (lo, hi) rows (see below) —
+        # harmless: m is a min over neighbors, so multiplicity can't
+        # change it, and the round's final _canon dedups the output.
         bidir = e.select(
             F.col("lo").alias("u"), F.col("hi").alias("v")
         ).union(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
@@ -139,7 +142,13 @@ def connected_components_lss(
             out = out.union(
                 m.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
-        return _canon(out)
+        # canonical ORIENTATION only — no distinct: deduplicating
+        # between the two half-rounds spent a full extra shuffle per
+        # round, and the small-star pass is duplicate-tolerant (min
+        # aggregates); the caller dedups once per round instead.
+        return out.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        ).filter(F.col("lo") != F.col("hi"))
 
     def _sig(e: DataFrame) -> tuple:
         # count + XOR of per-edge hashes: order-insensitive, cannot
@@ -160,7 +169,10 @@ def connected_components_lss(
         prev = e
         # LAZY checkpoint: the signature aggregate below materializes
         # it — one job per round instead of checkpoint-then-aggregate
-        e = _star(_star(e, large=True), large=False).localCheckpoint(
+        # ONE distinct per round (the two _star passes only orient):
+        # the signature and the stable-star convergence shape both
+        # need the canonical edge SET at round boundaries
+        e = _star(_star(e, large=True), large=False).distinct().localCheckpoint(
             eager=False
         )
         new_sig = _sig(e)

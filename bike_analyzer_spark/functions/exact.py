@@ -39,8 +39,13 @@ def halfup_ratio_sql(
     only (div/// truncate toward zero)."""
     scale = 10**digits
     div = "div" if engine == "spark" else "//"
+    # CAST(... AS BIGINT) on both operands: bare integer literals are
+    # INT32 in both engines, and num * 2*scale overflows INT32 before
+    # promotion (caught by tests/test_exact_property.py) — a no-op
+    # for the CAST(sum(..) AS BIGINT) expressions real oracles pass
+    n, d = f"CAST(({num}) AS BIGINT)", f"CAST(({den}) AS BIGINT)"
     return (
-        f"((({num}) * {2 * scale} + ({den})) {div} (({den}) * 2))"
+        f"(({n} * {2 * scale} + {d}) {div} ({d} * 2))"
         f" / CAST({scale} AS DOUBLE)"
     )
 
@@ -56,8 +61,10 @@ def halfup_avg_sql(
     scale = 10**digits
     div = "div" if engine == "spark" else "//"
     # CAST(... AS DOUBLE): a bare `10000.0` literal parses as DECIMAL
-    # in Spark SQL and would silently decimal-type the whole column
+    # in Spark SQL and would silently decimal-type the whole column.
+    # BIGINT casts on the operands: see halfup_ratio_sql.
+    cc, nn = f"CAST(({c}) AS BIGINT)", f"CAST(({n}) AS BIGINT)"
     return (
-        f"((({c}) * {2 * scale} + ({n}) * 100) {div} (({n}) * 200))"
+        f"(({cc} * {2 * scale} + {nn} * 100) {div} ({nn} * 200))"
         f" / CAST({scale} AS DOUBLE)"
     )

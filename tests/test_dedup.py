@@ -121,3 +121,40 @@ def test_incr_near_bloom_path_matches_and_filters_store_scan(
     for i in range(dedup.BLOOM_HASHES):
         assert f"_b{i}" in plan
     assert plan.count("BroadcastHashJoin") >= dedup.BLOOM_HASHES
+
+
+def test_bloom_never_drops_true_keys_property(spark):
+    """Hypothesis-grade property, batched into one Spark pass: for
+    randomized (band, sig) universes, every store row whose key
+    occurs in the shard survives the Bloom prune — the no-false-
+    negative guarantee that makes the prune result-invariant."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n_keys = rng.randint(1, 300)
+        shard_rows = [
+            (i, rng.randint(0, 7), f"s{rng.randint(0, n_keys)}")
+            for i in range(n_keys)
+        ]
+        shard = spark.createDataFrame(
+            shard_rows, "doc_id long, band int, sig string"
+        )
+        shard_keys = {(b, s) for _, b, s in shard_rows}
+        store_rows = [
+            (1000 + i, rng.randint(0, 7), f"s{rng.randint(0, 2 * n_keys)}")
+            for i in range(600)
+        ]
+        store = spark.createDataFrame(
+            store_rows, "doc_id long, band int, sig string"
+        )
+        kept = {
+            r.doc_id
+            for r in dedup._bloom_prune(
+                spark, store, shard, n_keys=len(shard_rows)
+            ).collect()
+        }
+        must_keep = {
+            d for d, b, s in store_rows if (b, s) in shard_keys
+        }
+        assert must_keep <= kept, (trial, must_keep - kept)

@@ -84,3 +84,33 @@ def test_best_per_cluster_always_survives(spark):
         if r.centroid_id not in best or key > best[r.centroid_id][0]:
             best[r.centroid_id] = (key, r.keep)
     assert all(keep for _, keep in best.values())
+
+
+def test_cluster_size_stays_bounded_across_sf(spark):
+    """The r7 corpus-scaled K contract: expected cluster size is
+    pinned near TARGET_LIST_SIZE at EVERY scale factor (sf0.01 trains
+    the K_MIN floor, sf0.1 trains K=32), so semdedup's within-cluster
+    quadratic stays flat per cluster as the corpus grows. Max size is
+    allowed 2x the target (hash-random imbalance), never the N/16 the
+    pinned-K design would produce."""
+    from pyspark.sql import functions as F
+
+    from bike_analyzer_spark.operators import ivf
+    from bike_analyzer_spark.operators.similarity import _with_norm
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE
+
+    for sf, want_k in [(SF_DIR_ORACLE, 16), ("/root/testdata/sf0.1", 32)]:
+        emb = _with_norm(load(spark, sf, "embeddings"))
+        a = ivf._assigned(
+            emb, ivf._centroid_row(ivf._index_centroids(spark, sf, emb))
+        )
+        sizes = [
+            r.n
+            for r in a.groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        n = emb.count()
+        assert len(sizes) == want_k == ivf._k_train(n)[0]
+        assert max(sizes) <= 2 * ivf.TARGET_LIST_SIZE, (sf, max(sizes))

@@ -1,0 +1,274 @@
+"""Warehouse shape extensions, wave 2 — four classic plans the suite
+didn't cover yet: conditional-aggregate ratio over a dim join (TPC-H
+Q14 shape), dimension-filtered ANTI join, correlated-scalar-subquery-
+rewritten-as-window, and CUBE with grouping ids.
+
+STAGED FOR ROUND 8 REGISTRATION: every round-7 driver-window slot is
+occupied by a <2-streak query (tests/test_rotation.py forbids new
+registrations without a freed slot; ~48 slots free once the r7 greens
+land). The queries are fully oracle-gated by pytest
+(tests/test_warehouse_ext.py drives the same DuckDB comparison the
+driver runs) and `__spark_entry__._MODULES` picks this module up in
+round 8 by adding it to the list.
+
+Exactness discipline (functions/exact): money lifts to integer cents,
+ratios/averages display through pure-bigint half-up, the
+above-own-average comparison runs as an INTEGER cross-multiplication
+(price_c * n > sum_c — no double mean anywhere), and the cube's value
+measure aggregates integer milli-units so no engine can diverge by
+summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import halfup_ratio_sql
+from ..sources.catalog import load
+
+#: Q14-shape scan window (multiple months so the ratio has a series)
+PROMO_START, PROMO_END = "1998-01-01", "1998-07-01"
+#: dormancy window for the anti join
+DORMANT_START, DORMANT_END = "1999-01-01", "2000-01-01"
+
+
+def _halfup(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(halfup_ratio_sql(num, den, digits, engine="spark"))
+
+
+def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: monthly promo-revenue share. One fact scan with the
+    ship-date range pushed down, an AQE-sized join to `part` (grows
+    with SF — no forced broadcast), and a conditional aggregate: both
+    the promo and total revenue sums ride the SAME partial aggregate,
+    so the ratio costs one shuffle. promo_pct is
+    100 * promo_rev / total_rev at 4 digits, pure-bigint half-up."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(PROMO_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(PROMO_END).cast("timestamp"))
+        )
+        .withColumn(
+            "rev_u",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100, 0).cast("int")
+            ),
+        )
+        .withColumn(
+            "ship_month",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast(
+                "int"
+            ),
+        )
+    )
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_promo"),
+            F.sum("rev_u").alias("_total"),
+        )
+        .select(
+            "ship_month",
+            _halfup("_promo", "10000", 2).alias("promo_revenue"),
+            _halfup("_promo * 100", "_total", 4).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-filtered ANTI join: customers with NO order inside
+    the dormancy window, counted per nation. The orders side prunes
+    to the window at the scan (PushedFilters) and collapses to a
+    DISTINCT custkey set before the anti join, so the join's build
+    side is bounded by active customers, not order volume; nation is
+    an explicit broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    active = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(DORMANT_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(DORMANT_END).cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        cust.join(active, cust.c_custkey == active.o_custkey, "left_anti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_dormant"))
+        .orderBy("n_name")
+    )
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery classic ('orders above this
+    customer's own average'), rewritten as ONE window pass: per-key
+    sum/count attach on a single shuffle, and the comparison runs as
+    an integer cross-multiplication (price_c * n > sum_c) — exactly
+    equivalent to price > avg but with no double mean for the engines
+    to accumulate in different orders."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    w = Window.partitionBy("o_custkey")
+    flagged = (
+        orders.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("price_c").over(w))
+        .withColumn("_above", F.col("price_c") * F.col("_n") > F.col("_s"))
+    )
+    return (
+        flagged.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("_above"), 1).otherwise(0)).alias(
+                "n_above_own_avg"
+            ),
+            F.max("price_c").alias("_maxc"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "n_above_own_avg",
+            _halfup("_maxc", "100", 2).alias("max_order"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day) with explicit grouping
+    flags — all four grouping sets (cell, two marginals, grand total)
+    in ONE pass: Spark expands the cube BEFORE the partial aggregate,
+    so the exchange still moves pre-aggregated rows. The value
+    measure sums integer milli-units (exact under any partitioning);
+    gid = grouping(event_type)*2 + grouping(hour), spelled explicitly
+    so both engines agree on bit order by construction."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    return (
+        ev.cube("event_type", "hour")
+        .agg(
+            # grouping() is only legal INSIDE the cube's aggregate list
+            (F.grouping("event_type") * 2 + F.grouping("hour"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_m").alias("sum_value_milli"),
+        )
+        .select(
+            "gid", "event_type", "hour", "n_events", "sum_value_milli"
+        )
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+        )
+    )
+
+
+QUERIES = {
+    "tpch_promo_revenue": tpch_promo_revenue,
+    "dormant_customers": dormant_customers,
+    "above_avg_orders": above_avg_orders,
+    "cube_type_hour": cube_type_hour,
+}
+
+
+def _hd(num: str, den: str, digits: int) -> str:
+    return halfup_ratio_sql(num, den, digits, engine="duck")
+
+
+ORACLES = {
+    "tpch_promo_revenue": f"""
+        WITH li AS (
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+                       AS ship_month,
+                   p_type,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS INT)) AS rev_u
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{PROMO_START}'
+              AND l_shipdate < TIMESTAMP '{PROMO_END}'
+        ),
+        g AS (
+            SELECT ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u
+                                 ELSE 0 END) AS BIGINT) AS promo,
+                   CAST(sum(rev_u) AS BIGINT) AS total
+            FROM li GROUP BY ship_month
+        )
+        SELECT ship_month,
+               {_hd('promo', '10000', 2)} AS promo_revenue,
+               {_hd('promo * 100', 'total', 4)} AS promo_pct
+        FROM g ORDER BY ship_month
+    """,
+    "dormant_customers": f"""
+        SELECT n_name, count(*) AS n_dormant
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '{DORMANT_START}'
+              AND o_orderdate < TIMESTAMP '{DORMANT_END}'
+        )
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "above_avg_orders": f"""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders
+        ),
+        g AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum(price_c) AS BIGINT) AS s,
+                   CAST(max(price_c) AS BIGINT) AS maxc
+            FROM o GROUP BY o_custkey
+        ),
+        a AS (
+            SELECT o.o_custkey,
+                   CAST(sum(CASE WHEN o.price_c * g.n_orders > g.s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM o JOIN g USING (o_custkey)
+            GROUP BY o.o_custkey
+        )
+        SELECT g.o_custkey, g.n_orders,
+               a.n_above AS n_above_own_avg,
+               {_hd('g.maxc', '100', 2)} AS max_order
+        FROM g JOIN a USING (o_custkey)
+        ORDER BY o_custkey
+    """,
+    "cube_type_hour": """
+        SELECT CAST(GROUPING(event_type) * 2 + GROUPING(hr) AS INT)
+                   AS gid,
+               event_type,
+               hr AS hour,
+               count(*) AS n_events,
+               CAST(sum(v_m) AS BIGINT) AS sum_value_milli
+        FROM (
+            SELECT event_type,
+                   CAST(hour(ts) AS INT) AS hr,
+                   CAST(round(value * 1000) AS BIGINT) AS v_m
+            FROM events
+        )
+        GROUP BY CUBE (event_type, hr)
+        ORDER BY gid, event_type NULLS FIRST, hour NULLS FIRST
+    """,
+}

@@ -182,11 +182,36 @@ def cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q13 shape: the AGGREGATE-OF-AGGREGATE — how many customers
+    placed exactly k orders, INCLUDING the zero-order customers a
+    plain inner join silently drops (left join + count of the
+    nullable side). Two shuffles by construction: per-customer count,
+    then the count-of-counts histogram; both partial-aggregate
+    map-side. The second aggregate's key space is |distinct order
+    counts| — tiny at any corpus scale."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 QUERIES = {
     "tpch_promo_revenue": tpch_promo_revenue,
     "dormant_customers": dormant_customers,
     "above_avg_orders": above_avg_orders,
     "cube_type_hour": cube_type_hour,
+    "tpch_customer_distribution": tpch_customer_distribution,
 }
 
 
@@ -254,6 +279,17 @@ ORACLES = {
                {_hd('g.maxc', '100', 2)} AS max_order
         FROM g JOIN a USING (o_custkey)
         ORDER BY o_custkey
+    """,
+    "tpch_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "cube_type_hour": """
         SELECT CAST(GROUPING(event_type) * 2 + GROUPING(hr) AS INT)

@@ -1,0 +1,97 @@
+"""Whole-corpus physical-plan audit — every registered query, every
+round, WITHOUT executing anything (sparkPlan is the pre-AQE physical
+plan; building it costs analysis+planning only).
+
+Two engine-wide invariants:
+
+* no `BatchEvalPython` anywhere — that node is the row-at-a-time
+  (pickled) Python UDF path; every sanctioned Python boundary in this
+  engine is Arrow-batched (`MapInPandas` / `ArrowEvalPython`).
+* no unbounded Cartesian product — `CartesianProduct` never, and
+  `BroadcastNestedLoopJoin` only where a query deliberately
+  cross-joins a documented BOUNDED broadcast frame (1-row aggregates,
+  centroid rows, Bloom word tables, cut frames); those queries are
+  listed explicitly so a new unbounded cross join cannot hide behind
+  the allowance.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR_ORACLE
+
+#: queries whose plans legitimately contain BroadcastNestedLoopJoin —
+#: each cross-joins a BOUNDED broadcast side (1-row aggregate /
+#: centroid row / cuts frame), never a corpus
+_BOUNDED_CROSSJOIN_OK = {
+    "q1_network_summary",
+    "q4_hourly_correlation",
+    "a2_time_bounds",
+    "f_scalar_suite",
+    "w3_latest_snapshot",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "semdedup_keep",
+    "semdedup_summary",
+    "sim_pq_encode",
+    "sim_pq_topk",
+    "dsir_weights",
+    "dsir_select",
+    "lm_doc_bits",
+    "lm_bucket_counts",
+    "nbq_model",
+    "nbq_select",
+    "mix_weights",
+    "mix_resample",
+    "curate_keep_list",
+    "decontam_overlap",
+    "pack_assign",
+    "pack_summary",
+    "value_percentiles",
+    "dedup_incr_near",
+    "vocab_summary",
+    "span_dedup_stats",
+    "span_top_shared",
+    "od_pagerank",
+    # 1-row min/max bounds frames for grid math
+    "zorder_layout_stats",
+    "asof_hourly_stats",
+    # 1-row corpus totals (IDF / frequency denominators)
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    # bounded query set broadcast against the corpus — the brute-force
+    # ANN baseline's documented shape
+    "sim_topk_bruteforce",
+}
+
+
+def _plans(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR_ORACLE)
+        yield name, df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_no_row_at_a_time_python_and_no_cartesian(spark):
+    bad_python, bad_cartesian, bad_bnlj = [], [], []
+    for name, plan in _plans(spark):
+        if "BatchEvalPython" in plan:
+            bad_python.append(name)
+        if "CartesianProduct" in plan:
+            bad_cartesian.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _BOUNDED_CROSSJOIN_OK
+        ):
+            bad_bnlj.append(name)
+    assert not bad_python, (
+        f"row-at-a-time Python UDF (BatchEvalPython) in: {bad_python}"
+    )
+    assert not bad_cartesian, f"CartesianProduct in: {bad_cartesian}"
+    assert not bad_bnlj, (
+        "BroadcastNestedLoopJoin outside the documented bounded-"
+        f"broadcast allowance: {bad_bnlj} — either the query grew an "
+        "unbounded cross join, or add it to _BOUNDED_CROSSJOIN_OK "
+        "with a bounded-side justification"
+    )

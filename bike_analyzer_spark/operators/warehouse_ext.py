@@ -206,7 +206,76 @@ def tpch_customer_distribution(
     )
 
 
+def event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-based inter-event gaps per user, profiled per event type:
+    one window shuffle on user_id computes every gap (lead(ts) - ts
+    in exact integer microseconds), one aggregate collapses to a
+    |event_type|-row profile. The mean displays through pure-bigint
+    half-up — gap sums are exact, so no accumulation-order risk."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # mean in exact integer MILLIseconds: micro sums overflowed the
+    # half-up lift (sum_us * 2e4 > 2^63 once gaps span weeks across
+    # 100k events); ms keeps ~4x headroom at sf0.1 and the floor
+    # division is the same `div`/`//` op in both engines
+    gaps = (
+        ev.withColumn("_next", F.lead(F.unix_micros("ts")).over(w))
+        .filter(F.col("_next").isNotNull())
+        .withColumn("gap_us", F.col("_next") - F.unix_micros("ts"))
+        .withColumn("gap_ms", F.expr("gap_us div 1000"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_ms").alias("_sum_ms"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "max_gap_us",
+            _halfup("_sum_ms", "n_gaps * 1000", 4).alias("avg_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def purchase_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each purchase's value within its
+    user's purchases — the remaining §2.6 ranking functions on ONE
+    window shuffle. Ranks order on the integer milli-value (+event_id
+    tiebreak), so tie structure — and therefore both ratios, computed
+    from identical integer ranks — is bit-identical cross-engine.
+    Bounded output: top-3 purchases per user by rank position."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v_m = F.round(F.col("value") * 1000, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.col("v_m"), F.col("event_id"))
+    ranked = (
+        ev.withColumn("v_m", v_m)
+        .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cd", F.round(F.cume_dist().over(w), 6))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            F.col("rn").cast("int").alias("rn"),
+            "event_id",
+            "v_m",
+            F.col("pr").alias("pct_rank"),
+            F.col("cd").alias("cume_dist"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
 QUERIES = {
+    "event_gap_profile": event_gap_profile,
+    "purchase_value_rank": purchase_value_rank,
     "tpch_promo_revenue": tpch_promo_revenue,
     "dormant_customers": dormant_customers,
     "above_avg_orders": above_avg_orders,
@@ -220,6 +289,44 @@ def _hd(num: str, den: str, digits: int) -> str:
 
 
 ORACLES = {
+    "event_gap_profile": f"""
+        WITH g AS (
+            SELECT event_type,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     - epoch_us(ts) AS gap_us
+            FROM events
+        ),
+        a AS (
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap_us // 1000) AS BIGINT) AS s_ms
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n_gaps, max_gap_us,
+               {_hd('s_ms', 'n_gaps * 1000', 4)} AS avg_gap_sec
+        FROM a ORDER BY event_type
+    """,
+    "purchase_value_rank": """
+        WITH p AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 1000) AS BIGINT) AS v_m
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, event_id, v_m,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist,
+                   row_number() OVER w AS rn
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY v_m, event_id)
+        )
+        SELECT user_id, CAST(rn AS INT) AS rn, event_id, v_m,
+               pct_rank, cume_dist
+        FROM r WHERE rn <= 3
+        ORDER BY user_id, rn
+    """,
     "tpch_promo_revenue": f"""
         WITH li AS (
             SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)

@@ -100,6 +100,37 @@ def conversion_join(
     )
 
 
+def enriched_nation_counts(
+    spark: SparkSession, events: DataFrame, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC dimension enrichment — the other streaming join
+    kind: the unbounded event stream joins the static customer->nation
+    dimensions with NO state at all (Spark re-evaluates the static
+    side per micro-batch; a dim update is picked up on the next
+    trigger), then aggregates hourly signup counts per nation under a
+    watermark. Works identically on a batch frame — the parity
+    oracle."""
+    from ..sources.catalog import load
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        events.withWatermark("ts", LATE_LIMIT)
+        .filter(F.col("event_type") == "signup")
+        .join(cust, "user_id")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("n_name"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+        .select(
+            F.col("w.start").alias("hour_start"), "n_name", "n_signups"
+        )
+    )
+
+
 def run_conversions_to_memory(
     spark: SparkSession, landing_dir: str, name: str
 ) -> None:

@@ -117,3 +117,39 @@ def test_horizon_is_exclusive_bound(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r.purchase_id for r in joins.conversion_join(ev).collect()}
     assert got == {2}
+
+
+def test_stream_static_enrichment_matches_batch(spark, landed_events):
+    """Stream-static join parity: the same enrichment code over the
+    batch frame is the oracle; the streaming run must produce the
+    identical hourly per-nation counts (complete mode — hourly
+    windows close only at the watermark, and the fixture's last hour
+    never does)."""
+    batch = {
+        (r.hour_start, r.n_name, r.n_signups)
+        for r in joins.enriched_nation_counts(
+            spark, load(spark, SF_DIR_SMOKE, "events"), SF_DIR_SMOKE
+        ).collect()
+    }
+    assert len(batch) > 0
+
+    q = (
+        joins.enriched_nation_counts(
+            spark, joins.events_stream(spark, landed_events), SF_DIR_SMOKE
+        )
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.hour_start, r.n_name, r.n_signups)
+        for r in spark.table("enrich_test").collect()
+    }
+    assert streamed == batch
+    # stream-static keeps NO join state: only the aggregation holds
+    # rows (the dim side is re-read per micro-batch, not buffered)
+    ops = q.recentProgress[-1]["stateOperators"]
+    assert all(op["operatorName"] != "symmetricHashJoin" for op in ops)

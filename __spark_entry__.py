@@ -47,6 +47,7 @@ from bike_analyzer_spark.operators import (
     text,
     tpch,
     vocab,
+    warehouse_ext,
     windows,
 )
 
@@ -85,92 +86,73 @@ def _split(mod, head_names):
     return head, tail
 
 
-_kpi_head, _kpi_tail = _split(
-    kpi,
+_tpch_head, _tpch_tail = _split(
+    tpch,
     [
-        "q1_network_summary",
-        "q3_hourly_profile",
-        "q4_hourly_correlation",
-        "a2_time_bounds",
+        # 1-streak (new in r7) — must stay until 2-streak
+        "tpch_large_volume",
+        "tpch_volume_shipping",
+        # edited r8 (sum_charge now accumulates DECIMAL(38,0) and
+        # displays via the 128-bit half-up) — manual rotate-back per
+        # the edited-module policy in tests/test_rotation.py
+        "tpch_pricing_summary",
     ],
 )
 _dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
-_readers_head, _readers_tail = _split(
-    readers, ["p2_time_range", "s14_sql_corpus"]
-)
-_windows_head, _windows_tail = _split(
-    windows,
-    [
-        "w1_lag_delta",
-        "w4_sliding_hour_avg",
-        "a7_last_per_bucket",
-        "w3_latest_snapshot",
-    ],
-)
-_ana_head, _ana_tail = _split(
-    analytics_ext, ["rollup_by_type_hour", "pivot_hour_by_type"]
-)
-_graph_head, _graph_tail = _split(graph, ["od_pagerank"])
 
 _MODULES = [
-    # r7 window (exactly 50 queries): the 48 one-streak r6-window
-    # queries MUST stay inside (test_rotation), and the two slots
-    # freed by the now-2-streak pq pair (rotated to the proven back
-    # section) take the two NEW r7 tpch queries (tpch_large_volume,
-    # tpch_volume_shipping — streak 0). Every other module keeps its
-    # r6 slicing: kpi, dedup, readers, windows, analytics_ext, and
-    # graph contribute their unproven heads while their proven tails
-    # sit outside. Adding ONE more driver query this round would push
-    # an unproven query outside the window (test_rotation red).
-    tpch,
-    classifier,
-    layout,
+    # ---- r8 window (exactly 50 queries) -------------------------
+    # The entire r6 cohort reached 2-streak when the r7 greens
+    # landed, freeing 48 slots. They host: the seven staged
+    # warehouse_ext queries (built+oracle-gated in r7, registered
+    # now), the three NEW r8 queries (text_bpe_encode and the two
+    # scale promotions), the three tpch head queries above, the
+    # r8-edited dedup_incr_near (verify-stage rework), and 34
+    # re-proof slots for the strongest local-only families — mm_*,
+    # sim_* (ivf/pq/lsh/brute), text, quality, sampling, curate,
+    # cms — none of which have been driver-checked since round 5's
+    # spread-read change. Slot arithmetic:
+    #   warehouse_ext 7 + tpch 3 + text 5 + scale 3 + multimodal 4
+    #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
+    #   + curate 1 + dedup_incr 1 + semdedup 2 + importance 2
+    #   + lm 2 + mixing 2 + packing 2 + scrub 1 = 50
+    warehouse_ext,
+    _tpch_head,
+    text,
+    scale,
+    multimodal,
+    similarity,
+    ivf,
+    pq,
+    quality,
+    sampling,
+    curate,
+    _dedup_head,
     semdedup,
     importance,
+    lm,
+    mixing,
+    packing,
+    scrub,
+    # ---- outside the window (every query ≥2 consecutive driver
+    # greens, modules untouched this round) -----------------------
+    _tpch_tail,
+    classifier,
+    layout,
     substring,
     vocab,
     fuzzy,
-    packing,
-    mixing,
-    scrub,
-    lm,
     profile,
     rangejoin,
     hypertable,
     asof,
     od,
-    _windows_head,
-    _readers_head,
-    _ana_head,
-    _graph_head,
-    _dedup_head,
-    _kpi_head,
-    _windows_tail,
-    _ana_tail,
-    _graph_tail,
-    _readers_tail,
+    windows,
+    readers,
+    analytics_ext,
+    graph,
     _dedup_tail,
-    _kpi_tail,
-    # outside the window (all ≥2 consecutive greens, none touch
-    # events.ts). Round 6 changed their PHYSICAL read path (documents/
-    # embeddings now read a many-file spread copy); window capacity is
-    # exhausted by 0-streak queries, so instead of driver re-proof the
-    # change was verified by the full-precision local oracle suite AND
-    # a complete driver-style value comparison of the whole corpus
-    # (all 92 queries at end of round) at BOTH 8 and 32 shuffle
-    # partitions (order-sensitivity would differ between parallelism
-    # levels; it did not).
-    quality,
-    sampling,
-    curate,
-    scale,
-    ivf,
-    # pq rotated out in r7: both queries 2-streak (r5+r6 green) and
-    # untouched this round; its slots host the two new tpch queries
-    pq,
-    similarity,
-    text,
-    multimodal,
+    kpi,
 ]
 
 

@@ -50,6 +50,37 @@ def halfup_ratio_sql(
     )
 
 
+def halfup_ratio_wide_sql(
+    num: str, den: str, digits: int = 4, engine: str = "spark"
+) -> str:
+    """Overflow-proof `halfup_ratio_sql`: identical half-up math, but
+    the intermediate `num * 2*10^digits` runs in 128-bit integers —
+    Spark DECIMAL(38,0) (whose `div` returns BIGINT, verified by
+    tests/test_exact_property.py) and DuckDB HUGEINT (whose `//`
+    stays HUGEINT; the display divide by a DOUBLE collapses it).
+
+    This is the documented "past that, widen to decimal" escape from
+    the module header: use it whenever |num| * 2*10^digits can
+    approach 2^63 ≈ 9.2e18 at the target corpus scale (e.g. unit
+    sums that carry a 10^4 or 10^6 scale factor). The RESULT must
+    still fit in BIGINT — true for any on-screen ratio. Costs one
+    decimal multiply per output row (post-aggregate: rows = groups,
+    so the overhead is invisible next to the scan)."""
+    scale = 10**digits
+    if engine == "spark":
+        n = f"CAST(({num}) AS DECIMAL(38,0))"
+        d = f"CAST(({den}) AS DECIMAL(38,0))"
+        div = "div"
+    else:
+        n = f"CAST(({num}) AS HUGEINT)"
+        d = f"CAST(({den}) AS HUGEINT)"
+        div = "//"
+    return (
+        f"(({n} * {2 * scale} + {d}) {div} ({d} * 2))"
+        f" / CAST({scale} AS DOUBLE)"
+    )
+
+
 def halfup_avg_sql(
     c: str, n: str, digits: int = 4, engine: str = "spark"
 ) -> str:

@@ -157,20 +157,20 @@ def lsh_candidates(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-def _jaccard_for(
-    candidates: DataFrame, ds: DataFrame, floor: float
+def _jaccard_two_sided(
+    candidates: DataFrame,
+    a_ds: DataFrame,
+    b_ds: DataFrame,
+    floor: float,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs: intersection via
-    a shingle equi-join, union by inclusion-exclusion.
-
-    `ds` is consumed THREE times (set sizes + both join sides) —
-    callers pass it MATERIALIZED (localCheckpoint), both to avoid
-    re-exploding the corpus per consumer and to share the frame with
-    their own signature pipeline (checkpointing here would copy an
-    already-checkpointed frame a second time)."""
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a_sh = ds.select(F.col("doc_id").alias("a"), "sh")
-    b_sh = ds.select(F.col("doc_id").alias("b"), "sh")
+    """Exact shingle-set Jaccard for candidate pairs whose two sides
+    come from DIFFERENT shingle frames (e.g. a fresh shard vs a
+    persisted store index): intersection via a shingle equi-join,
+    union by inclusion-exclusion, sizes from each side's own frame."""
+    sizes_a = a_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_b = b_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a_sh = a_ds.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = b_ds.select(F.col("doc_id").alias("b"), "sh")
     inter = (
         candidates.join(a_sh, "a")
         .join(b_sh, ["b", "sh"])
@@ -178,8 +178,8 @@ def _jaccard_for(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        inter.join(sizes_a.withColumnRenamed("doc_id", "a"), "a")
+        .join(sizes_b.withColumnRenamed("doc_id", "b"), "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -189,6 +189,19 @@ def _jaccard_for(
         .filter(F.col("jaccard") >= floor)
         .select("a", "b", "jaccard")
     )
+
+
+def _jaccard_for(
+    candidates: DataFrame, ds: DataFrame, floor: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard where both sides share ONE frame.
+
+    `ds` is consumed THREE times (set sizes + both join sides) —
+    callers pass it MATERIALIZED (localCheckpoint), both to avoid
+    re-exploding the corpus per consumer and to share the frame with
+    their own signature pipeline (checkpointing here would copy an
+    already-checkpointed frame a second time)."""
+    return _jaccard_two_sided(candidates, ds, ds, floor)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

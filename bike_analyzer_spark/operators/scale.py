@@ -294,3 +294,114 @@ def grid_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out.orderBy(key, "q")
+
+
+# ---- driver-facing promotions (round 8) --------------------------------
+#
+# salted_sum_count and grid_quantiles were pytest-only equivalence-
+# tested through round 7 — the last meaningful capabilities with no
+# driver oracle row. Both are deterministic integer math, so they get
+# FULL value gates: the salted two-phase is exactly a GROUP BY, and
+# the grid histogram's bucket/rank arithmetic is replayed step for
+# step in the DuckDB twin.
+
+#: fixed value-grid bounds for the events.value histogram: value is
+#: generated in [0, ~560]; 1024 buckets over [0, 1024) make the bucket
+#: width exactly 1.0, so bucket = floor(value) and every edge is an
+#: exact small integer in BOTH engines (no binary-fraction drift).
+GRID_LO, GRID_HI, GRID_BUCKETS = 0.0, 1024.0, 1024
+GRID_QS = (0.5, 0.9, 0.99)
+
+
+def salted_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value totals THROUGH the salted two-phase
+    aggregate: phase 1 groups on (event_type, salt16) so a hot type's
+    rows fan over 16 reducers, phase 2 folds the 16 partials — the
+    manual fix for aggregation skew AQE can't touch (it only splits
+    join partitions). Values sum as exact integer milli-units, so the
+    rewrite is value-identical to the plain GROUP BY the oracle runs,
+    under any partitioning."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    out = salted_sum_count(
+        ev, key="event_type", value="v_m", unique_col="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").alias("sum_value_milli"),
+        "n",
+    ).orderBy("event_type")
+
+
+def grid_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 of `value` via the fixed-grid
+    histogram — the 100-TB grouped-percentile path (per-key state =
+    1024 counters, never the group's row set). lo/hi are FIXED module
+    constants (value ∈ [0, ~560]), so bucket assignment is
+    floor(value) exactly; the rank is the exact-rational ceil both
+    engines compute in integers. Output: (event_type, q, value)."""
+    ev = load(spark, sf_dir, "events")
+    return grid_quantiles(
+        ev,
+        key="event_type",
+        col="value",
+        lo=GRID_LO,
+        hi=GRID_HI,
+        qs=GRID_QS,
+        buckets=GRID_BUCKETS,
+    )
+
+
+QUERIES["scale_salted_sums"] = salted_event_sums
+QUERIES["scale_grid_quantiles"] = grid_value_quantiles
+
+ORACLES["scale_salted_sums"] = """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_value_milli,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_GRID_RANKS = ", ".join(
+    f"(CAST({q} AS DOUBLE), {round(q * 1_000_000)})" for q in GRID_QS
+)
+
+# bare decimal literals parse as DECIMAL in DuckDB — CAST to DOUBLE so
+# the bucket/edge arithmetic runs the same IEEE ops as the Spark twin
+_LO = f"CAST({GRID_LO} AS DOUBLE)"
+_SPAN = f"(CAST({GRID_HI} AS DOUBLE) - CAST({GRID_LO} AS DOUBLE))"
+
+ORACLES["scale_grid_quantiles"] = f"""
+    WITH h AS (
+        SELECT event_type,
+               LEAST({GRID_BUCKETS - 1}, GREATEST(0,
+                   CAST(floor((value - {_LO}) * {GRID_BUCKETS}
+                              / {_SPAN}) AS INT)))
+                   AS b,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, b,
+               sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cm,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    qs(q, qn) AS (VALUES {_GRID_RANKS}),
+    hit AS (
+        SELECT event_type, q, min(b) AS b
+        FROM cum JOIN qs
+          ON cm >= (n * qn + {1_000_000 - 1}) // 1000000
+        GROUP BY event_type, q
+    )
+    SELECT event_type, q,
+           (b + 1) * {_SPAN} / {GRID_BUCKETS} + {_LO} AS value
+    FROM hit
+    ORDER BY event_type, q
+"""

@@ -154,9 +154,9 @@ BPE_MERGES = (
 _L, _R = "\x02", "\x03"
 
 
-def _bpe_pieces(text_col) -> tuple:
-    """(total_symbols, whitespace_symbols) after applying BPE_MERGES
-    to the wrapped-character encoding of `text_col`. Whitespace chars
+def _bpe_rep(text_col) -> F.Column:
+    """The wrapped-symbol encoding of `text_col` AFTER applying
+    BPE_MERGES in order: \\x02sym\\x03 per piece. Whitespace chars
     are symbols too (never merged — no merge contains whitespace), so
     merges cannot cross token boundaries and per-token BPE falls out
     of one whole-text pipeline. Pure string algebra, codegen-friendly."""
@@ -164,6 +164,14 @@ def _bpe_pieces(text_col) -> tuple:
     rep = F.regexp_replace(clean, r"([\s\S])", _L + "$1" + _R)
     for a, b in BPE_MERGES:
         rep = F.replace(rep, F.lit(_L + a + _R + _L + b + _R), F.lit(_L + a + b + _R))
+    return rep
+
+
+def _bpe_pieces(text_col) -> tuple:
+    """(total_symbols, whitespace_symbols) after applying BPE_MERGES
+    to the wrapped-character encoding of `text_col`."""
+    clean = F.regexp_replace(text_col, "[\\x02\\x03]", "")
+    rep = _bpe_rep(text_col)
     n_sym = F.length(rep) - F.length(F.replace(rep, F.lit(_L), F.lit("")))
     n_ws = F.length(clean) - F.length(F.regexp_replace(clean, r"\s", ""))
     return n_sym, n_ws
@@ -204,11 +212,56 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded output for the corpus encode roll-up
+BPE_VOCAB_TOP = 50
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE (the capability queued since round 7):
+    apply the learned merge table to every document and roll the
+    emitted pieces into the piece-frequency vocabulary — (piece,
+    n_occ, n_docs), top-{BPE_VOCAB_TOP} by occurrence with a
+    deterministic piece tiebreak. The greedy-leftmost merge semantics
+    ride the SAME wrapped-symbol replace chain the count path proved
+    (symbols can only match whole, adjacent matches share no chars),
+    so the DuckDB twin is a literal replace-for-replace mirror — a
+    full value gate, not rows-only.
+
+    Scale shape: the explode fans out to ~chars rows, but the
+    per-(doc, piece) pre-aggregate collapses map-side before the one
+    piece-keyed shuffle, whose key space is the VOCABULARY (bounded
+    by |merges| + |alphabet|), not the corpus. Whitespace pieces are
+    dropped (they're segmentation fences, not vocabulary)."""
+    docs = load(spark, sf_dir, "documents")
+    rep = _bpe_rep(F.col("text"))
+    # "\x02a\x03\x02b\x03" → strip outer wrappers → split on "\x03\x02"
+    pieces = F.split(
+        F.expr("substring(_rep, 2, length(_rep) - 2)"), _R + _L
+    )
+    per_doc = (
+        docs.withColumn("_rep", rep)
+        .select("doc_id", F.explode(pieces).alias("piece"))
+        .filter((F.col("piece") != "") & ~F.col("piece").rlike(r"^\s+$"))
+        .groupBy("doc_id", "piece")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_doc.groupBy("piece")
+        .agg(
+            F.sum("_c").alias("n_occ"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), "piece")
+        .limit(BPE_VOCAB_TOP)
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_bpe_encode": text_bpe_encode,
 }
 
 ORACLES = {
@@ -271,6 +324,32 @@ ORACLES = {
                n_bpe AS n_bpe_tokens,
                round(length(text) / n_bpe, 4) AS chars_per_bpe_token
         FROM c
+    """,
+    "text_bpe_encode": f"""
+        WITH enc AS (
+            SELECT doc_id, {_bpe_rep_duck("text")} AS rep
+            FROM documents
+        ),
+        pc AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       substring(rep, 2, length(rep) - 2),
+                       chr(3) || chr(2))) AS piece
+            FROM enc
+        ),
+        per_doc AS (
+            SELECT doc_id, piece, count(*) AS c
+            FROM pc
+            WHERE piece <> '' AND NOT regexp_matches(piece, '^\\s+$')
+            GROUP BY doc_id, piece
+        )
+        SELECT piece,
+               CAST(sum(c) AS BIGINT) AS n_occ,
+               count(*) AS n_docs
+        FROM per_doc
+        GROUP BY piece
+        ORDER BY n_occ DESC, piece
+        LIMIT {BPE_VOCAB_TOP}
     """,
     "text_fingerprint": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -47,12 +47,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import halfup_ratio_sql
+from ..functions.exact import halfup_ratio_sql, halfup_ratio_wide_sql
 from ..sources.catalog import load
 
 
 def _halfup(num: str, den: str, digits: int) -> F.Column:
     return F.expr(halfup_ratio_sql(num, den, digits, engine="spark"))
+
+
+def _halfup_wide(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(halfup_ratio_wide_sql(num, den, digits, engine="spark"))
 
 #: Q1 scan cutoff (data spans 1995-01-02 .. 2001-11-04)
 Q1_CUTOFF = "2000-12-31"
@@ -117,8 +121,14 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").alias("sum_qty"),
             F.sum("price_c").alias("_pc"),
             F.sum("rev_u").alias("_ru"),
+            # charge accumulates 1e-6-dollar units (4.6e15 per group
+            # at sf0.1): a BIGINT sum wraps near sf200 while DuckDB
+            # silently widens to HUGEINT — sum in DECIMAL(38,0) so
+            # both engines carry 128 bits (round-7 ADVICE)
             F.sum(
-                F.col("rev_u") * (F.lit(100) + F.col("tax_p"))
+                (F.col("rev_u") * (F.lit(100) + F.col("tax_p"))).cast(
+                    "decimal(38,0)"
+                )
             ).alias("_ch"),
             F.sum("disc_p").alias("_dp"),
             F.count(F.lit(1)).alias("count_order"),
@@ -129,7 +139,10 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             _halfup("_pc", "100", 2).alias("sum_base_price"),
             _halfup("_ru", "10000", 2).alias("sum_disc_price"),
-            _halfup("_ch", "1000000", 2).alias("sum_charge"),
+            # _ch sums 1e-6-dollar units: already 4.6e15 per group at
+            # sf0.1, so the bigint half-up's *2e2 lift would wrap
+            # around sf1 (round-7 ADVICE) — ride the 128-bit form
+            _halfup_wide("_ch", "1000000", 2).alias("sum_charge"),
             _halfup("sum_qty", "count_order", 4).alias("avg_qty"),
             _halfup("_pc", "count_order * 100", 4).alias("avg_price"),
             _halfup("_dp", "count_order * 100", 4).alias("avg_disc"),
@@ -376,8 +389,9 @@ ORACLES = {
                {_hd("CAST(sum(price_c) AS BIGINT)", "100", 2)}
                  AS sum_base_price,
                {_hd(_SUM_REV, "10000", 2)} AS sum_disc_price,
-               {_hd("CAST(sum(rev_u * (100 + tax_p)) AS BIGINT)",
-                    "1000000", 2)} AS sum_charge,
+               {halfup_ratio_wide_sql(
+                    "sum(rev_u * (100 + tax_p))",
+                    "1000000", 2, engine="duck")} AS sum_charge,
                {_hd(_SUM_QTY, "count(*)", 4)} AS avg_qty,
                {_hd("CAST(sum(price_c) AS BIGINT)", "count(*) * 100", 4)}
                  AS avg_price,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import halfup_ratio_sql
+from ..functions.exact import halfup_ratio_sql, halfup_ratio_wide_sql
 from ..sources.catalog import load
 
 #: Q14-shape scan window (multiple months so the ratio has a series)
@@ -35,6 +35,10 @@ DORMANT_START, DORMANT_END = "1999-01-01", "2000-01-01"
 
 def _halfup(num: str, den: str, digits: int) -> F.Column:
     return F.expr(halfup_ratio_sql(num, den, digits, engine="spark"))
+
+
+def _halfup_wide(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(halfup_ratio_wide_sql(num, den, digits, engine="spark"))
 
 
 def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,17 +74,23 @@ def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("ship_month")
         .agg(
+            # the sums carry 1e-4-dollar units (6.6e11 promo/month at
+            # sf0.1): promo_pct's *100 pre-multiply plus the half-up's
+            # 2e4 lift would wrap BIGINT near sf0.7 (round-7 ADVICE),
+            # so both sums accumulate in DECIMAL(38,0) — DuckDB's
+            # HUGEINT widening mirrored — and promo_pct rides the
+            # 128-bit half-up end to end
             F.sum(
-                F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(
-                    F.lit(0)
-                )
+                F.when(F.col("p_type") == "PROMO", F.col("rev_u"))
+                .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
             ).alias("_promo"),
-            F.sum("rev_u").alias("_total"),
+            F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_total"),
         )
         .select(
             "ship_month",
-            _halfup("_promo", "10000", 2).alias("promo_revenue"),
-            _halfup("_promo * 100", "_total", 4).alias("promo_pct"),
+            _halfup_wide("_promo", "10000", 2).alias("promo_revenue"),
+            _halfup_wide("_promo * 100", "_total", 4).alias("promo_pct"),
         )
         .orderBy("ship_month")
     )
@@ -244,9 +254,13 @@ def event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def purchase_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of each purchase's value within its
     user's purchases — the remaining §2.6 ranking functions on ONE
-    window shuffle. Ranks order on the integer milli-value (+event_id
-    tiebreak), so tie structure — and therefore both ratios, computed
-    from identical integer ranks — is bit-identical cross-engine.
+    window shuffle. The (v_m, event_id) order is a UNIQUE total
+    order, so percent_rank ≡ (rn-1)/(n-1) and cume_dist ≡ rn/n —
+    identities a pytest pins against the real window functions on
+    every fixture. The DISPLAYED ratios are computed from those
+    integer components through the pure-bigint half-up (round-7
+    ADVICE: round()-ing the window doubles reintroduces the exact
+    Spark-vs-DuckDB divergence functions/exact.py documents).
     Bounded output: top-3 purchases per user by rank position."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -255,9 +269,11 @@ def purchase_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("v_m"), F.col("event_id"))
     ranked = (
         ev.withColumn("v_m", v_m)
-        .withColumn("pr", F.round(F.percent_rank().over(w), 6))
-        .withColumn("cd", F.round(F.cume_dist().over(w), 6))
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        _halfup("rn - 1", "_n - 1", 6)
     )
     return (
         ranked.filter(F.col("rn") <= 3)
@@ -266,8 +282,8 @@ def purchase_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
             "event_id",
             "v_m",
-            F.col("pr").alias("pct_rank"),
-            F.col("cd").alias("cume_dist"),
+            pct.alias("pct_rank"),
+            _halfup("rn", "_n", 6).alias("cume_dist"),
         )
         .orderBy("user_id", "rn")
     )
@@ -308,7 +324,7 @@ ORACLES = {
                {_hd('s_ms', 'n_gaps * 1000', 4)} AS avg_gap_sec
         FROM a ORDER BY event_type
     """,
-    "purchase_value_rank": """
+    "purchase_value_rank": f"""
         WITH p AS (
             SELECT user_id, event_id,
                    CAST(round(value * 1000) AS BIGINT) AS v_m
@@ -316,18 +332,20 @@ ORACLES = {
         ),
         r AS (
             SELECT user_id, event_id, v_m,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume_dist,
-                   row_number() OVER w AS rn
+                   row_number() OVER w AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
             FROM p
             WINDOW w AS (PARTITION BY user_id ORDER BY v_m, event_id)
         )
         SELECT user_id, CAST(rn AS INT) AS rn, event_id, v_m,
-               pct_rank, cume_dist
+               CASE WHEN n = 1 THEN CAST(0 AS DOUBLE)
+                    ELSE {_hd('rn - 1', 'n - 1', 6)} END AS pct_rank,
+               {_hd('rn', 'n', 6)} AS cume_dist
         FROM r WHERE rn <= 3
         ORDER BY user_id, rn
     """,
     "tpch_promo_revenue": f"""
+        -- promo_pct: 128-bit half-up (HUGEINT), see the Spark twin
         WITH li AS (
             SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
                        AS ship_month,
@@ -339,15 +357,19 @@ ORACLES = {
               AND l_shipdate < TIMESTAMP '{PROMO_END}'
         ),
         g AS (
+            -- sums stay HUGEINT (DuckDB's native widening) to mirror
+            -- the Spark twin's DECIMAL(38,0) accumulators
             SELECT ship_month,
-                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u
-                                 ELSE 0 END) AS BIGINT) AS promo,
-                   CAST(sum(rev_u) AS BIGINT) AS total
+                   sum(CASE WHEN p_type = 'PROMO' THEN rev_u
+                            ELSE 0 END) AS promo,
+                   sum(rev_u) AS total
             FROM li GROUP BY ship_month
         )
         SELECT ship_month,
-               {_hd('promo', '10000', 2)} AS promo_revenue,
-               {_hd('promo * 100', 'total', 4)} AS promo_pct
+               {halfup_ratio_wide_sql('promo', '10000', 2,
+                                      engine='duck')} AS promo_revenue,
+               {halfup_ratio_wide_sql('promo * 100', 'total', 4,
+                                      engine='duck')} AS promo_pct
         FROM g ORDER BY ship_month
     """,
     "dormant_customers": f"""

@@ -12,7 +12,10 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from bike_analyzer_spark.functions.exact import halfup_ratio_sql
+from bike_analyzer_spark.functions.exact import (
+    halfup_ratio_sql,
+    halfup_ratio_wide_sql,
+)
 
 pairs = st.lists(
     st.tuples(
@@ -87,3 +90,72 @@ def test_exact_half_boundaries_agree_across_engines(spark):
         dexpr = halfup_ratio_sql(str(r.num), str(r.den), r.digits, "duck")
         [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
         assert h == dh == want, (r.num, r.den, r.digits, h, dh, want)
+
+
+# ---- 128-bit wide form (halfup_ratio_wide_sql) -------------------------
+#
+# Operands PAST the bigint lift's wrap point (num * 2e4 > 2^63, i.e.
+# num > ~4.6e14 at 4 digits): the case class round-7 ADVICE flagged for
+# sum_charge/promo_pct around sf1. The wide form must stay exact while
+# the narrow form would silently wrap (Spark) or error (DuckDB).
+
+# The wide form's contract: operands may exceed 64 bits, but the
+# DISPLAYED value (quotient * 10^digits) must fit a double's 53-bit
+# mantissa — true for any on-screen ratio (q ≤ 1e9 at 6 digits keeps
+# the scaled integer ≤ ~1e15 < 2^53; past that, the final
+# bigint-to-double conversion itself rounds and no display form is
+# exact). Generate num = q*den + r under that bound so the strategy
+# exercises >2^63 numerators without violating it.
+wide_ops = st.tuples(
+    st.integers(min_value=0, max_value=10**9),  # integer part q
+    st.integers(min_value=1, max_value=10**18),  # den
+    st.integers(min_value=0, max_value=10**18),  # remainder seed
+    st.sampled_from([2, 4, 6]),
+).map(lambda t: (t[0] * t[1] + (t[2] % t[1]), t[1], t[3]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(wide_ops, min_size=1, max_size=30))
+def test_spark_wide_halfup_matches_decimal(spark, cases):
+    # bigint can't carry 1e22 — ship operands as decimal strings
+    rows = [(str(n), str(d), g) for n, d, g in cases]
+    df = spark.createDataFrame(rows, "num string, den string, digits int")
+    got = df.selectExpr(
+        "num",
+        "den",
+        "digits",
+        f"{halfup_ratio_wide_sql('CAST(num AS DECIMAL(38,0))', 'CAST(den AS DECIMAL(38,0))', 2, 'spark')} AS h2",
+        f"{halfup_ratio_wide_sql('CAST(num AS DECIMAL(38,0))', 'CAST(den AS DECIMAL(38,0))', 4, 'spark')} AS h4",
+        f"{halfup_ratio_wide_sql('CAST(num AS DECIMAL(38,0))', 'CAST(den AS DECIMAL(38,0))', 6, 'spark')} AS h6",
+    ).collect()
+    for r in got:
+        h = {2: r.h2, 4: r.h4, 6: r.h6}[r.digits]
+        assert h == _want(int(r.num), int(r.den), r.digits), r
+
+
+@settings(max_examples=25, deadline=None)
+@given(wide_ops)
+def test_duck_wide_halfup_matches_decimal(case):
+    num, den, digits = case
+    con = duckdb.connect()
+    expr = halfup_ratio_wide_sql(
+        f"CAST('{num}' AS HUGEINT)", f"CAST('{den}' AS HUGEINT)",
+        digits, engine="duck",
+    )
+    [(h,)] = con.execute(f"SELECT {expr}").fetchall()
+    assert h == _want(num, den, digits), (num, den, digits, h)
+
+
+def test_wide_halfup_agrees_where_narrow_wraps(spark):
+    """The exact regression from round-7 ADVICE: a charge-unit sum of
+    4.6e15 has ~10x bigint headroom left at sf0.1; at 10x the data the
+    narrow lift (num * 2e2) wraps in non-ANSI Spark. Pin that the wide
+    form produces the HALF_UP value there and that the engines agree."""
+    con = duckdb.connect()
+    num, den = 50_000_000_000_000_000, 1_000_000  # ~sf1 charge sum
+    assert num * 200 > 2**63  # the narrow form genuinely wraps here
+    sexpr = halfup_ratio_wide_sql(str(num), str(den), 2, "spark")
+    dexpr = halfup_ratio_wide_sql(str(num), str(den), 2, "duck")
+    [sh] = spark.range(1).selectExpr(f"{sexpr} AS h").collect()
+    [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
+    assert sh.h == dh == _want(num, den, 2)

@@ -121,3 +121,14 @@ def test_grid_quantiles_integer_rank_on_float_boundary(spark):
     # true rank-7 value is 7.0; its covering bucket's upper edge is
     # 8.0 — float ceil gave rank 8 => 9.0, two widths off
     assert r.value == 8.0
+
+
+def test_promoted_scale_queries_vs_oracle(spark, duck):
+    """Round-8 driver promotions: the salted two-phase sum and the
+    grid-quantile histogram get the SAME full value gate the driver
+    runs (both are deterministic integer math — see module notes)."""
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("scale_salted_sums", "scale_grid_quantiles"):
+        df = scale.QUERIES[name](spark, SF_DIR_ORACLE)
+        assert_matches_oracle(df, duck, scale.ORACLES[name], name=name)

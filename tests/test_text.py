@@ -60,3 +60,31 @@ def test_bpe_merge_adjacency_edge_cases(spark):
     assert _bpe_count_ref("erer") == 2
     assert _bpe_count_ref("err") == 2
     assert _bpe_count_ref("joinjoin hashhash") == 4
+
+
+def test_bpe_encode_piece_total_matches_token_counts(spark):
+    """Conservation: the encode path's per-doc piece count (before
+    the vocabulary roll-up) must equal text_bpe_tokens' n_bpe_tokens
+    — the two queries share the replace chain but split/measure it
+    differently, so agreement pins the split step."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    rep = text._bpe_rep(F.col("text"))
+    pieces = F.split(
+        F.expr("substring(_rep, 2, length(_rep) - 2)"), "\x03\x02"
+    )
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.withColumn("_rep", rep)
+        .select("doc_id", F.explode(pieces).alias("piece"))
+        .filter((F.col("piece") != "") & ~F.col("piece").rlike(r"^\s+$"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counted = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text.text_bpe_tokens(spark, SF_DIR_ORACLE).collect()
+    }
+    assert per_doc == counted

@@ -54,3 +54,41 @@ def test_cube_is_one_pass(spark):
     )
     assert plan.count("Expand") >= 1
     assert plan.count("FileScan") == 1
+
+
+def test_purchase_rank_integer_identities_match_window_fns(spark):
+    """The displayed pct_rank/cume_dist come from integer (rn, n)
+    through the exact half-up (round-7 ADVICE removed the
+    round()-on-double display). With the UNIQUE (v_m, event_id)
+    order percent_rank ≡ (rn-1)/(n-1) and cume_dist ≡ rn/n — pin the
+    identities against Spark's real window functions so the §2.6
+    ranking-function claim stays tested, not asserted."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bike_analyzer_spark.sources.catalog import load
+
+    ev = (
+        load(spark, SF_DIR_ORACLE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("v_m", F.round(F.col("value") * 1000, 0).cast("long"))
+    )
+    w = Window.partitionBy("user_id").orderBy("v_m", "event_id")
+    chk = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .withColumn(
+            "pr_int",
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rn") - 1) / (F.col("n") - 1)
+            ),
+        )
+        .withColumn("cd_int", F.col("rn") / F.col("n"))
+        .filter(
+            (F.abs(F.col("pr") - F.col("pr_int")) > 1e-12)
+            | (F.abs(F.col("cd") - F.col("cd_int")) > 1e-12)
+        )
+    )
+    assert chk.count() == 0

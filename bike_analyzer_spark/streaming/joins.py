@@ -100,6 +100,85 @@ def conversion_join(
     )
 
 
+def conversion_join_outer(
+    events: DataFrame, horizon_min: int = CONVERSION_HORIZON_MIN
+) -> DataFrame:
+    """LEFT-OUTER variant of the conversion funnel — the shape real
+    funnels need: every view emits, converted or not. Matches emit as
+    soon as both sides meet (same as the inner join); an UNMATCHED
+    view's null-right row emits only once the watermark passes
+    view_ts + horizon — the point where Spark can PROVE no purchase
+    can ever arrive for it (outer results cannot be early: emitting a
+    null row and later a match would retract appended output). Same
+    bounded-state story as the inner join: the event-time range
+    condition couples the two sides, so buffered rows evict with the
+    watermark; the null emission rides the same eviction.
+
+    `converted` is derived, not inferred downstream, so consumers
+    never need a null-sentinel convention. Works identically on a
+    batch frame (a plain left join — the parity oracle), where every
+    unmatched view appears because batch has no open horizon."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", LATE_LIMIT)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", LATE_LIMIT)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        )
+    )
+    return (
+        views.join(purchases, cond, "left_outer")
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+            ).alias("us_to_convert"),
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )
+
+
+def run_outer_conversions_to_memory(
+    spark: SparkSession, landing_dir: str, name: str
+):
+    """Drain the landed shards through the OUTER join (availableNow;
+    append mode — matches emit per micro-batch, null-right rows emit
+    at watermark eviction). Returns the finished query handle so
+    tests can read the final watermark from its progress."""
+    q = (
+        conversion_join_outer(events_stream(spark, landing_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def enriched_nation_counts(
     spark: SparkSession, events: DataFrame, sf_dir: str
 ) -> DataFrame:

@@ -198,3 +198,28 @@ def test_od_flows_cache_builds_once_and_invalidates(
     os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1))
     od.matched_per_bucket(spark, sf_copy).count()
     assert os.stat(marker).st_mtime_ns > m1  # rebuilt
+
+
+def test_incr_store_index_builds_once_and_invalidates(spark, sf_copy):
+    """The incremental near-dedup store's persisted band+shingle
+    index (round-8): second query serves the store artifacts; a
+    documents regeneration rebuilds them; results are identical
+    either way (the index is a pure materialization)."""
+    from bike_analyzer_spark.operators import dedup
+
+    r1 = sorted(map(tuple, dedup.dedup_incr_near(spark, sf_copy).collect()))
+    marker = os.path.join(
+        catalog.PARTITIONED_CACHE_DIR.replace("events_by_date", "incr_store"),
+        os.path.basename(os.path.normpath(sf_copy)),
+        "_FINGERPRINT.json",
+    )
+    m1 = os.stat(marker).st_mtime_ns
+    r2 = sorted(map(tuple, dedup.dedup_incr_near(spark, sf_copy).collect()))
+    assert r2 == r1
+    assert os.stat(marker).st_mtime_ns == m1  # served, not rebuilt
+
+    src = os.path.join(sf_copy, "documents.parquet")
+    os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 1))
+    r3 = sorted(map(tuple, dedup.dedup_incr_near(spark, sf_copy).collect()))
+    assert os.stat(marker).st_mtime_ns > m1  # rebuilt
+    assert r3 == r1  # same bytes -> same answer

@@ -153,3 +153,69 @@ def test_stream_static_enrichment_matches_batch(spark, landed_events):
     # rows (the dim side is re-read per micro-batch, not buffered)
     ops = q.recentProgress[-1]["stateOperators"]
     assert all(op["operatorName"] != "symmetricHashJoin" for op in ops)
+
+
+def test_outer_join_matches_batch_and_emits_nulls_at_watermark(
+    spark, landed_events
+):
+    """Left-outer stream-stream join (round 8): matched rows must
+    equal the batch left-join's matches exactly; unmatched views
+    emit a null-right row ONLY at watermark eviction, so every view
+    whose horizon closed strictly before the final batch's watermark
+    must have emitted, every emitted null must be a genuine batch
+    null, and views still inside the open horizon must NOT have
+    null rows yet."""
+    from datetime import timedelta
+
+    batch = joins.conversion_join_outer(
+        load(spark, SF_DIR_SMOKE, "events")
+    ).collect()
+    b_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in batch
+        if r.converted
+    }
+    b_null_views = {r.view_id: r.view_ts for r in batch if not r.converted}
+    assert b_matched and b_null_views  # non-degenerate fixture
+
+    q = joins.run_outer_conversions_to_memory(
+        spark, landed_events, "conv_outer_test"
+    )
+    out = spark.table("conv_outer_test").collect()
+    s_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in out
+        if r.converted
+    }
+    s_nulls = {r.view_id for r in out if not r.converted}
+    assert s_matched == b_matched
+    assert s_nulls <= set(b_null_views)  # no invented non-conversions
+    for r in out:
+        if not r.converted:
+            assert r.purchase_id is None
+            assert r.purchase_ts is None
+            assert r.us_to_convert is None
+
+    # eviction pin: the watermark IN EFFECT during the final batch
+    # (UTC, session tz pinned to UTC) bounds which nulls have emitted
+    from datetime import datetime
+
+    wm_s = q.recentProgress[-1]["eventTime"]["watermark"]
+    wm = datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+    horizon = timedelta(minutes=joins.CONVERSION_HORIZON_MIN)
+    margin = timedelta(seconds=1)  # keep off the eviction boundary
+    due = {
+        vid
+        for vid, ts in b_null_views.items()
+        if ts + horizon < wm - margin
+    }
+    not_yet = {
+        vid
+        for vid, ts in b_null_views.items()
+        if ts + horizon > wm + margin
+    }
+    assert due, "fixture left no view past the watermark (vacuous pin)"
+    assert due <= s_nulls
+    assert not (not_yet & s_nulls), (
+        "null rows emitted for views whose horizon is still open"
+    )

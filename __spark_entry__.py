@@ -96,6 +96,12 @@ _tpch_head, _tpch_tail = _split(
         # displays via the 128-bit half-up) — manual rotate-back per
         # the edited-module policy in tests/test_rotation.py
         "tpch_pricing_summary",
+        # NEW in r8 (streak 0): Q4/Q12/Q16/Q11/Q22 shapes
+        "tpch_late_shipment_priority",
+        "tpch_shipmode_priority",
+        "tpch_parts_supplier_variety",
+        "tpch_top_supplier_share",
+        "tpch_sales_opportunity",
     ],
 )
 _dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
@@ -112,10 +118,13 @@ _MODULES = [
     # sim_* (ivf/pq/lsh/brute), text, quality, sampling, curate,
     # cms — none of which have been driver-checked since round 5's
     # spread-read change. Slot arithmetic:
-    #   warehouse_ext 7 + tpch 3 + text 5 + scale 3 + multimodal 4
+    #   warehouse_ext 9 + tpch 8 + text 5 + scale 3 + multimodal 4
     #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
-    #   + curate 1 + dedup_incr 1 + semdedup 2 + importance 2
-    #   + lm 2 + mixing 2 + packing 2 + scrub 1 = 50
+    #   + curate 1 + dedup_incr 1 + semdedup 2 + importance 2 = 50
+    # (lm/mixing/packing/scrub — 2-streak with their latest green IN
+    # round 7, i.e. already driver-proven post-spread-read — ceded
+    # their re-proof slots to the seven NEW r8 wave-3 queries: five
+    # tpch shapes + rolling_user_spend + funnel_reconciliation.)
     warehouse_ext,
     _tpch_head,
     text,
@@ -130,12 +139,12 @@ _MODULES = [
     _dedup_head,
     semdedup,
     importance,
+    # ---- outside the window (every query ≥2 consecutive driver
+    # greens, modules untouched this round) -----------------------
     lm,
     mixing,
     packing,
     scrub,
-    # ---- outside the window (every query ≥2 consecutive driver
-    # greens, modules untouched this round) -----------------------
     _tpch_tail,
     classifier,
     layout,

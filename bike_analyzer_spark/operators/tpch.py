@@ -364,6 +364,204 @@ def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Q4-shape order window and the shipping-delay that counts as late.
+#: The fixtures carry l_shipdate but not commit/receipt dates, so the
+#: EXISTS predicate is "some line shipped more than LATE_DAYS after
+#: the order was placed" — same correlated-semi-join plan class.
+Q4_START, Q4_END = "1997-07-01", "1997-10-01"
+LATE_DAYS = 60
+#: Q12-shape one-year ship window and the priority partition
+Q12_START, Q12_END = "1998-01-01", "1999-01-01"
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+#: Q16-shape size filter (IN-list pushed to the part scan)
+Q16_SIZES = (1, 10, 20, 30, 40, 49)
+#: Q11-shape share cutoff: suppliers whose revenue exceeds this many
+#: times the MEAN supplier share (corpus-derived — a fixed fraction
+#: would drift from selective to empty as supplier count scales)
+Q11_MEAN_MULT = 2
+#: Q22-shape dormancy window start (customers with no orders since)
+Q22_SINCE = "2001-01-01"
+
+
+def tpch_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q4 shape: order-priority checking — how many orders per
+    priority had AT LEAST ONE late line. The EXISTS subquery is a
+    LEFT SEMI join (one probe per order, no fan-out: an order with
+    five late lines counts once), with the correlated predicate
+    l_shipdate > o_orderdate + LATE_DAYS evaluated inside the join
+    condition; the order-date window prunes the orders scan.
+    Reference analog: the reference's existence probes
+    (app_streamlit.py table checks) generalized to a correlated
+    quantified predicate."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q4_START))
+        & (F.col("o_orderdate") < _ts(Q4_END))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: late lines split into high/low order-priority
+    counts per return flag — the CONDITIONAL TWO-WAY COUNT over a
+    fact-fact join. Both counts ride ONE partial aggregate (a single
+    shuffle of 3 pre-aggregated rows per task); the ship-date window
+    prunes the lineitem scan before the join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q12_START))
+        & (F.col("l_shipdate") < _ts(Q12_END))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def tpch_parts_supplier_variety(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, size) for an
+    IN-list of sizes, EXCLUDING flagged suppliers via NOT IN — the
+    null-free subquery makes NOT IN exactly a LEFT ANTI join (the
+    fixtures have no partsupp table, so the part-supplier pairs come
+    from lineitem, deduplicated BEFORE the count-distinct aggregate
+    so the join moves pairs, not line items). The size IN-list
+    reaches the part scan as a pushed filter; the flagged-supplier
+    set (negative account balance) broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(*Q16_SIZES)
+    )
+    flagged = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    pairs = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+        .join(flagged, "l_suppkey", "left_anti")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def tpch_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: suppliers whose revenue share exceeds
+    Q11_MEAN_MULT x the mean supplier share — HAVING against a
+    GLOBAL scalar. The one-row corpus total (revenue units + distinct
+    supplier count off the SAME partial aggregate) broadcasts back
+    over the per-supplier rollup, and the comparison is an integer
+    cross-multiplication in DECIMAL(38,0) (rev_u * n_sup vs
+    mult * total_u — no double division, and 128-bit so the product
+    can't wrap at any SF). share_pct displays through the 128-bit
+    half-up for the same reason (round-7 ADVICE class)."""
+    li = _li_money(load(spark, sf_dir, "lineitem"))
+    # materialize the supplier rollup: the 1-row total derives FROM it,
+    # and without the checkpoint Catalyst duplicates the whole
+    # scan+partial-agg+exchange subtree to feed both consumers — two
+    # corpus scans for one supplier-sized frame (plan-pinned)
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("rev_u").alias("_ru"))
+        .localCheckpoint(eager=False)
+    )
+    total = F.broadcast(
+        per_supp.agg(
+            F.sum(F.col("_ru").cast("decimal(38,0)")).alias("_total"),
+            F.count(F.lit(1)).alias("_nsup"),
+        )
+    )
+    keep = (
+        F.col("_ru").cast("decimal(38,0)") * F.col("_nsup")
+        > F.lit(Q11_MEAN_MULT) * F.col("_total")
+    )
+    return (
+        per_supp.crossJoin(total)
+        .filter(keep)
+        .select(
+            "l_suppkey",
+            _halfup("_ru", "10000", 2).alias("revenue"),
+            # widen BEFORE the *100 so the pre-multiply can't wrap
+            _halfup_wide(
+                "CAST(_ru AS DECIMAL(38,0)) * 100", "_total", 4
+            ).alias("share_pct"),
+        )
+        .orderBy(F.desc("revenue"), "l_suppkey")
+    )
+
+
+def tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per name-prefix cohort (substr of c_name — the
+    cntrycode analog these fixtures support), count customers with
+    above-positive-average balances and NO orders since Q22_SINCE.
+    Three exact-plan classes in one query: a SUBSTRING-derived
+    grouping key, a global scalar threshold compared by INTEGER
+    CROSS-MULTIPLICATION (acctbal_c * n_pos > sum_pos_c — no double
+    mean), and NOT EXISTS as a LEFT ANTI join against the DISTINCT
+    recent-orderer set."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "acctbal_c", _cents("c_acctbal")
+    )
+    pos = F.broadcast(
+        cust.filter(F.col("acctbal_c") > 0).agg(
+            F.sum("acctbal_c").alias("_sum_pos"),
+            F.count(F.lit(1)).alias("_n_pos"),
+        )
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts(Q22_SINCE))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(pos)
+        .filter(F.col("acctbal_c") * F.col("_n_pos") > F.col("_sum_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .withColumn("cohort", F.substring("c_name", 10, 2))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acctbal_c").alias("_bal"),
+        )
+        .select(
+            "cohort",
+            "numcust",
+            _halfup("_bal", "100", 2).alias("totacctbal"),
+        )
+        .orderBy("cohort")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": tpch_pricing_summary,
     "tpch_shipping_priority": tpch_shipping_priority,
@@ -371,6 +569,11 @@ QUERIES = {
     "tpch_returned_items": tpch_returned_items,
     "tpch_large_volume": tpch_large_volume,
     "tpch_volume_shipping": tpch_volume_shipping,
+    "tpch_late_shipment_priority": tpch_late_shipment_priority,
+    "tpch_shipmode_priority": tpch_shipmode_priority,
+    "tpch_parts_supplier_variety": tpch_parts_supplier_variety,
+    "tpch_top_supplier_share": tpch_top_supplier_share,
+    "tpch_sales_opportunity": tpch_sales_opportunity,
 }
 
 _SUM_QTY = "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
@@ -483,3 +686,89 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+ORACLES["tpch_late_shipment_priority"] = f"""
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+      AND o_orderdate < TIMESTAMP '{Q4_END}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_HIGH = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+
+ORACLES["tpch_shipmode_priority"] = f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ({_HIGH})
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ({_HIGH})
+                         THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+      AND l_shipdate < TIMESTAMP '{Q12_END}'
+      AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLES["tpch_parts_supplier_variety"] = f"""
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN ({", ".join(map(str, Q16_SIZES))})
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+ORACLES["tpch_top_supplier_share"] = f"""
+    WITH li AS ({_LI_MONEY}),
+    ps AS (
+        SELECT l_suppkey, sum(rev_u) AS ru
+        FROM li GROUP BY l_suppkey
+    ),
+    t AS (
+        SELECT sum(ru) AS total, count(*) AS nsup FROM ps
+    )
+    SELECT l_suppkey,
+           {_hd('CAST(ps.ru AS BIGINT)', '10000', 2)} AS revenue,
+           {halfup_ratio_wide_sql('ps.ru * 100', 't.total', 4,
+                                  engine='duck')} AS share_pct
+    FROM ps, t
+    WHERE ps.ru * t.nsup > {Q11_MEAN_MULT} * t.total
+    ORDER BY revenue DESC, l_suppkey
+"""
+
+ORACLES["tpch_sales_opportunity"] = f"""
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    p AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos,
+               count(*) AS n_pos
+        FROM c WHERE bal_c > 0
+    )
+    SELECT substring(c_name, 10, 2) AS cohort,
+           count(*) AS numcust,
+           {_hd('CAST(sum(bal_c) AS BIGINT)', '100', 2)} AS totacctbal
+    FROM c, p
+    WHERE bal_c * n_pos > sum_pos
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '{Q22_SINCE}'
+      )
+    GROUP BY cohort
+    ORDER BY cohort
+"""

@@ -289,6 +289,90 @@ def purchase_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: trailing time-RANGE frame width for the rolling spend feature
+ROLLING_WINDOW_US = 3600 * 1_000_000
+
+
+def rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (round 8): each purchase annotated
+    with the same user's trailing-one-hour spend and purchase count —
+    `RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW` over the
+    event-time axis, the frame class the suite's ROWS-frame windows
+    (w4) didn't cover. The order key is exact integer microseconds,
+    so the frame bounds are integer comparisons in both engines, and
+    a RANGE frame includes ALL ties of the current timestamp — making
+    the result order-insensitive by construction (no tiebreak column
+    needed for correctness, only for the display sort). One window
+    shuffle on user_id; values sum as exact milli-units."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    df = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-ROLLING_WINDOW_US, 0)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "v_m",
+        F.sum("v_m").over(w).alias("hour_spend_milli"),
+        F.count(F.lit(1)).over(w).alias("n_hour_purchases"),
+    ).orderBy("user_id", "t_us", "event_id")
+
+
+def funnel_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (round 8) — the one join type the suite's
+    matrix (inner/left/semi/anti/outer-stream) lacked: the daily view
+    cohort against the daily purchase cohort on (user_id, day), then
+    a presence-flag rollup — view-only days, purchase-only days, and
+    converting days, with each side's volume. Both inputs
+    pre-aggregate to (user, day) grain BEFORE the join, so the full
+    outer moves cohort rows, not raw events, and both sides shuffle
+    on the same compound key."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("d")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("v_user"), day)
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .withColumnRenamed("d", "v_d")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("b_user"), day)
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+        .withColumnRenamed("d", "b_d")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user")) & (F.col("v_d") == F.col("b_d")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.col("v_user").isNotNull().alias("viewed"),
+            F.col("b_user").isNotNull().alias("bought"),
+            F.coalesce("n_views", F.lit(0)).alias("_nv"),
+            F.coalesce("n_buys", F.lit(0)).alias("_nb"),
+        )
+        .groupBy("viewed", "bought")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.sum("_nv").alias("n_views"),
+            F.sum("_nb").alias("n_buys"),
+        )
+        .orderBy("viewed", "bought")
+    )
+
+
 QUERIES = {
     "event_gap_profile": event_gap_profile,
     "purchase_value_rank": purchase_value_rank,
@@ -297,6 +381,8 @@ QUERIES = {
     "above_avg_orders": above_avg_orders,
     "cube_type_hour": cube_type_hour,
     "tpch_customer_distribution": tpch_customer_distribution,
+    "rolling_user_spend": rolling_user_spend,
+    "funnel_reconciliation": funnel_reconciliation,
 }
 
 
@@ -437,3 +523,40 @@ ORACLES = {
         ORDER BY gid, event_type NULLS FIRST, hour NULLS FIRST
     """,
 }
+
+
+ORACLES["rolling_user_spend"] = f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(round(value * 1000) AS BIGINT) AS v_m
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, t_us, v_m,
+           CAST(sum(v_m) OVER w AS BIGINT) AS hour_spend_milli,
+           count(*) OVER w AS n_hour_purchases
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING
+                           AND CURRENT ROW)
+    ORDER BY user_id, t_us, event_id
+"""
+
+ORACLES["funnel_reconciliation"] = """
+    WITH v AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_buys
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT v.user_id IS NOT NULL AS viewed,
+           b.user_id IS NOT NULL AS bought,
+           count(*) AS n_user_days,
+           CAST(sum(coalesce(n_views, 0)) AS BIGINT) AS n_views,
+           CAST(sum(coalesce(n_buys, 0)) AS BIGINT) AS n_buys
+    FROM v FULL OUTER JOIN b
+      ON v.user_id = b.user_id AND v.d = b.d
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -64,6 +64,10 @@ _BOUNDED_CROSSJOIN_OK = {
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",
+    # 1-row global-scalar frames (corpus totals / positive-balance
+    # average) cross-joined back over a rollup — Q11/Q22 shapes
+    "tpch_top_supplier_share",
+    "tpch_sales_opportunity",
 }
 
 

@@ -109,3 +109,36 @@ def test_complete_mode_full_parity(spark, landing):
         .collect()
     }
     assert got == _batch_real(spark, ldir, schema)
+
+
+def test_rocksdb_state_store_parity_and_telemetry(spark, landing):
+    """The RocksDB state backend (streaming/statestore.py): the same
+    session drain under RocksDB + changelog checkpointing must emit
+    the identical result set (state semantics are provider-
+    independent), the query's state-operator telemetry must carry
+    RocksDB's own metrics (proving the provider actually engaged,
+    not silently fell back), and the session conf must be restored
+    after the context exits."""
+    from bike_analyzer_spark.streaming.statestore import (
+        PROVIDER_CONF,
+        rocksdb_state,
+    )
+
+    ldir, schema = landing
+    prev = spark.conf.get(PROVIDER_CONF, None)
+    name = f"sess_rocks_{uuid.uuid4().hex[:6]}"
+    with rocksdb_state(spark):
+        q = (
+            ssn.session_stream(ssn.events_stream(spark, ldir, schema))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.sql(f"SELECT * FROM {name}").collect()
+    assert {tuple(r) for r in emitted} == _batch_real(spark, ldir, schema)
+    metrics = q.recentProgress[-1]["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics), metrics.keys()
+    assert spark.conf.get(PROVIDER_CONF, None) == prev  # restored

@@ -133,3 +133,37 @@ def test_money_lift_column_matches_python(spark):
     }
     for i, price, _ in rows:
         assert got[i] == round(price * 100) * 95, (i, price)
+
+
+def test_wave3_plan_shapes(spark):
+    """The round-8 shapes produce the plans they exist to
+    demonstrate: Q4's EXISTS is a LEFT SEMI join (no fan-out) with
+    the order window pushed to the scan; Q16's size IN-list reaches
+    the part scan and the flagged-supplier NOT IN is a broadcast
+    ANTI join; Q11's rollup aggregates partially before its single
+    supplier-keyed exchange."""
+    p4 = (
+        tpch.tpch_late_shipment_priority(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in p4
+    assert "GreaterThanOrEqual(o_orderdate" in p4
+    p16 = (
+        tpch.tpch_parts_supplier_variety(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(p_size" in p16
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    p11 = (
+        tpch.tpch_top_supplier_share(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE lineitem scan: the 1-row total reuses the checkpointed
+    # supplier rollup instead of re-running the corpus subtree
+    assert p11.count("FileScan") <= 1

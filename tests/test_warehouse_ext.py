@@ -92,3 +92,28 @@ def test_purchase_rank_integer_identities_match_window_fns(spark):
         )
     )
     assert chk.count() == 0
+
+
+def test_rolling_window_is_one_exchange_and_range_frame(spark):
+    """The trailing-hour feature costs ONE user-keyed exchange, and
+    the frame is a RANGE (event-time) frame, not ROWS."""
+    plan = (
+        warehouse_ext.rolling_user_spend(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "RangeFrame" in plan
+
+
+def test_funnel_reconciliation_is_full_outer_on_preaggregates(spark):
+    """The full outer joins (user, day) COHORTS, not raw events: both
+    join inputs are aggregates, and the join type survives planning."""
+    plan = (
+        warehouse_ext.funnel_reconciliation(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan

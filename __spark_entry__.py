@@ -38,6 +38,7 @@ from bike_analyzer_spark.operators import (
     quality,
     rangejoin,
     readers,
+    retrieval,
     sampling,
     scale,
     scrub,
@@ -120,7 +121,9 @@ _MODULES = [
     # spread-read change. Slot arithmetic:
     #   warehouse_ext 9 + tpch 8 + text 5 + scale 3 + multimodal 4
     #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
-    #   + curate 1 + dedup_incr 1 + semdedup 2 + importance 2 = 50
+    #   + curate 1 + dedup_incr 1 + semdedup 2 + bm25 1
+    #   + dsir_weights 1 (module head; dsir_select sits just past
+    #   the boundary at 2-streak) = 50
     # (lm/mixing/packing/scrub — 2-streak with their latest green IN
     # round 7, i.e. already driver-proven post-spread-read — ceded
     # their re-proof slots to the seven NEW r8 wave-3 queries: five
@@ -138,7 +141,9 @@ _MODULES = [
     curate,
     _dedup_head,
     semdedup,
-    importance,
+    retrieval,  # NEW r8: bm25_topk (streak 0)
+    importance,  # dsir_weights lands at slot 50; dsir_select (2-streak)
+    # is the first query past the boundary
     # ---- outside the window (every query ≥2 consecutive driver
     # greens, modules untouched this round) -----------------------
     lm,

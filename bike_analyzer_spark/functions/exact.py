@@ -81,6 +81,23 @@ def halfup_ratio_wide_sql(
     )
 
 
+def halfup_div_wide_sql(num: str, den: str, engine: str = "spark") -> str:
+    """INTEGER half-up of `num/den` (BIGINT result, no display
+    divide) with 128-bit intermediates — for callers that go on to
+    SUM the rounded quotients exactly (e.g. per-term BM25
+    contributions) rather than display them. Same operand contract
+    as `halfup_ratio_wide_sql`; the quotient itself must fit
+    BIGINT."""
+    if engine == "spark":
+        n = f"CAST(({num}) AS DECIMAL(38,0))"
+        d = f"CAST(({den}) AS DECIMAL(38,0))"
+        # Spark's decimal `div` already returns BIGINT
+        return f"(({n} * 2 + {d}) div ({d} * 2))"
+    n = f"CAST(({num}) AS HUGEINT)"
+    d = f"CAST(({den}) AS HUGEINT)"
+    return f"CAST((({n} * 2 + {d}) // ({d} * 2)) AS BIGINT)"
+
+
 def halfup_avg_sql(
     c: str, n: str, digits: int = 4, engine: str = "spark"
 ) -> str:

@@ -1,0 +1,207 @@
+"""BM25 ranked retrieval — the search/RAG-curation primitive the
+LLM-pipeline pack lacked: score every document against a query term
+set with Okapi BM25 and return the top-k.
+
+Reference parity note: the reference app has no search; this extends
+the brief's text-analysis family (quality/langid/tfidf already score
+documents — BM25 is the corresponding RANKED retrieval operator used
+to mine training corpora for topic-matched subsets).
+
+Scale shape (the whole point of the formulation):
+
+* NO corpus shuffle and NO explode. Per-document term frequencies
+  for the (bounded, constant) query term set come from vectorized
+  array expressions over the token array — one projection. The
+  corpus-level statistics (N, total token count, per-term document
+  frequencies) all ride ONE 1-row aggregate that broadcasts back
+  over the scan, and the output is a TakeOrderedAndProject top-k.
+  At 100 TB this is one pass over documents plus a 1-row exchange.
+
+* EXACT cross-engine scoring. BM25's tf-side factor is rational for
+  rational (k1, b):
+
+      tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/S))
+
+  with k1 = K1N/K1D and b = BN/BD clears to the integer ratio
+
+      tf·(K1N+K1D)·BD·S  /  (tf·K1D·BD·S + K1N·(BD−BN)·S + K1N·BN·dl·N)
+
+  (S = corpus token count, dl = doc length). Each term's idf is the
+  ONE transcendental — ln((N − df + ½)/(df + ½) + 1) — quantized
+  ONCE to integer micro-nats exactly like importance.py's
+  log-ratios (same accepted ~1e-9 boundary class, documented there).
+  A per-(doc, term) contribution is then the 128-bit integer
+  half-up of (idf_unats · tf-ratio) — functions/exact.
+  halfup_div_wide_sql — and the document score is an EXACT bigint
+  sum of those integers: no accumulation-order risk anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import halfup_div_wide_sql
+from ..functions.textfns import tokens
+from ..sources.catalog import load
+
+#: Okapi defaults as exact rationals: k1 = 1.2, b = 0.75
+K1N, K1D = 6, 5
+BN, BD = 3, 4
+#: the fixed query (mixes the corpus's one rare term with common
+#: ones, so idf contrast is non-degenerate at every SF)
+QUERY_TERMS = ("dup", "hash", "join")
+#: micro-nat quantization for idf (importance.py's discipline)
+QUANT = 1_000_000
+TOP_K = 20
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _contrib(idf_col: str, tf_col: str) -> F.Column:
+    """128-bit integer half-up of idf_unats * tf-ratio for one term
+    (0 when the term is absent)."""
+    num = (
+        f"{idf_col} * {tf_col} * {(K1N + K1D) * BD} * _sdl"
+    )
+    den = (
+        f"{tf_col} * {K1D * BD} * _sdl"
+        f" + {K1N * (BD - BN)} * _sdl"
+        f" + {K1N * BN} * dl * _n"
+    )
+    return F.when(
+        F.col(tf_col) > 0,
+        F.expr(halfup_div_wide_sql(num, den, engine="spark")),
+    ).otherwise(F.lit(0))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} documents for QUERY_TERMS by BM25, ties broken on
+    doc_id. Emits the exact integer micro-score plus per-term tfs
+    (so the gate pins the whole decomposition, not just the
+    ranking)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def _tf(term: str) -> F.Column:
+        # NB: the lambda must be unary — a second parameter would make
+        # pyspark pass the ELEMENT INDEX to it (higher-order filter
+        # signature), not a closure slot
+        return F.size(
+            F.filter(toks, lambda x: x == F.lit(term))
+        ).cast("long")
+
+    tf_cols = {f"tf{i}": _tf(t) for i, t in enumerate(QUERY_TERMS)}
+    # materialize the narrow per-doc stats frame (doc_id, dl, tfs —
+    # ~5 longs vs the KB-scale text column): both the 1-row corpus
+    # aggregate and the scoring projection consume it, and without
+    # the checkpoint Catalyst re-runs the full text scan + tokenize
+    # for each consumer
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[c.alias(k) for k, c in tf_cols.items()],
+    ).localCheckpoint(eager=False)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    for i in range(len(QUERY_TERMS)):
+        # ln((N - df + 0.5)/(df + 0.5) + 1), micro-nat quantized ONCE
+        stats = stats.withColumn(
+            f"idf{i}",
+            F.round(
+                F.log(
+                    (F.col("_n") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5)
+                    + 1
+                )
+                * QUANT
+            ).cast("long"),
+        )
+    score_u = None
+    for i in range(len(QUERY_TERMS)):
+        c = _contrib(f"idf{i}", f"tf{i}")
+        score_u = c if score_u is None else score_u + c
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .withColumn("score_u", score_u)
+        .filter(F.col("score_u") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf{i}" for i in range(len(QUERY_TERMS))],
+            "score_u",
+            (F.col("score_u") / F.lit(QUANT).cast("double")).alias(
+                "bm25"
+            ),
+        )
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES = {"bm25_topk": bm25_topk}
+
+
+def _oracle() -> str:
+    tf_sel = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_sel = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    idf_sel = ",\n               ".join(
+        f"CAST(round(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * {QUANT}) AS BIGINT) AS idf{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        + halfup_div_wide_sql(
+            f"idf{i} * tf{i} * {(K1N + K1D) * BD} * sdl",
+            f"tf{i} * {K1D * BD} * sdl"
+            f" + {K1N * (BD - BN)} * sdl"
+            f" + {K1N * BN} * dl * n",
+            engine="duck",
+        )
+        + " ELSE 0 END)"
+        for i in range(len(QUERY_TERMS))
+    )
+    tf_cols = ", ".join(f"tf{i}" for i in range(len(QUERY_TERMS)))
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {tf_sel}
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        s AS (
+            SELECT count(*) AS n,
+               CAST(sum(dl) AS BIGINT) AS sdl,
+               {df_sel}
+            FROM d
+        ),
+        i AS (SELECT *, {idf_sel} FROM s),
+        scored AS (
+            SELECT doc_id, dl, {tf_cols},
+                   ({contribs}) AS score_u
+            FROM d, i
+        )
+        SELECT doc_id, dl, {tf_cols}, score_u,
+               score_u / CAST({QUANT} AS DOUBLE) AS bm25
+        FROM scored
+        WHERE score_u > 0
+        ORDER BY score_u DESC, doc_id
+        LIMIT {TOP_K}
+    """
+
+
+ORACLES = {"bm25_topk": _oracle()}

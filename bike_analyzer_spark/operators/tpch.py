@@ -494,18 +494,16 @@ def tpch_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rev_u").alias("_ru"))
         .localCheckpoint(eager=False)
     )
-    total = F.broadcast(
-        per_supp.agg(
-            F.sum(F.col("_ru").cast("decimal(38,0)")).alias("_total"),
-            F.count(F.lit(1)).alias("_nsup"),
-        )
+    total = per_supp.agg(
+        F.sum(F.col("_ru").cast("decimal(38,0)")).alias("_total"),
+        F.count(F.lit(1)).alias("_nsup"),
     )
     keep = (
         F.col("_ru").cast("decimal(38,0)") * F.col("_nsup")
         > F.lit(Q11_MEAN_MULT) * F.col("_total")
     )
     return (
-        per_supp.crossJoin(total)
+        per_supp.crossJoin(F.broadcast(total))
         .filter(keep)
         .select(
             "l_suppkey",
@@ -531,11 +529,9 @@ def tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").withColumn(
         "acctbal_c", _cents("c_acctbal")
     )
-    pos = F.broadcast(
-        cust.filter(F.col("acctbal_c") > 0).agg(
-            F.sum("acctbal_c").alias("_sum_pos"),
-            F.count(F.lit(1)).alias("_n_pos"),
-        )
+    pos = cust.filter(F.col("acctbal_c") > 0).agg(
+        F.sum("acctbal_c").alias("_sum_pos"),
+        F.count(F.lit(1)).alias("_n_pos"),
     )
     recent = (
         load(spark, sf_dir, "orders")
@@ -544,7 +540,7 @@ def tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cust.crossJoin(pos)
+        cust.crossJoin(F.broadcast(pos))
         .filter(F.col("acctbal_c") * F.col("_n_pos") > F.col("_sum_pos"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .withColumn("cohort", F.substring("c_name", 10, 2))

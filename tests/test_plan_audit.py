@@ -68,6 +68,9 @@ _BOUNDED_CROSSJOIN_OK = {
     # average) cross-joined back over a rollup — Q11/Q22 shapes
     "tpch_top_supplier_share",
     "tpch_sales_opportunity",
+    # 1-row corpus-stats frame (N, token total, per-term df/idf)
+    # broadcast over the per-doc scoring projection
+    "bm25_topk",
 }
 
 

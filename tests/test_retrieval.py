@@ -1,0 +1,85 @@
+"""BM25 ranked retrieval: driver-style oracle parity, the
+integer-exact scoring decomposition, and the one-pass plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import retrieval
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle import assert_matches_oracle
+
+
+def test_bm25_vs_oracle(spark, duck):
+    df = retrieval.bm25_topk(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, retrieval.ORACLES["bm25_topk"], name="bm25_topk"
+    )
+
+
+def test_bm25_matches_float_reference(spark):
+    """Independent reimplementation: classic floating-point Okapi
+    BM25 over python token lists must agree with the integer-exact
+    engine scores to within the micro-nat quantization (each of the
+    |Q| per-term contributions carries <=0.5 µnat of idf rounding
+    plus 0.5 µnat of final half-up)."""
+    docs = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(
+            f"{SF_DIR_ORACLE}/documents.parquet"
+        ).collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    k1, b = 1.2, 0.75
+    df_t = {
+        t: sum(1 for toks in docs.values() if t in toks)
+        for t in retrieval.QUERY_TERMS
+    }
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1)
+        for t, d in df_t.items()
+    }
+
+    def score(toks):
+        s = 0.0
+        for t in retrieval.QUERY_TERMS:
+            tf = toks.count(t)
+            if tf:
+                s += (
+                    idf[t]
+                    * tf
+                    * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+                )
+        return s
+
+    got = retrieval.bm25_topk(spark, SF_DIR_ORACLE).collect()
+    assert len(got) == retrieval.TOP_K
+    tol = len(retrieval.QUERY_TERMS) * 1.0 / retrieval.QUANT
+    for r in got:
+        assert r.bm25 == pytest.approx(
+            score(docs[r.doc_id]), abs=tol
+        ), r.doc_id
+    # and the ranking itself is the float ranking (ties on doc_id)
+    want_order = sorted(
+        docs, key=lambda d: (-score(docs[d]), d)
+    )[: retrieval.TOP_K]
+    assert [r.doc_id for r in got] == want_order
+
+
+def test_bm25_plan_is_one_pass(spark):
+    """One corpus materialization (the narrow stats frame is
+    checkpointed and feeds both the 1-row aggregate and the scoring
+    projection), a single-partition exchange for the corpus stats,
+    and a bounded TakeOrderedAndProject — never a global sort."""
+    plan = (
+        retrieval.bm25_topk(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan") == 0  # both consumers read the RDD
+    assert "BatchEvalPython" not in plan

@@ -106,6 +106,8 @@ _tpch_head, _tpch_tail = _split(
     ],
 )
 _dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
+_graph_head, _graph_tail = _split(graph, ["od_triangles"])
+_semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------
@@ -121,9 +123,9 @@ _MODULES = [
     # spread-read change. Slot arithmetic:
     #   warehouse_ext 9 + tpch 8 + text 5 + scale 3 + multimodal 4
     #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
-    #   + curate 1 + dedup_incr 1 + semdedup 2 + bm25 1
-    #   + dsir_weights 1 (module head; dsir_select sits just past
-    #   the boundary at 2-streak) = 50
+    #   + curate 1 + dedup_incr 1 + od_triangles 1 + semdedup_keep 1
+    #   + bm25 1 + dsir_weights 1 (module head; dsir_select sits
+    #   just past the boundary at 2-streak) = 50
     # (lm/mixing/packing/scrub — 2-streak with their latest green IN
     # round 7, i.e. already driver-proven post-spread-read — ceded
     # their re-proof slots to the seven NEW r8 wave-3 queries: five
@@ -140,7 +142,8 @@ _MODULES = [
     sampling,
     curate,
     _dedup_head,
-    semdedup,
+    _graph_head,  # NEW r8: od_triangles (streak 0)
+    _semdedup_head,
     retrieval,  # NEW r8: bm25_topk (streak 0)
     importance,  # dsir_weights lands at slot 50; dsir_select (2-streak)
     # is the first query past the boundary
@@ -164,7 +167,8 @@ _MODULES = [
     windows,
     readers,
     analytics_ext,
-    graph,
+    _semdedup_tail,
+    _graph_tail,
     _dedup_tail,
     kpi,
 ]

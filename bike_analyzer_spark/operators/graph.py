@@ -455,3 +455,171 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_lss": _dedup_clusters_oracle(),
     "od_pagerank": _od_pagerank_oracle(),
 }
+
+
+def od_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the OD
+    flow graph — the graph-analytics shape (community density) the
+    CC/PageRank pair didn\'t cover.
+
+    Scale shape: DEGREE-ORIENTED enumeration. Undirected simple
+    edges orient from the (degree, id)-smaller endpoint to the
+    larger, making the graph a DAG whose out-degree is bounded by
+    O(sqrt(m)) REGARDLESS of degree skew (the id-oriented textbook
+    join blows up on hub nodes: a station with degree k contributes
+    k^2 wedge candidates; degree orientation caps every node\'s
+    wedge fan-out at its arboricity-bounded out-degree). Wedges =
+    out-edges self-joined on their source, closed by one hash join
+    back against the oriented edge set; counts explode 3 ways and
+    aggregate per node. The clustering coefficient is EXACT:
+    2*tri / (deg*(deg-1)) through the pure-bigint half-up.
+
+    Reference analog: none (the reference never computes graph
+    density); extends graph.py\'s inventory the same way PageRank
+    did."""
+    from ..functions.exact import halfup_ratio_sql
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10)
+    edges = (
+        flows.filter(F.col("o") != F.col("d"))
+        .select(
+            F.least("o", "d").alias("u"), F.greatest("o", "d").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    # orient by (degree, id): src = smaller endpoint in that order,
+    # and CARRY the destination's (degree, id) key so wedge pairs can
+    # order by the SAME total order — then the closing edge of a
+    # wedge (b <ord c) is oriented b->c BY CONSTRUCTION and the
+    # closing probe is a pure EQUI join (an either-direction OR
+    # condition would force a nested-loop join — the scale killer)
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias(
+                "ddeg"
+            ),
+        )
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select(
+        "src", F.col("dst").alias("b"), F.col("ddeg").alias("bd")
+    )
+    w2 = oriented.select(
+        "src", F.col("dst").alias("c"), F.col("ddeg").alias("cd")
+    )
+    wedges = w1.join(w2, "src").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        ),
+        ["b", "c"],
+    ).select(F.col("src").alias("a"), "b", "c")
+    per_node = (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.expr(
+            halfup_ratio_sql(
+                "n_triangles * 2", "degree * (degree - 1)", 6, "spark"
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "id", "left")
+        .fillna({"n_triangles": 0})
+        .select(
+            "id",
+            "degree",
+            "n_triangles",
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("n_triangles"), "id")
+    )
+
+
+QUERIES["od_triangles"] = od_triangles
+
+
+def _od_triangles_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+    from .od import FLOWS_CTE_SQL
+
+    coeff = halfup_ratio_sql(
+        "coalesce(n_triangles, 0) * 2", "degree * (degree - 1)", 6, "duck"
+    )
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        edges AS MATERIALIZED (
+            SELECT DISTINCT least(o, d) AS u, greatest(o, d) AS v
+            FROM flows WHERE o <> d
+        ),
+        deg AS MATERIALIZED (
+            SELECT id, count(*) AS degree FROM (
+                SELECT u AS id FROM edges
+                UNION ALL SELECT v FROM edges)
+            GROUP BY id
+        ),
+        oriented AS MATERIALIZED (
+            SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN e.v ELSE e.u END AS dst,
+                   CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN dv.degree ELSE du.degree END AS ddeg
+            FROM edges e
+            JOIN deg du ON e.u = du.id
+            JOIN deg dv ON e.v = dv.id
+        ),
+        tri AS (
+            -- wedge pair ordered by the SAME (degree, id) key as the
+            -- orientation, so the closing edge is exactly b->c
+            SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+            FROM oriented w1
+            JOIN oriented w2
+              ON w1.src = w2.src
+             AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+            JOIN oriented cl
+              ON cl.src = w1.dst AND cl.dst = w2.dst
+        ),
+        per_node AS (
+            SELECT id, count(*) AS n_triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            GROUP BY id
+        )
+        SELECT d.id AS id, d.degree AS degree,
+               coalesce(n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree >= 2 THEN {coeff}
+                    ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+        FROM deg d LEFT JOIN per_node p ON d.id = p.id
+        ORDER BY n_triangles DESC, d.id
+    """
+
+
+ORACLES["od_triangles"] = _od_triangles_oracle()

@@ -145,3 +145,42 @@ def test_lss_matches_min_label_on_random_graph(spark):
         for r in graph.connected_components(df, max_iter=60).collect()
     }
     assert lss == ml and len(lss) > 0
+
+
+def test_od_triangles_matches_bruteforce_and_plans_equi_only(spark):
+    """Triangle counting (round 8): per-node counts and clustering
+    coefficients must equal a brute-force set reimplementation, and
+    the degree-oriented formulation must plan WITHOUT any
+    nested-loop join — the either-direction closing probe would
+    degenerate there; ordering wedges by the orientation key makes
+    it a pure equi join."""
+    from itertools import combinations
+
+    from bike_analyzer_spark.operators.graph import od_triangles
+    from bike_analyzer_spark.operators.od import infer_flows
+    from tests.conftest import SF_DIR_ORACLE
+
+    flows = infer_flows(spark, SF_DIR_ORACLE, minutes=10).collect()
+    adj = {}
+    for r in flows:
+        if r.o != r.d:
+            adj.setdefault(r.o, set()).add(r.d)
+            adj.setdefault(r.d, set()).add(r.o)
+    want_tri = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if b in adj.get(a, ()):  # triangle (v, a, b)
+                want_tri[v] += 1
+
+    df = od_triangles(spark, SF_DIR_ORACLE)
+    got = df.collect()
+    assert {r.id: r.n_triangles for r in got} == want_tri
+    for r in got:
+        if r.degree >= 2:
+            want = round(
+                2 * want_tri[r.id] / (r.degree * (r.degree - 1)), 6
+            )
+            assert abs(r.clustering_coeff - want) <= 1e-6, r.id
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

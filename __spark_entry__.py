@@ -97,12 +97,14 @@ _tpch_head, _tpch_tail = _split(
         # displays via the 128-bit half-up) — manual rotate-back per
         # the edited-module policy in tests/test_rotation.py
         "tpch_pricing_summary",
-        # NEW in r8 (streak 0): Q4/Q12/Q16/Q11/Q22 shapes
+        # NEW in r8 (streak 0): Q4/Q12/Q16/Q11/Q17/Q19/Q22 shapes
         "tpch_late_shipment_priority",
         "tpch_shipmode_priority",
         "tpch_parts_supplier_variety",
         "tpch_top_supplier_share",
         "tpch_sales_opportunity",
+        "tpch_small_quantity_revenue",
+        "tpch_disjunctive_revenue",
     ],
 )
 _dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
@@ -121,11 +123,12 @@ _MODULES = [
     # sim_* (ivf/pq/lsh/brute), text, quality, sampling, curate,
     # cms — none of which have been driver-checked since round 5's
     # spread-read change. Slot arithmetic:
-    #   warehouse_ext 9 + tpch 8 + text 5 + scale 3 + multimodal 4
+    #   warehouse_ext 10 + tpch 10 + text 5 + scale 3 + multimodal 4
     #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
-    #   + curate 1 + dedup_incr 1 + od_triangles 1 + semdedup_keep 1
-    #   + bm25 1 + dsir_weights 1 (module head; dsir_select sits
-    #   just past the boundary at 2-streak) = 50
+    #   + dedup_incr 1 + od_triangles 1 + bm25 1 = 50
+    # (the late wave-4 additions — Q17/Q19/scd2 — displaced the last
+    # three r7-window holdovers (semdedup_keep, dsir_weights,
+    # curate_keep_list), so NO r8-window query repeats from r7.)
     # (lm/mixing/packing/scrub — 2-streak with their latest green IN
     # round 7, i.e. already driver-proven post-spread-read — ceded
     # their re-proof slots to the seven NEW r8 wave-3 queries: five
@@ -140,15 +143,14 @@ _MODULES = [
     pq,
     quality,
     sampling,
-    curate,
     _dedup_head,
     _graph_head,  # NEW r8: od_triangles (streak 0)
-    _semdedup_head,
     retrieval,  # NEW r8: bm25_topk (streak 0)
-    importance,  # dsir_weights lands at slot 50; dsir_select (2-streak)
-    # is the first query past the boundary
     # ---- outside the window (every query ≥2 consecutive driver
     # greens, modules untouched this round) -----------------------
+    curate,
+    _semdedup_head,
+    importance,
     lm,
     mixing,
     packing,

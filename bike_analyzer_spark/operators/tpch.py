@@ -558,6 +558,109 @@ def tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Q17-shape brand filter (bounded output: one row per brand)
+Q17_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+#: below-average multiplier 1/5 (the TPC-H 0.2)
+Q17_FRAC_DEN = 5
+#: Q19-shape disjunctive clauses: (brand, size range, qty range)
+Q19_CLAUSES = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 10, 25, 10, 20),
+    ("Brand#34", 20, 40, 20, 30),
+)
+
+
+def tpch_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q17 shape: revenue lost to small orders — lines whose quantity
+    sits below 1/{Q17_FRAC_DEN} of their PART's average quantity. The
+    correlated scalar subquery (per-part average) rewrites to a
+    window over the SAME partkey partitioning the join already needs,
+    and the threshold comparison is an integer cross-multiplication
+    (qty * den * n_part < sum_qty_part — quantities are integral on
+    these fixtures, so no double mean exists anywhere). Output is one
+    row per filtered brand."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*Q17_BRANDS)
+    )
+    li = _li_money(load(spark, sf_dir, "lineitem")).withColumn(
+        "qty", F.round("l_quantity", 0).cast("long")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("_nq", F.count(F.lit(1)).over(w))
+        .withColumn("_sq", F.sum("qty").over(w))
+    )
+    below = (
+        F.col("qty") * Q17_FRAC_DEN * F.col("_nq") < F.col("_sq")
+    )
+    return (
+        joined.filter(below)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.sum("price_c").alias("_pc"),
+        )
+        .select(
+            "p_brand",
+            "n_small_lines",
+            _halfup("_pc", "100", 2).alias("small_line_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def tpch_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q19 shape: revenue under an OR-of-ANDs predicate (brand x
+    size-range x quantity-range triples) — the disjunctive-pushdown
+    plan class: Catalyst distributes the common join key, pushes the
+    per-side conjuncts it can prove (size bounds to the part scan,
+    quantity bounds to the lineitem scan as a range ENVELOPE), and
+    evaluates the residual OR after the join. One aggregate row per
+    clause via a clause-id CASE, so the gate pins every branch, not
+    just the union."""
+    li = _li_money(load(spark, sf_dir, "lineitem")).withColumn(
+        "qty", F.round("l_quantity", 0).cast("long")
+    )
+    part = load(spark, sf_dir, "part")
+    clause_id = None
+    pred = None
+    for idx, (brand, s_lo, s_hi, q_lo, q_hi) in enumerate(Q19_CLAUSES):
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("qty").between(q_lo, q_hi)
+        )
+        pred = c if pred is None else (pred | c)
+        clause_id = (
+            F.when(c, F.lit(idx))
+            if clause_id is None
+            else clause_id.when(c, F.lit(idx))
+        )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .withColumn("clause", clause_id.cast("int"))
+        .groupBy("clause")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_u").alias("_ru"),
+        )
+        .select(
+            "clause",
+            "n_lines",
+            _halfup("_ru", "10000", 2).alias("revenue"),
+        )
+        .orderBy("clause")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": tpch_pricing_summary,
     "tpch_shipping_priority": tpch_shipping_priority,
@@ -570,6 +673,8 @@ QUERIES = {
     "tpch_parts_supplier_variety": tpch_parts_supplier_variety,
     "tpch_top_supplier_share": tpch_top_supplier_share,
     "tpch_sales_opportunity": tpch_sales_opportunity,
+    "tpch_small_quantity_revenue": tpch_small_quantity_revenue,
+    "tpch_disjunctive_revenue": tpch_disjunctive_revenue,
 }
 
 _SUM_QTY = "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
@@ -767,4 +872,51 @@ ORACLES["tpch_sales_opportunity"] = f"""
       )
     GROUP BY cohort
     ORDER BY cohort
+"""
+
+
+ORACLES["tpch_small_quantity_revenue"] = f"""
+    WITH li AS ({_LI_MONEY}),
+    j AS (
+        SELECT p_brand, price_c,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               count(*) OVER w AS nq,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) OVER w
+                    AS BIGINT) AS sq
+        FROM li JOIN part ON l_partkey = p_partkey
+        WHERE p_brand IN ({", ".join(f"'{b}'" for b in Q17_BRANDS)})
+        WINDOW w AS (PARTITION BY l_partkey)
+    )
+    SELECT p_brand, count(*) AS n_small_lines,
+           {_hd('CAST(sum(price_c) AS BIGINT)', '100', 2)}
+               AS small_line_revenue
+    FROM j
+    WHERE qty * {Q17_FRAC_DEN} * nq < sq
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+_Q19_CASE = " ".join(
+    f"WHEN p_brand = '{b}' AND p_size BETWEEN {sl} AND {sh} "
+    f"AND qty BETWEEN {ql} AND {qh} THEN {i}"
+    for i, (b, sl, sh, ql, qh) in enumerate(Q19_CLAUSES)
+)
+
+ORACLES["tpch_disjunctive_revenue"] = f"""
+    WITH li AS ({_LI_MONEY}),
+    j AS (
+        SELECT p_brand, p_size, rev_u,
+               CAST(round(l_quantity) AS BIGINT) AS qty
+        FROM li JOIN part ON l_partkey = p_partkey
+    ),
+    c AS (
+        SELECT CAST(CASE {_Q19_CASE} END AS INT) AS clause, rev_u
+        FROM j
+    )
+    SELECT clause, count(*) AS n_lines,
+           {_hd('CAST(sum(rev_u) AS BIGINT)', '10000', 2)} AS revenue
+    FROM c
+    WHERE clause IS NOT NULL
+    GROUP BY clause
+    ORDER BY clause
 """

@@ -373,6 +373,73 @@ def funnel_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCD2 activity-tier thresholds (events/day): [0,3) low, [3,6) mid
+SCD2_TIER_EDGES = (3, 6)
+
+
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 build (round 8) — the
+    warehouse pattern none of the suite\'s shapes covered: collapse a
+    per-(user, day) activity-tier observation stream into validity
+    intervals. A new version opens exactly when the tier CHANGES
+    from the user\'s previous observed day (unchanged days extend the
+    open interval); `valid_to` is the next version\'s `valid_from`
+    (half-open, gap-free by construction) and the last version is
+    open-ended with `is_current`.
+
+    One user-keyed window shuffle does everything: lag for the
+    change flag, a running change-count for the version id, then a
+    (user, version) aggregate and a lead for valid_to. Tiers are
+    integer bucket indexes from integer daily counts — exact in any
+    engine."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n") < SCD2_TIER_EDGES[0], F.lit(0))
+            .when(F.col("n") < SCD2_TIER_EDGES[1], F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    versioned = (
+        daily.withColumn("_prev", F.lag("tier").over(w))
+        .withColumn(
+            "_chg",
+            (
+                F.col("_prev").isNull()
+                | (F.col("tier") != F.col("_prev"))
+            ).cast("int"),
+        )
+        .withColumn("version", F.sum("_chg").over(w).cast("int"))
+    )
+    spans = versioned.groupBy("user_id", "version").agg(
+        F.min("d").alias("valid_from"),
+        F.max("tier").alias("tier"),  # constant within the version
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days_observed"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        spans.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            "version",
+            "tier",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_events",
+            "n_days_observed",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 QUERIES = {
     "event_gap_profile": event_gap_profile,
     "purchase_value_rank": purchase_value_rank,
@@ -383,6 +450,7 @@ QUERIES = {
     "tpch_customer_distribution": tpch_customer_distribution,
     "rolling_user_spend": rolling_user_spend,
     "funnel_reconciliation": funnel_reconciliation,
+    "scd2_user_tiers": scd2_user_tiers,
 }
 
 
@@ -559,4 +627,43 @@ ORACLES["funnel_reconciliation"] = """
       ON v.user_id = b.user_id AND v.d = b.d
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+
+ORACLES["scd2_user_tiers"] = f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n,
+               CAST(CASE WHEN count(*) < {SCD2_TIER_EDGES[0]} THEN 0
+                         WHEN count(*) < {SCD2_TIER_EDGES[1]} THEN 1
+                         ELSE 2 END AS INT) AS tier
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(tier) OVER w IS NULL
+                         OR tier <> lag(tier) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    versioned AS (
+        SELECT *, CAST(sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS version
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, version,
+               min(d) AS valid_from,
+               CAST(max(tier) AS INT) AS tier,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               count(*) AS n_days_observed
+        FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, version, tier, valid_from,
+           lead(valid_from) OVER wv AS valid_to,
+           lead(valid_from) OVER wv IS NULL AS is_current,
+           n_events, n_days_observed
+    FROM spans
+    WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version
 """

@@ -73,12 +73,14 @@ def _get(st: dict[str, Any], key: str):
     return st.get(key)
 
 
-def stations_df(spark: SparkSession, si: dict[str, Any]) -> DataFrame:
-    """station_information payload -> typed stations frame, feed-level
-    last_updated stamped onto every row (reference etl_gbfs.py:109)."""
+def station_rows(si: dict[str, Any]) -> list[tuple]:
+    """station_information payload -> typed row tuples (STATIONS
+    order). Pure function shared by the driver-side `stations_df`
+    path and the executor-side `gbfs` DataSource scan — parity
+    between the two read paths holds by construction."""
     stations = si.get("data", {}).get("stations", [])
     last_updated = si.get("last_updated")
-    rows = [
+    return [
         (
             st.get("station_id"),
             st.get("name"),
@@ -99,17 +101,21 @@ def stations_df(spark: SparkSession, si: dict[str, Any]) -> DataFrame:
         )
         for st in stations
     ]
-    return spark.createDataFrame(rows, STATIONS)
 
 
-def status_df(
-    spark: SparkSession, ss: dict[str, Any], scraped_at: _dt.datetime
-) -> DataFrame:
-    """station_status payload -> typed status frame; scraped_at is
-    stamped ONCE per batch (reference etl_gbfs.py:119), vehicles stay
-    a typed array-of-struct (JSON only at a compat boundary)."""
+def stations_df(spark: SparkSession, si: dict[str, Any]) -> DataFrame:
+    """station_information payload -> typed stations frame, feed-level
+    last_updated stamped onto every row (reference etl_gbfs.py:109)."""
+    return spark.createDataFrame(station_rows(si), STATIONS)
+
+
+def status_rows(
+    ss: dict[str, Any], scraped_at: _dt.datetime
+) -> list[tuple]:
+    """station_status payload -> typed row tuples (STATION_STATUS
+    order); shared by `status_df` and the `gbfs` DataSource scan."""
     stations = ss.get("data", {}).get("stations", [])
-    rows = [
+    return [
         (
             st.get("station_id"),
             st.get("num_bikes_available"),
@@ -132,7 +138,17 @@ def status_df(
         )
         for st in stations
     ]
-    return spark.createDataFrame(rows, STATION_STATUS)
+
+
+def status_df(
+    spark: SparkSession, ss: dict[str, Any], scraped_at: _dt.datetime
+) -> DataFrame:
+    """station_status payload -> typed status frame; scraped_at is
+    stamped ONCE per batch (reference etl_gbfs.py:119), vehicles stay
+    a typed array-of-struct (JSON only at a compat boundary)."""
+    return spark.createDataFrame(
+        status_rows(ss, scraped_at), STATION_STATUS
+    )
 
 
 def _maybe_bool(v):

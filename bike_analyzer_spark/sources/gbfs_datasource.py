@@ -1,0 +1,108 @@
+"""`gbfs` — a Spark 4 Python DataSource over landed GBFS snapshots.
+
+The driver-side path (`gbfs.stations_df` / `status_df`) parses ONE
+payload dict on the driver — right for a live poll, wrong for a
+backfill over a directory of thousands of landed snapshot files,
+where the driver would become the parse bottleneck and the single
+`createDataFrame` a memory cliff. This connector makes the landing
+directory a real Spark scan: ONE InputPartition per snapshot file,
+JSON parsing and row typing on the EXECUTORS, schema pinned from
+schemas.py (never inferred). Both paths share the same pure
+row-builder functions (`gbfs.station_rows` / `status_rows`), so
+connector-vs-driver parity holds by construction and is pinned by
+test anyway.
+
+Usage:
+
+    spark.dataSource.register(GbfsDataSource)
+    df = (spark.read.format("gbfs")
+          .option("path", landing_dir)
+          .option("feed", "station_status")   # or station_information
+          .load())
+
+Snapshot files are `*.json` GBFS payloads; for status feeds the
+batch stamp (`scraped_at`) is each snapshot's own feed-level
+`last_updated` — the honest landed-file equivalent of the live
+poll's wall-clock stamp.
+
+Reference analog: etl_gbfs.py's fetch-and-parse, lifted from a
+single-process loop to a partition-parallel scan.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from ..schemas import STATION_STATUS, STATIONS
+
+FEED_INFO = "station_information"
+FEED_STATUS = "station_status"
+
+
+class GbfsDataSource(DataSource):
+    """Register with ``spark.dataSource.register(GbfsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gbfs"
+
+    def schema(self):
+        feed = self.options.get("feed", FEED_INFO)
+        if feed == FEED_INFO:
+            return STATIONS
+        if feed == FEED_STATUS:
+            return STATION_STATUS
+        raise ValueError(
+            f"gbfs: unknown feed {feed!r} "
+            f"(expected {FEED_INFO!r} or {FEED_STATUS!r})"
+        )
+
+    def reader(self, schema):
+        return _GbfsReader(self.options)
+
+
+class _GbfsReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("gbfs: the 'path' option is required")
+        self._feed = options.get("feed", FEED_INFO)
+        # plan partitions at PLANNING time from the driver's listing;
+        # name-sorted so the scan order is deterministic
+        self._files = sorted(
+            glob.glob(os.path.join(path, "*.json"))
+        )
+        if not self._files:
+            raise ValueError(f"gbfs: no *.json snapshots under {path}")
+
+    def partitions(self):
+        # one snapshot file per partition: parse parallelism == number
+        # of landed snapshots, each task's memory bounded by one file
+        return [InputPartition(f) for f in self._files]
+
+    def read(self, partition):
+        # executor-side: parse THIS file only, emit typed tuples via
+        # the same row builders the driver-side path uses
+        from .gbfs import station_rows, status_rows
+
+        with open(partition.value) as f:
+            payload = json.load(f)
+        if self._feed == FEED_INFO:
+            yield from station_rows(payload)
+        else:
+            lu = payload.get("last_updated")
+            scraped = (
+                _dt.datetime.utcfromtimestamp(lu)
+                if lu is not None
+                else None
+            )
+            yield from status_rows(payload, scraped)

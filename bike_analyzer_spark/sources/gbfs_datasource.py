@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from ..schemas import STATION_STATUS, STATIONS
@@ -68,6 +69,9 @@ class GbfsDataSource(DataSource):
 
     def reader(self, schema):
         return _GbfsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _GbfsStreamReader(self.options)
 
 
 class _GbfsReader(DataSourceReader):
@@ -106,3 +110,69 @@ class _GbfsReader(DataSourceReader):
                 else None
             )
             yield from status_rows(payload, scraped)
+
+
+class _GbfsStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over the same landing directory:
+    each micro-batch consumes the snapshot files that appeared since
+    the last committed offset (offset = sorted file-name high-water
+    mark — snapshot names are timestamp-ordered by convention, and a
+    name high-water mark is replay-stable where an mtime would not
+    be). `read` returns (rows, next_offset); `readBetweenOffsets`
+    replays a committed range deterministically after a restart."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("gbfs: the 'path' option is required")
+        self._path = path
+        self._feed = options.get("feed", FEED_INFO)
+
+    def _files_after(self, watermark: str):
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(self._path, "*.json"))
+            if os.path.basename(f) > watermark
+        )
+
+    def _rows_for(self, files):
+        from .gbfs import station_rows, status_rows
+
+        for path in files:
+            with open(path) as f:
+                payload = json.load(f)
+            if self._feed == FEED_INFO:
+                yield from station_rows(payload)
+            else:
+                lu = payload.get("last_updated")
+                scraped = (
+                    _dt.datetime.utcfromtimestamp(lu)
+                    if lu is not None
+                    else None
+                )
+                yield from status_rows(payload, scraped)
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}
+
+    def read(self, start: dict):
+        files = self._files_after(start["watermark"])
+        if not files:
+            return iter(()), start
+        end = {"watermark": os.path.basename(files[-1])}
+        # MATERIALIZED list, not a generator: the engine caches and
+        # copy.copy()s the returned iterator for replay — a simple
+        # stream reader is a driver-side prefetch by design, and one
+        # micro-batch of snapshots is bounded
+        return iter(list(self._rows_for(files))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = [
+            f
+            for f in self._files_after(start["watermark"])
+            if os.path.basename(f) <= end["watermark"]
+        ]
+        return iter(list(self._rows_for(files)))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — files stay on disk

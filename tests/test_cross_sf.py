@@ -6,6 +6,10 @@ import pytest
 
 from bike_analyzer_spark.operators import (
     classifier,
+    graph,
+    retrieval,
+    scale,
+    warehouse_ext,
     dedup,
     fuzzy,
     importance,
@@ -52,6 +56,21 @@ CASES = [
     (classifier, "nbq_select"),
     (layout, "zorder_layout_stats"),
     (windows, "w4_sliding_hour_avg"),
+    # round-8 additions: idf/threshold/interval math derives from the
+    # corpus (df counts, per-part averages, tier streaks, quantile
+    # ranks) — exactly the class that only breaks when size changes
+    (retrieval, "bm25_topk"),
+    (graph, "od_triangles"),
+    (scale, "scale_grid_quantiles"),
+    (scale, "scale_salted_sums"),
+    (text, "text_bpe_encode"),
+    (tpch, "tpch_top_supplier_share"),
+    (tpch, "tpch_sales_opportunity"),
+    (tpch, "tpch_small_quantity_revenue"),
+    (tpch, "tpch_disjunctive_revenue"),
+    (warehouse_ext, "scd2_user_tiers"),
+    (warehouse_ext, "rolling_user_spend"),
+    (warehouse_ext, "funnel_reconciliation"),
 ]
 
 @pytest.fixture(scope="module")

@@ -102,3 +102,59 @@ def test_bad_feed_and_missing_path_fail_loudly(spark, landing):
             .load()
             .collect()
         )
+
+
+def test_streaming_reader_tails_new_snapshots_incrementally(
+    spark, landing
+):
+    """The `gbfs` STREAMING side: an availableNow drain consumes the
+    landed snapshots; snapshots landed AFTER that drain are picked up
+    by the next one (the file-name high-water-mark offset advances),
+    and nothing is double-read — exactly-once per snapshot across
+    restarts of the same checkpoint."""
+    import copy as _copy
+
+    ckpt = os.path.join(landing, "_ckpt")
+    out = os.path.join(landing, "_out")
+    lzone = os.path.join(landing, "zone")
+    os.makedirs(lzone)
+    _land_snapshots(lzone, SI, 2, "capacity")
+    spark.dataSource.register(GbfsDataSource)
+
+    def drain():
+        # parquet sink: a memory sink cannot RESUME from a
+        # checkpoint, and resumability is the thing under test
+        q = (
+            spark.readStream.format("gbfs")
+            .option("path", lzone)
+            .option("feed", "station_information")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = drain()
+    assert len(first) == 4  # 2 snapshots x 2 stations
+
+    # a third snapshot lands later (name sorts AFTER the first two)
+    p3 = _copy.deepcopy(SI)
+    p3["last_updated"] = SI["last_updated"] + 999
+    with open(os.path.join(lzone, "9999.json"), "w") as f:
+        json.dump(p3, f)
+    second = drain()
+    # the SECOND drain resumed the checkpoint: total output grows by
+    # exactly the new snapshot's rows — no re-read of consumed files
+    assert len(second) == 6
+    new_rows = [
+        r
+        for r in second
+        if r.last_updated
+        == dt.datetime.utcfromtimestamp(p3["last_updated"])
+    ]
+    assert len(new_rows) == 2

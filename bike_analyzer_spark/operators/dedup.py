@@ -163,13 +163,21 @@ def _jaccard_two_sided(
     a_ds: DataFrame,
     b_ds: DataFrame,
     floor: float,
+    sizes_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs whose two sides
     come from DIFFERENT shingle frames (e.g. a fresh shard vs a
     persisted store index): intersection via a shingle equi-join,
-    union by inclusion-exclusion, sizes from each side's own frame."""
+    union by inclusion-exclusion. Each side's set sizes come from its
+    own frame — or, for the b side, from a caller-supplied
+    PRECOMPUTED (doc_id, nb) frame (the store index persists one), so
+    the verify stage never re-aggregates a corpus-sized shingle set
+    per query."""
     sizes_a = a_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    sizes_b = b_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    if sizes_b is None:
+        sizes_b = b_ds.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nb")
+        )
     a_sh = a_ds.select(F.col("doc_id").alias("a"), "sh")
     b_sh = b_ds.select(F.col("doc_id").alias("b"), "sh")
     inter = (
@@ -423,7 +431,9 @@ def _bloom_prune(
 
 #: bump to invalidate persisted incremental-store indexes when the
 #: shingle/signature/banding pipeline changes shape
-STORE_INDEX_VERSION = 1
+#: (v2: + the per-doc set-size table, so the exact-Jaccard verify
+#: reads sizes instead of re-aggregating the shingle index)
+STORE_INDEX_VERSION = 2
 
 
 def _incr_store_index(spark: SparkSession, sf_dir: str):
@@ -463,6 +473,7 @@ def _incr_store_index(spark: SparkSession, sf_dir: str):
     }
     bands_path = os.path.join(base, "bands")
     sh_path = os.path.join(base, "shingles")
+    sizes_path = os.path.join(base, "sizes")
     if not _fingerprint_ok(marker, fp):
         store_docs = load(spark, sf_dir, "documents").filter(
             ~(F.col("doc_id") % INCR_NEW_MOD == 0)
@@ -475,6 +486,11 @@ def _incr_store_index(spark: SparkSession, sf_dir: str):
         band_rows(
             minhash_signatures(store_docs, shingles=ds_back)
         ).write.mode("overwrite").parquet(bands_path)
+        # per-doc set sizes, so the verify stage READS them instead
+        # of re-aggregating the corpus-sized shingle index per query
+        ds_back.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nb")
+        ).write.mode("overwrite").parquet(sizes_path)
         with open(marker, "w") as f:
             json.dump(fp, f)
     return (
@@ -482,6 +498,7 @@ def _incr_store_index(spark: SparkSession, sf_dir: str):
             bands_path
         ),
         spark.read.schema("doc_id bigint, sh string").parquet(sh_path),
+        spark.read.schema("doc_id bigint, nb bigint").parquet(sizes_path),
     )
 
 
@@ -515,7 +532,7 @@ def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = band_rows(
         minhash_signatures(docs.filter(is_new), shingles=shard_ds)
     )
-    store, store_ds = _incr_store_index(spark, sf_dir)
+    store, store_ds, store_sizes = _incr_store_index(spark, sf_dir)
     n_docs = table_rows(sf_dir, "documents")
     if n_docs >= BLOOM_MIN_DOCS:
         # shard band rows <= ceil(docs/INCR_NEW_MOD) * LSH_BANDS, with
@@ -532,7 +549,9 @@ def dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    scored = _jaccard_two_sided(cands, shard_ds, store_ds, JACCARD_FLOOR)
+    scored = _jaccard_two_sided(
+        cands, shard_ds, store_ds, JACCARD_FLOOR, sizes_b=store_sizes
+    )
     w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
     best = (
         scored.withColumn("rn", F.row_number().over(w))

@@ -60,14 +60,23 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 def _contrib(idf_col: str, tf_col: str) -> F.Column:
     """128-bit integer half-up of idf_unats * tf-ratio for one term
-    (0 when the term is absent)."""
+    (0 when the term is absent).
+
+    The FIRST factor of every product chain widens to DECIMAL(38,0)
+    BEFORE multiplying: `idf * tf * 44 * S` evaluated in bigint
+    wraps once S reaches ~1e10 tokens (a ~50 GB corpus — far below
+    the module's target scale), silently in non-ANSI Spark and as an
+    overflow error in DuckDB. Same convention as
+    tpch_top_supplier_share's share_pct (widen-then-multiply);
+    pinned past 2^63 by tests/test_retrieval.py."""
     num = (
-        f"{idf_col} * {tf_col} * {(K1N + K1D) * BD} * _sdl"
+        f"CAST({idf_col} AS DECIMAL(38,0))"
+        f" * {tf_col} * {(K1N + K1D) * BD} * _sdl"
     )
     den = (
-        f"{tf_col} * {K1D * BD} * _sdl"
-        f" + {K1N * (BD - BN)} * _sdl"
-        f" + {K1N * BN} * dl * _n"
+        f"CAST({tf_col} AS DECIMAL(38,0)) * {K1D * BD} * _sdl"
+        f" + CAST(_sdl AS DECIMAL(38,0)) * {K1N * (BD - BN)}"
+        f" + CAST(dl AS DECIMAL(38,0)) * {K1N * BN} * _n"
     )
     return F.when(
         F.col(tf_col) > 0,
@@ -163,13 +172,16 @@ def _oracle() -> str:
         f" * {QUANT}) AS BIGINT) AS idf{i}"
         for i in range(len(QUERY_TERMS))
     )
+    # widen-then-multiply, mirroring _contrib: a bigint pre-multiply
+    # would ERROR in DuckDB (and wrap in Spark) at large token counts
     contribs = " + ".join(
         f"(CASE WHEN tf{i} > 0 THEN "
         + halfup_div_wide_sql(
-            f"idf{i} * tf{i} * {(K1N + K1D) * BD} * sdl",
-            f"tf{i} * {K1D * BD} * sdl"
-            f" + {K1N * (BD - BN)} * sdl"
-            f" + {K1N * BN} * dl * n",
+            f"CAST(idf{i} AS HUGEINT)"
+            f" * tf{i} * {(K1N + K1D) * BD} * sdl",
+            f"CAST(tf{i} AS HUGEINT) * {K1D * BD} * sdl"
+            f" + CAST(sdl AS HUGEINT) * {K1N * (BD - BN)}"
+            f" + CAST(dl AS HUGEINT) * {K1N * BN} * n",
             engine="duck",
         )
         + " ELSE 0 END)"

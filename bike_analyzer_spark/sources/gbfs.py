@@ -151,6 +151,23 @@ def status_df(
     )
 
 
+def payload_rows(payload: dict[str, Any], feed: str) -> list[tuple]:
+    """Feed-dispatched row building for a LANDED snapshot payload —
+    the one shared entry point for every snapshot consumer (the
+    `gbfs` DataSource's batch scan and streaming tail both call it),
+    so the two read paths cannot drift from each other or from the
+    live-poll builders above. For status feeds the batch stamp is the
+    snapshot's own feed-level last_updated — the honest landed-file
+    equivalent of the live poll's wall clock."""
+    if feed == "station_information":
+        return station_rows(payload)
+    lu = payload.get("last_updated")
+    scraped = (
+        _dt.datetime.utcfromtimestamp(lu) if lu is not None else None
+    )
+    return status_rows(payload, scraped)
+
+
 def _maybe_bool(v):
     return bool(v) if v is not None else None
 

@@ -95,21 +95,12 @@ class _GbfsReader(DataSourceReader):
 
     def read(self, partition):
         # executor-side: parse THIS file only, emit typed tuples via
-        # the same row builders the driver-side path uses
-        from .gbfs import station_rows, status_rows
+        # the shared feed-dispatched builder (gbfs.payload_rows)
+        from .gbfs import payload_rows
 
         with open(partition.value) as f:
             payload = json.load(f)
-        if self._feed == FEED_INFO:
-            yield from station_rows(payload)
-        else:
-            lu = payload.get("last_updated")
-            scraped = (
-                _dt.datetime.utcfromtimestamp(lu)
-                if lu is not None
-                else None
-            )
-            yield from status_rows(payload, scraped)
+        yield from payload_rows(payload, self._feed)
 
 
 class _GbfsStreamReader(SimpleDataSourceStreamReader):
@@ -136,30 +127,48 @@ class _GbfsStreamReader(SimpleDataSourceStreamReader):
         )
 
     def _rows_for(self, files):
-        from .gbfs import station_rows, status_rows
+        from .gbfs import payload_rows
 
         for path in files:
             with open(path) as f:
                 payload = json.load(f)
-            if self._feed == FEED_INFO:
-                yield from station_rows(payload)
-            else:
-                lu = payload.get("last_updated")
-                scraped = (
-                    _dt.datetime.utcfromtimestamp(lu)
-                    if lu is not None
-                    else None
-                )
-                yield from status_rows(payload, scraped)
+            yield from payload_rows(payload, self._feed)
+
+    def _files_below(self, watermark: str):
+        return [
+            f
+            for f in glob.glob(os.path.join(self._path, "*.json"))
+            if os.path.basename(f) <= watermark
+        ]
 
     def initialOffset(self) -> dict:
-        return {"watermark": ""}
+        return {"watermark": "", "n_below": 0}
 
     def read(self, start: dict):
+        # the offset is a NAME high-water mark, so a snapshot whose
+        # name sorts at-or-below it (un-zero-padded counters, a
+        # different prefix) would otherwise be skipped SILENTLY and
+        # forever — fail loudly instead: the offset also carries how
+        # many files sat at/below the mark when it was taken, and a
+        # mismatch means the landing broke the sortable-names
+        # contract (at-most-once is never acceptable silently)
+        n_below = len(self._files_below(start["watermark"]))
+        if n_below != start.get("n_below", n_below):
+            raise ValueError(
+                "gbfs stream: a snapshot landed BEHIND the committed "
+                f"high-water mark {start['watermark']!r} "
+                f"({n_below} files at/below it, offset recorded "
+                f"{start['n_below']}) — snapshot names must be "
+                "lexicographically ordered by arrival (zero-pad "
+                "counters / use sortable timestamps)"
+            )
         files = self._files_after(start["watermark"])
         if not files:
             return iter(()), start
-        end = {"watermark": os.path.basename(files[-1])}
+        end = {
+            "watermark": os.path.basename(files[-1]),
+            "n_below": n_below + len(files),
+        }
         # MATERIALIZED list, not a generator: the engine caches and
         # copy.copy()s the returned iterator for replay — a simple
         # stream reader is a driver-side prefetch by design, and one

@@ -158,3 +158,42 @@ def test_streaming_reader_tails_new_snapshots_incrementally(
         == dt.datetime.utcfromtimestamp(p3["last_updated"])
     ]
     assert len(new_rows) == 2
+
+
+def test_streaming_reader_fails_loudly_on_behind_watermark_snapshot(
+    spark, landing
+):
+    """A snapshot whose NAME sorts below the committed high-water
+    mark would silently never be read (at-most-once) — the reader
+    must detect the broken sortable-names contract and fail the
+    query loudly instead."""
+    import copy as _copy
+
+    ckpt = os.path.join(landing, "_ckpt")
+    out = os.path.join(landing, "_out")
+    lzone = os.path.join(landing, "zone")
+    os.makedirs(lzone)
+    _land_snapshots(lzone, SI, 2, "capacity")
+    spark.dataSource.register(GbfsDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("gbfs")
+            .option("path", lzone)
+            .option("feed", "station_information")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # watermark now '0001.json'
+    bad = _copy.deepcopy(SI)
+    with open(os.path.join(lzone, "0000a.json"), "w") as f:
+        json.dump(bad, f)  # '0000a.json' < '0001.json'
+    with pytest.raises(Exception, match="BEHIND the committed"):
+        drain()

@@ -83,3 +83,48 @@ def test_bm25_plan_is_one_pass(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("FileScan") == 0  # both consumers read the RDD
     assert "BatchEvalPython" not in plan
+
+
+def test_contribution_math_survives_web_scale_operands(spark, duck):
+    """The per-term contribution must stay exact when the corpus
+    token count S pushes the num/den products past 2^63 (S = 1e10 ≈
+    a 50 GB corpus — the fixtures never reach it, so this pins the
+    widen-then-multiply convention directly): Spark, DuckDB, and
+    python bigint half-up must all agree."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bike_analyzer_spark.functions.exact import halfup_div_wide_sql
+    from bike_analyzer_spark.operators.retrieval import BD, BN, K1D, K1N
+
+    idf, tf, S, dl, n = 15_000_000, 2, 10**10, 100, 10**8
+    num_i = idf * tf * (K1N + K1D) * BD * S
+    den_i = tf * K1D * BD * S + S * K1N * (BD - BN) + dl * K1N * BN * n
+    assert num_i > 2**63  # the pre-multiply genuinely exceeds bigint
+    want = int(
+        (Decimal(num_i) / Decimal(den_i)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+    s_num = (
+        f"CAST({idf} AS DECIMAL(38,0)) * {tf} * {(K1N + K1D) * BD} * {S}"
+    )
+    s_den = (
+        f"CAST({tf} AS DECIMAL(38,0)) * {K1D * BD} * {S}"
+        f" + CAST({S} AS DECIMAL(38,0)) * {K1N * (BD - BN)}"
+        f" + CAST({dl} AS DECIMAL(38,0)) * {K1N * BN} * {n}"
+    )
+    [got_s] = spark.range(1).selectExpr(
+        f"{halfup_div_wide_sql(s_num, s_den, 'spark')} AS h"
+    ).collect()
+
+    d_num = f"CAST({idf} AS HUGEINT) * {tf} * {(K1N + K1D) * BD} * {S}"
+    d_den = (
+        f"CAST({tf} AS HUGEINT) * {K1D * BD} * {S}"
+        f" + CAST({S} AS HUGEINT) * {K1N * (BD - BN)}"
+        f" + CAST({dl} AS HUGEINT) * {K1N * BN} * {n}"
+    )
+    [(got_d,)] = duck.execute(
+        f"SELECT {halfup_div_wide_sql(d_num, d_den, 'duck')}"
+    ).fetchall()
+    assert got_s.h == got_d == want

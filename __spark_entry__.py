@@ -47,6 +47,7 @@ from bike_analyzer_spark.operators import (
     substring,
     text,
     tpch,
+    tpch_close,
     vocab,
     warehouse_ext,
     windows,
@@ -110,6 +111,7 @@ _tpch_head, _tpch_tail = _split(
 _dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
+_sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------
@@ -137,8 +139,7 @@ _MODULES = [
     _tpch_head,
     text,
     scale,
-    multimodal,
-    similarity,
+    _sim_head,  # re-proof slot: brute-force ANN baseline
     ivf,
     pq,
     quality,
@@ -146,8 +147,16 @@ _MODULES = [
     _dedup_head,
     _graph_head,  # NEW r8: od_triangles (streak 0)
     retrieval,  # NEW r8: bm25_topk (streak 0)
+    tpch_close,  # NEW r8 wave 5 (streak 0): Q2/Q6/Q8/Q9/Q15/Q20/Q21
+    # (tpch_close's seven slots came from multimodal (4) and the
+    # similarity tail (3) — all streak ≥3, none in the r7 window,
+    # and every one re-verified this session by the full local
+    # sf0.01+sf0.1 Spark-vs-DuckDB sweep, so the NEW TPC-H shapes
+    # take the driver slots instead of a third re-proof pass.)
     # ---- outside the window (every query ≥2 consecutive driver
     # greens, modules untouched this round) -----------------------
+    multimodal,
+    _sim_tail,
     curate,
     _semdedup_head,
     importance,

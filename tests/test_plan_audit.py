@@ -71,6 +71,8 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row corpus-stats frame (N, token total, per-term df/idf)
     # broadcast over the per-doc scoring projection
     "bm25_topk",
+    # 1-row quarterly-max frame over the supplier rollup — Q15 shape
+    "tpch_top_supplier",
 }
 
 

@@ -21,6 +21,7 @@ from bike_analyzer_spark.operators import (
     classifier,
     curate,
     dedup,
+    evalsuite,
     fuzzy,
     graph,
     hypertable,
@@ -108,7 +109,19 @@ _tpch_head, _tpch_tail = _split(
         "tpch_disjunctive_revenue",
     ],
 )
-_dedup_head, _dedup_tail = _split(dedup, ["dedup_incr_near"])
+_dedup_head, _dedup_tail = _split(
+    dedup,
+    [
+        "dedup_incr_near",
+        # edited r8 (XOR-scrambled minhash family — candidates and
+        # verified pairs change) — manual rotate-back per the
+        # edited-module policy in tests/test_rotation.py
+        "dedup_minhash_lsh",
+    ],
+)
+_scale_head, _scale_tail = _split(
+    scale, ["scale_salted_sums", "scale_grid_quantiles"]
+)
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
@@ -138,9 +151,13 @@ _MODULES = [
     warehouse_ext,
     _tpch_head,
     text,
-    scale,
-    _sim_head,  # re-proof slot: brute-force ANN baseline
-    ivf,
+    _scale_head,  # (cms_user_counts, 2-streak, ceded its slot to
+    # the rotated-back dedup_minhash_lsh below)
+    evalsuite,  # NEW r8 wave 6 (streak 0): recall/calibration/error
+    # (evalsuite's three slots came from ivf + the similarity head —
+    # ann_recall_ivf's oracle replays BOTH operators' full DuckDB
+    # twins (unrolled Lloyd included) and intersects their outputs,
+    # so those pipelines stay driver-gated through the eval query.)
     pq,
     quality,
     sampling,
@@ -156,7 +173,10 @@ _MODULES = [
     # ---- outside the window (every query ≥2 consecutive driver
     # greens, modules untouched this round) -----------------------
     multimodal,
+    _sim_head,
     _sim_tail,
+    ivf,
+    _scale_tail,
     curate,
     _semdedup_head,
     importance,

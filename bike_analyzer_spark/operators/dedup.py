@@ -47,15 +47,31 @@ SIMHASH_BITS = 32
 # tests/test_dedup.py::test_ngram_jaccard_hot_shingle_bounded.
 NGRAM_DF_CAP = 64
 
-# K minhashes from ONE md5 per shingle + K linear transforms
-# (a_i*h + b_i) mod P — 16x less hashing than salted md5 per function.
-# Overflow-safe in signed 64-bit: a_i < 2^29.1, h < 2^32 ->
-# a_i*h + b_i < 2^61.2 < 2^63.
+# K minhashes from ONE md5 per shingle + K XOR-scrambled linear
+# transforms ((h XOR x_i)*a_i + b_i) mod P — 16x less hashing than
+# salted md5 per function. The XOR pre-scramble is LOAD-BEARING
+# (round 8): h is a 32-bit word against a 2^61 modulus, so the
+# bare linear form (a_i*h + b_i) mod P is order-PRESERVING in h —
+# every function's min landed on the one global-min shingle, i.e.
+# the family silently collapsed to K=1 (all 16 minhashes agreed on
+# pairs with exact Jaccard 0.01; measured by
+# evalsuite.minhash_error_profile, whose error grid was {0 or 16}
+# and nothing between). XORing a per-function 32-bit constant
+# scrambles the order before the monotone transform, giving each
+# function an independent argmin — the grid now spreads around 0.
+# Overflow-safe in signed 64-bit: (h XOR x_i) < 2^32, a_i < 2^29.1
+# -> a_i*(h XOR x_i) + b_i < 2^61.2 < 2^63. Both engines compute
+# identical values: inputs are non-negative, and ^ / xor() agree on
+# non-negative bigints.
 MINHASH_P = (1 << 61) - 1
 
 
-def _mh_ab(i: int) -> tuple[int, int]:
-    return 536870923 + 2 * i, (2654435761 * (i + 1)) % (1 << 31)
+def _mh_abx(i: int) -> tuple[int, int, int]:
+    return (
+        536870923 + 2 * i,
+        (2654435761 * (i + 1)) % (1 << 31),
+        (2654435761 * (2 * i + 1)) % (1 << 32),
+    )
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -99,10 +115,11 @@ def minhash_signatures(
           ).withColumn("h64", hash64(F.col("sh")))
     mins = []
     for i in range(k):
-        a, b = _mh_ab(i)
+        a, b, x = _mh_abx(i)
+        scrambled = F.col("h64").bitwiseXOR(F.lit(x))
         mins.append(
             F.min(
-                (F.lit(a) * F.col("h64") + F.lit(b)) % F.lit(MINHASH_P)
+                (F.lit(a) * scrambled + F.lit(b)) % F.lit(MINHASH_P)
             ).alias(f"mh{i}")
         )
     return ds.groupBy("doc_id").agg(*mins)
@@ -433,7 +450,7 @@ def _bloom_prune(
 #: shingle/signature/banding pipeline changes shape
 #: (v2: + the per-doc set-size table, so the exact-Jaccard verify
 #: reads sizes instead of re-aggregating the shingle index)
-STORE_INDEX_VERSION = 2
+STORE_INDEX_VERSION = 3  # 3: XOR-scrambled minhash family (round 8)
 
 
 def _incr_store_index(spark: SparkSession, sf_dir: str):
@@ -596,8 +613,10 @@ _DS = f"""
 def _minhash_cols_duck(k: int = MINHASH_K) -> str:
     cols = []
     for i in range(k):
-        a, b = _mh_ab(i)
-        cols.append(f"min(({a} * h64 + {b}) % {MINHASH_P}) AS mh{i}")
+        a, b, x = _mh_abx(i)
+        cols.append(
+            f"min(({a} * xor(h64, {x}) + {b}) % {MINHASH_P}) AS mh{i}"
+        )
     return ",\n               ".join(cols)
 
 

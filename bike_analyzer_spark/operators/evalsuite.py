@@ -1,0 +1,308 @@
+"""Pipeline evaluation harness: quality metrics ABOUT the engine's
+own approximate operators, computed as first-class oracle-gated
+queries.
+
+A training-data pipeline at 100 TB runs approximations everywhere —
+ANN instead of exact k-NN, MinHash estimates instead of exact
+Jaccard, a weak-label classifier instead of the rules it distills —
+and the operational question is always "how wrong, where". The
+reference has no analog (its pipeline is exact end-to-end at toy
+scale); these queries are the measurement layer a production
+deployment bolts on top, and each one doubles as a second
+differential gate over the operator it measures (the recall query,
+for instance, replays BOTH the unrolled-Lloyd IVF twin and the
+brute-force twin in DuckDB).
+
+All three are exact-integer reports: hit counts, confusion counts,
+and an integer error grid — ratios display through
+`functions/exact.py` half-up forms, never a rounded double, so the
+usual cross-engine discipline holds even though the subjects are
+approximate.
+
+Scale: each query's output is bounded (N_QUERIES rows / 4 confusion
+cells / ≤33 error buckets), every corpus-sized stage reuses the
+measured operator's own scale story (banded LSH candidates, bounded
+broadcast query sets, B-row broadcast models), and the only
+additions on top are grouped aggregates on those operators' outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import halfup_ratio_sql
+from ..sources.catalog import load
+from . import classifier, dedup, ivf, similarity
+from .dedup import (
+    MINHASH_K,
+    _doc_shingles,
+    lsh_candidates,
+    minhash_signatures,
+)
+from .similarity import N_QUERIES, TOP_K
+
+
+def _halfup(num: str, den: str, digits: int) -> F.Column:
+    return F.expr(halfup_ratio_sql(num, den, digits, engine="spark"))
+
+
+def _hd(num: str, den: str, digits: int) -> str:
+    return halfup_ratio_sql(num, den, digits, engine="duck")
+
+
+# ----------------------------------------------------- ANN recall
+
+
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index against the exact brute-force
+    baseline, per query. Both sides are the engine's own registered
+    operators (`sim_ivf_topk`, `sim_topk_bruteforce`) — this query
+    only intersects their id sets and counts, so it is exactly the
+    recall a user would measure, and its DuckDB twin replays both
+    operators' full oracle pipelines (unrolled Lloyd rounds
+    included). The join is on (query_id, neighbor_id) over two
+    ≤N_QUERIES·k frames — driver-side-trivial regardless of corpus
+    size; the corpus cost is the two operators' own documented
+    plans. Queries where the IVF probe list misses every true
+    neighbor still report (LEFT join from the brute side's query
+    universe, hits coalesced to 0)."""
+    brute = similarity.sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf.sim_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = (
+        brute.join(
+            approx,
+            (brute.query_id == approx.query_id)
+            & (brute.neighbor_id == approx.ivf_neighbor),
+            "left",
+        )
+        .select(
+            brute.query_id,
+            F.when(approx.ivf_neighbor.isNotNull(), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("hit").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        _halfup("n_hits * 100", str(TOP_K), 2).alias("recall_pct"),
+    ).orderBy("query_id")
+
+
+# ------------------------------------------- classifier calibration
+
+
+def nbq_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the served NB verdict against the weak
+    rule label it distilled — the calibration report for the
+    quality-classifier stage. Rides the frozen persisted model
+    through the same `score_docs` serving path as `nbq_select`
+    (train once, serve many), then collapses the corpus to ≤4
+    cells; the share column is the exact integer half-up over the
+    cell counts. The total for the share rides a window over the
+    ALREADY-AGGREGATED ≤4-row frame — bounded at any corpus size,
+    no 1-row broadcast needed."""
+    sel = classifier.nbq_select(spark, sf_dir)
+    cells = sel.groupBy("keep_rule", "keep_nb").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(
+        Window.partitionBy()
+    )  # ≤4 rows at this point
+    return (
+        cells.withColumn("_total", total)
+        .select(
+            "keep_rule",
+            "keep_nb",
+            "n_docs",
+            _halfup("n_docs * 100", "_total", 4).alias("share_pct"),
+        )
+        .orderBy("keep_rule", "keep_nb")
+    )
+
+
+# --------------------------------------------- MinHash error grid
+
+
+def minhash_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer error grid of the MinHash Jaccard estimator over the
+    LSH candidate pairs: per pair, (agreeing minhashes) −
+    (exact-Jaccard sixteenths, floor), then a count per error
+    bucket. Everything is integer — the estimate is an agreement
+    count in [0, K], the exact side is `(K·inter) div union` on
+    shingle-set counts — so the grid is bit-identical across
+    engines with no rounding class at all. The corpus stages are
+    the dedup pipeline's own: ONE checkpointed shingle frame feeds
+    the signatures, the banded candidates, and the exact verify
+    (dedup.py's single-checkpoint discipline); the grid adds two
+    bounded joins of the candidate list against the K-column
+    signature table."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, shingles=ds)
+    cands = lsh_candidates(sigs)
+
+    # Explicit per-side renames, NOT DataFrame.alias: the two sides
+    # share one lineage, and under alias self-joins Spark resolves
+    # `rb.mh0` to the SAME attribute as `la.mh0` — every comparison
+    # silently becomes true (observed: all 135 sf0.01 pairs scored
+    # m=16). Distinct column names make misresolution impossible.
+    sig_a = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"am{i}") for i in range(MINHASH_K)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"bm{i}") for i in range(MINHASH_K)],
+    )
+    # plain column addition (JVM-side, no array/lambda needed)
+    agree = F.lit(0)
+    for i in range(MINHASH_K):
+        agree = agree + (
+            F.col(f"am{i}") == F.col(f"bm{i}")
+        ).cast("int")
+    m = (
+        cands.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select("a", "b", agree.alias("m"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = ds.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = ds.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.join(a_sh, "a")
+        .join(b_sh, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        cands.join(inter, ["a", "b"], "left")
+        .fillna({"inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "a"), "a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "b",
+        )
+        .withColumn(
+            "exact16",
+            F.expr(f"({MINHASH_K} * inter) div (n + nb - inter)"),
+        )
+        .select("a", "b", "exact16")
+    )
+    return (
+        m.join(exact, ["a", "b"])
+        .withColumn("err_bucket", F.col("m") - F.col("exact16"))
+        .groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("err_bucket")
+    )
+
+
+QUERIES = {
+    "ann_recall_ivf": ann_recall_ivf,
+    "nbq_confusion": nbq_confusion,
+    "minhash_error_profile": minhash_error_profile,
+}
+
+# ---- DuckDB twins -------------------------------------------------
+# Each twin WRAPS the measured operator's own oracle SQL as a CTE —
+# the eval query's gate therefore re-runs the operator's full
+# differential pipeline plus the eval aggregation on top.
+
+_AGREE = " + ".join(
+    f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END"
+    for i in range(MINHASH_K)
+)
+
+ORACLES = {
+    "ann_recall_ivf": f"""
+        WITH brute AS ({similarity.ORACLES["sim_topk_bruteforce"]}),
+        approx AS ({ivf.ORACLES["sim_ivf_topk"]}),
+        hits AS (
+            SELECT b.query_id,
+                   CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hits
+            FROM brute b
+            LEFT JOIN approx a
+              ON a.query_id = b.query_id
+             AND a.neighbor_id = b.neighbor_id
+            GROUP BY b.query_id
+        )
+        SELECT query_id, n_hits,
+               {_hd("n_hits * 100", str(TOP_K), 2)} AS recall_pct
+        FROM hits
+        ORDER BY query_id
+    """,
+    "nbq_confusion": f"""
+        WITH sel AS ({classifier.ORACLES["nbq_select"]}),
+        cells AS (
+            SELECT keep_rule, keep_nb, count(*) AS n_docs
+            FROM sel GROUP BY 1, 2
+        )
+        SELECT keep_rule, keep_nb, n_docs,
+               {_hd("n_docs * 100",
+                    "CAST(sum(n_docs) OVER () AS BIGINT)", 4)}
+                   AS share_pct
+        FROM cells
+        ORDER BY keep_rule, keep_nb
+    """,
+    "minhash_error_profile": f"""
+        WITH ds AS ({dedup._DS}),
+        sigs AS (
+            SELECT doc_id,
+               {dedup._minhash_cols_duck()}
+            FROM (SELECT doc_id, {dedup.hash64_duck("sh")} AS h64
+                  FROM ds)
+            GROUP BY doc_id
+        ),
+        banded AS (
+            {dedup._bands_duck()}
+        ),
+        cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig
+             AND l.doc_id < r.doc_id
+        ),
+        agree AS (
+            SELECT c.a, c.b, {_AGREE} AS m
+            FROM cands c
+            JOIN sigs l ON l.doc_id = c.a
+            JOIN sigs r ON r.doc_id = c.b
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cands c
+            JOIN ds da ON da.doc_id = c.a
+            JOIN ds db ON db.doc_id = c.b AND db.sh = da.sh
+            GROUP BY c.a, c.b
+        ),
+        exact AS (
+            SELECT c.a, c.b,
+                   ({MINHASH_K} * coalesce(i.inter, 0))
+                       // (sa.n + sb.n - coalesce(i.inter, 0))
+                       AS exact16
+            FROM cands c
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            JOIN sizes sa ON sa.doc_id = c.a
+            JOIN sizes sb ON sb.doc_id = c.b
+        )
+        SELECT CAST(g.m - e.exact16 AS BIGINT) AS err_bucket,
+               count(*) AS n_pairs
+        FROM agree g
+        JOIN exact e ON e.a = g.a AND e.b = g.b
+        GROUP BY 1
+        ORDER BY err_bucket
+    """,
+}

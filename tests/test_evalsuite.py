@@ -1,0 +1,67 @@
+"""Evaluation-harness queries (ANN recall, classifier calibration,
+MinHash error grid): oracle parity plus the internal-consistency
+properties that tie each metric back to the operator it measures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import dedup, evalsuite, similarity
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(evalsuite.QUERIES))
+def test_evalsuite_vs_oracle(spark, duck, name):
+    df = evalsuite.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, evalsuite.ORACLES[name], name=name)
+
+
+def test_recall_bounded_and_complete(spark):
+    """One row per brute-force query, hits within [0, k]."""
+    rows = evalsuite.ann_recall_ivf(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_hits"] <= similarity.TOP_K
+        assert 0.0 <= r["recall_pct"] <= 100.0
+
+
+def test_confusion_counts_cover_corpus(spark):
+    """The 4 cells partition the corpus: counts sum to the document
+    count and the half-up shares sum to 100 within rounding."""
+    df = evalsuite.nbq_confusion(spark, SF_DIR_ORACLE)
+    agg = df.agg(
+        F.sum("n_docs").alias("n"), F.sum("share_pct").alias("s")
+    ).collect()[0]
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").count()
+    )
+    assert agg["n"] == n_docs
+    assert abs(agg["s"] - 100.0) < 0.001
+
+
+def test_error_grid_covers_all_candidates(spark):
+    """Every LSH candidate pair lands in exactly one error bucket,
+    and buckets stay within the ±K estimator range."""
+    grid = evalsuite.minhash_error_profile(spark, SF_DIR_ORACLE)
+    rows = grid.collect()
+    total = sum(r["n_pairs"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    ds = dedup._doc_shingles(docs).localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(docs, shingles=ds)
+    n_cands = dedup.lsh_candidates(sigs).count()
+    assert total == n_cands
+    for r in rows:
+        assert -dedup.MINHASH_K <= r["err_bucket"] <= dedup.MINHASH_K
+
+
+def test_estimator_not_degenerate(spark):
+    """LSH candidates are similarity-biased, so the error grid must
+    have mass at small |error| — an all-extremes grid would mean the
+    agreement count and the exact sixteenths disagree wholesale
+    (e.g. mismatched hash functions between the two stages)."""
+    rows = evalsuite.minhash_error_profile(
+        spark, SF_DIR_ORACLE
+    ).collect()
+    near = sum(r["n_pairs"] for r in rows if abs(r["err_bucket"]) <= 4)
+    total = sum(r["n_pairs"] for r in rows)
+    assert total > 0 and near * 2 > total

@@ -73,6 +73,12 @@ _BOUNDED_CROSSJOIN_OK = {
     "bm25_topk",
     # 1-row quarterly-max frame over the supplier rollup — Q15 shape
     "tpch_top_supplier",
+    # eval queries INHERIT the bounded broadcasts of the operators
+    # they wrap: the ANN recall runs sim_ivf_topk + the brute-force
+    # baseline (both above); the confusion matrix runs nbq_select's
+    # 1-row params crossJoin
+    "ann_recall_ivf",
+    "nbq_confusion",
 }
 
 

@@ -52,6 +52,7 @@ from bike_analyzer_spark.operators import (
     vocab,
     warehouse_ext,
     windows,
+    winfuncs,
 )
 
 # Ordering matters: the driver's correctness check records only the
@@ -125,6 +126,7 @@ _scale_head, _scale_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
+_text_head, _text_tail = _split(text, ["text_bpe_encode"])
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------
@@ -150,7 +152,11 @@ _MODULES = [
     # tpch shapes + rolling_user_spend + funnel_reconciliation.)
     warehouse_ext,
     _tpch_head,
-    text,
+    _text_head,  # text_bpe_encode (streak 0); the module's four
+    # 4-streak queries ceded their re-proof slots to winfuncs +
+    # weighted_sample below
+    winfuncs,  # NEW r8 wave 7 (streak 0): ntile / navigation trio /
+    # GROUPING SETS
     _scale_head,  # (cms_user_counts, 2-streak, ceded its slot to
     # the rotated-back dedup_minhash_lsh below)
     evalsuite,  # NEW r8 wave 6 (streak 0): recall/calibration/error
@@ -177,6 +183,7 @@ _MODULES = [
     _sim_tail,
     ivf,
     _scale_tail,
+    _text_tail,
     curate,
     _semdedup_head,
     importance,

@@ -102,10 +102,65 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_N = 100  # weighted-sample size
+_WS_SALT = "ws"
+_U_DEN = 1 << 32  # hash64 word range: u = (h+1)/2^32 in (0, 1]
+_LN_QUANT = 1_000_000  # micro-nat quantization (dsir pattern)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u from its md5 hash
+    ((h+1)/2^32 ∈ (0,1]) and the WEIGHTED_N largest keys u^(1/w)
+    win, with w = n_chars — long docs proportionally likelier, any
+    single doc includable at most once, and the draw reproducible
+    under repartitioning and reruns (no RNG anywhere).
+
+    Cross-engine exactness: ranking by u^(1/w) equals ranking by
+    ln(u)/w, so the ONE transcendental, ln(u), is quantized to
+    integer micro-nats (round(ln·1e6) — the dsir/lm/bm25 pattern,
+    same accepted ~1e-9 boundary class) and the key is then a single
+    IEEE division of that integer by the integer weight — both
+    engines produce the bit-identical double, and ties break on
+    doc_id.
+
+    Scale: narrow per-row projection, then the SAME salted two-stage
+    top-N as `stratified_sample` (the global sample is one stratum —
+    an unsalted global window would sort the corpus on one task)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hash64(F.col("doc_id").cast("string"), _WS_SALT) + 1
+    ) / F.lit(float(_U_DEN))
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.round(F.log(u) * _LN_QUANT).cast("bigint").cast("double")
+            / F.col("n_chars")
+        ).alias("priority"),
+    ).withColumn("salt", (F.col("doc_id") % _STAGE_SALTS).cast("int"))
+    w1 = Window.partitionBy("salt").orderBy(
+        F.desc("priority"), "doc_id"
+    )
+    survivors = (
+        keyed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= WEIGHTED_N)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy().orderBy(F.desc("priority"), "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= WEIGHTED_N)
+        .select("rank", "doc_id", "n_chars")
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "split_assign": split_assign,
     "split_summary": split_summary,
     "stratified_sample": stratified_sample,
+    "weighted_sample": weighted_sample,
 }
 
 _BUCKET = f"{hash64_duck('CAST(doc_id AS VARCHAR)', repr(_SPLIT_SALT))} % 100"
@@ -145,5 +200,27 @@ ORACLES = {
         )
         WHERE rn <= {STRATA_N}
         ORDER BY event_type, rn
+    """,
+    "weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   CAST(CAST(round(
+                       ln(({hash64_duck("CAST(doc_id AS VARCHAR)",
+                                        repr(_WS_SALT))} + 1)
+                          / CAST({_U_DEN} AS DOUBLE))
+                       * {_LN_QUANT}) AS BIGINT) AS DOUBLE)
+                       / n_chars AS priority
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT rank, doc_id, n_chars
+        FROM (
+            SELECT row_number() OVER (
+                       ORDER BY priority DESC, doc_id) AS rank,
+                   doc_id, n_chars
+            FROM keyed
+        )
+        WHERE rank <= {WEIGHTED_N}
+        ORDER BY rank
     """,
 }

@@ -78,6 +78,54 @@ def test_salted_topn_equals_single_window(spark):
     assert got == want and len(got) > 0
 
 
+def test_weighted_salted_topn_equals_single_window(spark):
+    """The salted two-stage weighted top-N equals the unsalted
+    single-window A-ES draw — salting is physical only."""
+    got = [
+        (r.rank, r.doc_id)
+        for r in sampling.weighted_sample(spark, SF_DIR_SMOKE).collect()
+    ]
+    from pyspark.sql import Window
+    import bike_analyzer_spark.operators.sampling as s
+
+    docs = load(spark, SF_DIR_SMOKE, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        s.hash64(F.col("doc_id").cast("string"), s._WS_SALT) + 1
+    ) / F.lit(float(s._U_DEN))
+    pri = (
+        F.round(F.log(u) * s._LN_QUANT).cast("bigint").cast("double")
+        / F.col("n_chars")
+    )
+    w = Window.partitionBy().orderBy(F.desc(pri), "doc_id")
+    want = [
+        (r.rank, r.doc_id)
+        for r in docs.select(
+            F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
+        )
+        .filter(F.col("rank") <= s.WEIGHTED_N)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want and len(got) == s.WEIGHTED_N
+
+
+def test_weighted_sample_is_length_biased(spark):
+    """With w = n_chars, the sample's mean length must exceed the
+    corpus mean — the defining property of weighted inclusion (a
+    uniform sampler fails this with overwhelming probability)."""
+    samp = sampling.weighted_sample(spark, SF_DIR_ORACLE)
+    m_samp = samp.agg(F.avg("n_chars")).collect()[0][0]
+    m_all = (
+        load(spark, SF_DIR_ORACLE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert m_samp > m_all
+
+
 def test_split_plan_is_narrow(spark):
     """split_assign before its presentation sort must be a pure
     projection: no Exchange, no Join, no Window."""

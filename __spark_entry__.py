@@ -163,8 +163,9 @@ _MODULES = [
     # (evalsuite's three slots came from ivf + the similarity head —
     # ann_recall_ivf's oracle replays BOTH operators' full DuckDB
     # twins (unrolled Lloyd included) and intersects their outputs,
-    # so those pipelines stay driver-gated through the eval query.)
-    pq,
+    # so those pipelines stay driver-gated through the eval query.
+    # pq (2-streak, driver-proven r5+r6) ceded its pair of slots to
+    # warehouse_ext's nation_metrics_unpivot + window headroom.)
     quality,
     sampling,
     _dedup_head,
@@ -182,6 +183,7 @@ _MODULES = [
     _sim_head,
     _sim_tail,
     ivf,
+    pq,
     _scale_tail,
     _text_tail,
     curate,

@@ -440,9 +440,54 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the suite's pivot shape
+    (kpi.pivot_hour_by_type): a wide per-nation metrics frame
+    (customer count, supplier count, account-balance cents) melted
+    to (nation, metric, value) long form via DataFrame.unpivot,
+    which plans as a single Expand over the aggregated frame — no
+    join, no second scan, and the melt happens AFTER the rollup so
+    Expand multiplies nation-count rows, never the corpus. All
+    three measures are exact bigints (cents for the balances), so
+    the long `value` column needs no type coercion compromise."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    per_nation_c = (
+        cust.join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_c").alias("acctbal_cents"),
+        )
+    )
+    per_nation_s = (
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    wide = per_nation_c.join(per_nation_s, "n_name", "left").fillna(
+        {"n_suppliers": 0}
+    )
+    return (
+        wide.unpivot(
+            ["n_name"],
+            ["n_customers", "n_suppliers", "acctbal_cents"],
+            "metric",
+            "value",
+        )
+        .orderBy("n_name", "metric")
+    )
+
+
 QUERIES = {
     "event_gap_profile": event_gap_profile,
     "purchase_value_rank": purchase_value_rank,
+    "nation_metrics_unpivot": nation_metrics_unpivot,
     "tpch_promo_revenue": tpch_promo_revenue,
     "dormant_customers": dormant_customers,
     "above_avg_orders": above_avg_orders,
@@ -666,4 +711,28 @@ ORACLES["scd2_user_tiers"] = f"""
     FROM spans
     WINDOW wv AS (PARTITION BY user_id ORDER BY version)
     ORDER BY user_id, version
+"""
+
+ORACLES["nation_metrics_unpivot"] = """
+    WITH wide AS (
+        SELECT n_name,
+               count(*) AS n_customers,
+               coalesce((SELECT count(*) FROM supplier s
+                         WHERE s.s_nationkey = n.n_nationkey), 0)
+                   AS n_suppliers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        GROUP BY n_name, n_nationkey
+    )
+    SELECT n_name, metric, value FROM (
+        SELECT n_name, 'n_customers' AS metric,
+               CAST(n_customers AS BIGINT) AS value FROM wide
+        UNION ALL
+        SELECT n_name, 'n_suppliers', CAST(n_suppliers AS BIGINT)
+        FROM wide
+        UNION ALL
+        SELECT n_name, 'acctbal_cents', acctbal_cents FROM wide
+    )
+    ORDER BY n_name, metric
 """

@@ -20,13 +20,16 @@ FAMILIES = [
                                  "w4", "s14", "f_")),
     ("OD / graph", ("od_",)),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
-                       "value_percentiles", "cube")),
-    ("ANN / embeddings", ("sim_", "semdedup")),
-    ("dedup family", ("dedup_", "span_")),
+                       "value_percentiles", "cube", "purchase_quartiles",
+                       "user_value_navigation", "event_grouping_sets",
+                       "nation_metrics_unpivot")),
+    ("ANN / embeddings", ("sim_", "semdedup", "ann_recall")),
+    ("dedup family", ("dedup_", "span_", "minhash_error")),
     ("text / quality / LM", ("text_", "tfidf", "decontam", "lang",
                              "vocab_", "lm_", "nbq_", "dsir_", "fingerprint")),
-    ("pipeline ops", ("split_", "stratified", "mix_", "pack_", "scrub_",
-                      "curate", "cms_", "approx", "fuzzy_")),
+    ("pipeline ops", ("split_", "stratified", "weighted_sample", "mix_",
+                      "pack_", "scrub_", "curate", "cms_", "approx",
+                      "fuzzy_")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_")),
 ]

@@ -117,3 +117,19 @@ def test_funnel_reconciliation_is_full_outer_on_preaggregates(spark):
         .toString()
     )
     assert "FullOuter" in plan
+
+
+def test_unpivot_is_expand_after_rollup(spark):
+    """The melt plans as one Expand ABOVE the per-nation aggregate —
+    Expand's input is nation-sized, never the corpus (the wrong plan
+    would unpivot first and aggregate three times)."""
+    plan = (
+        warehouse_ext.nation_metrics_unpivot(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1
+    # both aggregates sit BELOW the Expand in the tree dump (Expand
+    # printed first = closest to the root)
+    assert plan.index("Expand") < plan.index("HashAggregate")

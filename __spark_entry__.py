@@ -126,7 +126,9 @@ _scale_head, _scale_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
-_text_head, _text_tail = _split(text, ["text_bpe_encode"])
+_text_head, _text_tail = _split(
+    text, ["text_bpe_encode", "text_chunk_plan"]
+)
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------

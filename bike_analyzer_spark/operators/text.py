@@ -256,12 +256,62 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunk planning: window size / stride in whitespace tokens (the
+#: overlap is CHUNK_TOKENS - CHUNK_STRIDE)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def text_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunk PLANNING: per document, how many
+    {CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE} cover it,
+    and the tail-chunk size — all in closed-form integer arithmetic
+    (`1 + ceil_div(n_tok - CHUNK, STRIDE)` when the doc overflows
+    one window), WITHOUT materializing a single chunk row. The
+    actual chunk explosion is a write-time fan-out (each row =
+    tokens[start : start+CHUNK]); planning first is what a 100-TB
+    corpus needs — the plan is doc-sized, the explosion is
+    token-sized, and budgeting (how many embedding calls, how much
+    write volume) reads off the plan. The `total_chunk_tokens`
+    column is exactly the written volume the overlap implies."""
+    docs = load(spark, sf_dir, "documents")
+    plan = docs.select(
+        "doc_id",
+        # bigint: DuckDB len() is BIGINT and the gate is type-sensitive
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n_tokens") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.expr(
+                f"CAST((n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+                f" div {CHUNK_STRIDE} AS INT)"
+            )
+        ).cast("int"),
+    )
+    last_start = (F.col("n_chunks") - 1) * CHUNK_STRIDE
+    last_len = F.least(
+        F.lit(CHUNK_TOKENS), F.col("n_tokens") - last_start
+    )
+    return plan.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        last_len.cast("int").alias("last_chunk_tokens"),
+        (
+            (F.col("n_chunks") - 1) * F.lit(CHUNK_TOKENS)
+            + last_len
+        ).cast("bigint").alias("total_chunk_tokens"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bpe_tokens": text_bpe_tokens,
     "text_bpe_encode": text_bpe_encode,
+    "text_chunk_plan": text_chunk_plan,
 }
 
 ORACLES = {
@@ -361,3 +411,27 @@ ORACLES = {
         FROM s
     """,
 }
+
+ORACLES["text_chunk_plan"] = f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN 1
+                    ELSE 1 + (n_tokens - {CHUNK_TOKENS}
+                              + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+               END AS INT) AS n_chunks
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_chunks,
+           CAST(least({CHUNK_TOKENS},
+                      n_tokens - (n_chunks - 1) * {CHUNK_STRIDE})
+                AS INT) AS last_chunk_tokens,
+           CAST((n_chunks - 1) * {CHUNK_TOKENS}
+                + least({CHUNK_TOKENS},
+                        n_tokens - (n_chunks - 1) * {CHUNK_STRIDE})
+                AS BIGINT) AS total_chunk_tokens
+    FROM p
+    ORDER BY doc_id
+"""

@@ -88,3 +88,47 @@ def test_bpe_encode_piece_total_matches_token_counts(spark):
         for r in text.text_bpe_tokens(spark, SF_DIR_ORACLE).collect()
     }
     assert per_doc == counted
+
+
+def test_chunk_plan_tiles_every_document(spark):
+    """The closed-form plan must describe a valid tiling: the last
+    chunk lands exactly on the document end ((n_chunks-1)*stride +
+    last_len == n_tokens), every chunk is non-empty, and no doc
+    needs a chunk the stride wouldn't reach."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = text.text_chunk_plan(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["last_chunk_tokens"] <= text.CHUNK_TOKENS
+        if r["n_tokens"] <= text.CHUNK_TOKENS:
+            assert r["n_chunks"] == 1
+            assert r["last_chunk_tokens"] == r["n_tokens"]
+        else:
+            assert (
+                (r["n_chunks"] - 1) * text.CHUNK_STRIDE
+                + r["last_chunk_tokens"]
+                == r["n_tokens"]
+            )
+        assert r["total_chunk_tokens"] == (
+            (r["n_chunks"] - 1) * text.CHUNK_TOKENS
+            + r["last_chunk_tokens"]
+        )
+
+
+def test_chunk_plan_matches_scalar_reimplementation(spark):
+    """Independent Python chunker (the write-time explosion this
+    plan budgets for) agrees doc-for-doc on a corpus sample."""
+    from tests.conftest import SF_DIR_SMOKE
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chunks"])
+        for r in text.text_chunk_plan(spark, SF_DIR_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    for row in docs.collect():
+        toks = row["text"].strip().split()
+        starts = [0]
+        while starts[-1] + text.CHUNK_TOKENS < len(toks):
+            starts.append(starts[-1] + text.CHUNK_STRIDE)
+        assert got[row["doc_id"]] == (len(toks), len(starts))

@@ -48,6 +48,7 @@ from datetime import date, datetime
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -60,6 +61,11 @@ _STAGING = "_staging"
 class ShardCommit(WriterCommitMessage):
     file: str
     n_rows: int
+    #: absolute staged path — commit messages are the ONLY reliable
+    #: executor→driver channel (the runtime may re-instantiate the
+    #: writer per task/batch, so instance state like a staging uuid
+    #: does NOT survive the trip)
+    staged: str = ""
 
 
 def _jsonable(v):
@@ -88,17 +94,17 @@ class _Writer(DataSourceWriter):
         stage_dir = os.path.join(self.path, _STAGING, self.write_id)
         os.makedirs(stage_dir, exist_ok=True)
         name = f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(stage_dir, name)
         n = 0
-        with open(os.path.join(stage_dir, name), "w") as f:
+        with open(staged, "w") as f:
             for row in iterator:
                 d = {k: _jsonable(v) for k, v in row.asDict().items()}
                 f.write(json.dumps(d) + "\n")
                 n += 1
-        return ShardCommit(file=name, n_rows=n)
+        return ShardCommit(file=name, n_rows=n, staged=staged)
 
     # -- driver ------------------------------------------------------
     def commit(self, messages) -> None:
-        stage_dir = os.path.join(self.path, _STAGING, self.write_id)
         manifest_path = os.path.join(self.path, MANIFEST)
         shards: list[dict] = []
         if not self.overwrite and os.path.exists(manifest_path):
@@ -113,11 +119,10 @@ class _Writer(DataSourceWriter):
                         old = os.path.join(self.path, s["file"])
                         if os.path.exists(old):
                             os.remove(old)
+        stage_dirs = set()
         for m in messages:
-            os.replace(
-                os.path.join(stage_dir, m.file),
-                os.path.join(self.path, m.file),
-            )
+            stage_dirs.add(os.path.dirname(m.staged))
+            os.replace(m.staged, os.path.join(self.path, m.file))
             shards.append({"file": m.file, "n_rows": m.n_rows})
         tmp = manifest_path + f".{self.write_id}.tmp"
         with open(tmp, "w") as f:
@@ -130,13 +135,85 @@ class _Writer(DataSourceWriter):
                 f,
             )
         os.replace(tmp, manifest_path)  # the atomic publish point
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        for d in stage_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     def abort(self, messages) -> None:
-        shutil.rmtree(
-            os.path.join(self.path, _STAGING, self.write_id),
-            ignore_errors=True,
-        )
+        for m in messages or []:
+            if m is not None and m.staged:
+                shutil.rmtree(
+                    os.path.dirname(m.staged), ignore_errors=True
+                )
+
+
+class _StreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming sink: the MANIFEST records which batch
+    ids are committed, so a replayed micro-batch (restart re-runs the
+    last epoch) publishes nothing the second time — the same
+    manifest-is-truth idempotence as the batch writer, per epoch.
+    Append-only by construction (a streaming corpus landing)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlcorpus: 'path' option is required")
+        self.write_id = uuid.uuid4().hex
+
+    # -- executors (one call per task per micro-batch) ---------------
+    def write(self, iterator) -> ShardCommit:
+        stage_dir = os.path.join(self.path, _STAGING, self.write_id)
+        os.makedirs(stage_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(stage_dir, name)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                d = {k: _jsonable(v) for k, v in row.asDict().items()}
+                f.write(json.dumps(d) + "\n")
+                n += 1
+        return ShardCommit(file=name, n_rows=n, staged=staged)
+
+    # -- driver (once per micro-batch) -------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        manifest_path = os.path.join(self.path, MANIFEST)
+        stage_dirs = {
+            os.path.dirname(m.staged)
+            for m in messages
+            if m is not None and m.staged
+        }
+        state = {"shards": [], "committed_batches": []}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                state = json.load(f)
+                state.setdefault("committed_batches", [])
+        if batchId in state["committed_batches"]:
+            # replayed epoch: the rows are already published — drop
+            # the restaged files, publish nothing twice
+            for d in stage_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            return
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.staged, os.path.join(self.path, m.file))
+            state["shards"].append(
+                {"file": m.file, "n_rows": m.n_rows, "batch_id": batchId}
+            )
+        state["committed_batches"].append(batchId)
+        state["n_rows_total"] = sum(s["n_rows"] for s in state["shards"])
+        tmp = manifest_path + f".{self.write_id}.{batchId}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, manifest_path)  # atomic per-epoch publish
+        for d in stage_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.staged:
+                shutil.rmtree(
+                    os.path.dirname(m.staged), ignore_errors=True
+                )
 
 
 class CorpusSinkDataSource(DataSource):
@@ -146,6 +223,9 @@ class CorpusSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _Writer(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _StreamWriter(self.options)
 
 
 def manifest_shards(path: str) -> dict:

@@ -88,3 +88,86 @@ def test_missing_path_is_a_loud_error(registered):
     spark = registered
     with pytest.raises(Exception, match="path"):
         _docs(spark).write.format("jsonlcorpus").mode("overwrite").save()
+
+
+def test_stream_writer_lands_batches_exactly_once(
+    registered, tmp_path
+):
+    """File-source stream (1 file per trigger) through the
+    jsonlcorpus STREAM writer: every micro-batch publishes into the
+    manifest with its batch id; a checkpoint-resumed drain with no
+    new input publishes nothing more."""
+    import os as _os
+    import time
+
+    spark = registered
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _docs(spark)
+    # two input shards with pinned mtimes (file source orders by mtime)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    a.coalesce(1).write.mode("overwrite").parquet(landing + "/s1")
+    b.coalesce(1).write.mode("overwrite").parquet(landing + "/s2")
+    now = time.time()
+    for i, d in enumerate(("s1", "s2")):
+        for f in _os.scandir(landing + "/" + d):
+            _os.utime(f.path, (now + i, now + i))
+
+    def drain():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing + "/s*")
+            .writeStream.format("jsonlcorpus")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    man = manifest_shards(out)
+    assert man["n_rows_total"] == docs.count()
+    assert len(man["committed_batches"]) >= 1
+    back = corpusio.read_jsonl(spark, out)
+    assert sorted(map(tuple, back.select(*docs.columns).collect())) == \
+        sorted(map(tuple, docs.collect()))
+    # resume from the checkpoint with no new files: nothing published
+    before = man["n_rows_total"]
+    drain()
+    assert manifest_shards(out)["n_rows_total"] == before
+
+
+def test_stream_commit_replay_is_noop(registered, tmp_path):
+    """Unit-level idempotence: re-committing an already-recorded
+    batch id publishes nothing (the restart-replays-last-epoch
+    case)."""
+    from bike_analyzer_spark.sources.corpus_datasource import (
+        ShardCommit,
+        _StreamWriter,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    w = _StreamWriter({"path": out})
+    stage = os.path.join(out, "_staging", w.write_id)
+    os.makedirs(stage)
+    x = os.path.join(stage, "x.jsonl")
+    with open(x, "w") as f:
+        f.write('{"doc_id": 1}\n')
+    w.commit([ShardCommit(file="x.jsonl", n_rows=1, staged=x)], batchId=7)
+    assert manifest_shards(out)["n_rows_total"] == 1
+    # replay batch 7 with a restaged copy
+    os.makedirs(stage, exist_ok=True)
+    y = os.path.join(stage, "y.jsonl")
+    with open(y, "w") as f:
+        f.write('{"doc_id": 1}\n')
+    w.commit([ShardCommit(file="y.jsonl", n_rows=1, staged=y)], batchId=7)
+    man = manifest_shards(out)
+    assert man["n_rows_total"] == 1
+    assert man["committed_batches"] == [7]
+    assert not os.path.exists(os.path.join(out, "y.jsonl"))

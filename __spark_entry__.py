@@ -22,7 +22,9 @@ from bike_analyzer_spark.operators import (
     curate,
     dedup,
     evalsuite,
+    funcsuite,
     fuzzy,
+    gapfill,
     graph,
     hypertable,
     importance,
@@ -49,6 +51,7 @@ from bike_analyzer_spark.operators import (
     text,
     tpch,
     tpch_close,
+    useranalytics,
     vocab,
     warehouse_ext,
     windows,
@@ -126,6 +129,8 @@ _scale_head, _scale_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
+_quality_head, _quality_tail = _split(quality, ["decontam_overlap"])
+_sampling_head, _sampling_tail = _split(sampling, ["weighted_sample"])
 _text_head, _text_tail = _split(
     text, ["text_bpe_encode", "text_chunk_plan"]
 )
@@ -168,8 +173,17 @@ _MODULES = [
     # so those pipelines stay driver-gated through the eval query.
     # pq (2-streak, driver-proven r5+r6) ceded its pair of slots to
     # warehouse_ext's nation_metrics_unpivot + window headroom.)
-    quality,
-    sampling,
+    _quality_head,  # decontam_overlap re-proof; the other three
+    # quality 2-streak queries ceded their slots to funcsuite
+    funcsuite,  # NEW r8 wave 9 (streak 0): array/datetime/rank/string
+    # suites. Wave-9 slot arithmetic: quality's three 2-streak
+    # queries + sampling's three 2-streak queries (split_assign /
+    # split_summary / stratified_sample, driver-green r6+r7) ceded
+    # six slots to funcsuite (4), hypertable_gapfill, and
+    # cohort_retention.
+    _sampling_head,  # weighted_sample (streak 0)
+    gapfill,  # NEW r8 wave 9 (streak 0): time_bucket_gapfill shape
+    useranalytics,  # NEW r8 wave 9 (streak 0): cohort retention
     _dedup_head,
     _graph_head,  # NEW r8: od_triangles (streak 0)
     retrieval,  # NEW r8: bm25_topk (streak 0)
@@ -188,6 +202,8 @@ _MODULES = [
     pq,
     _scale_tail,
     _text_tail,
+    _quality_tail,
+    _sampling_tail,
     curate,
     _semdedup_head,
     importance,

@@ -47,6 +47,7 @@ from bike_analyzer_spark.operators import (
     scrub,
     semdedup,
     similarity,
+    stats,
     substring,
     text,
     tpch,
@@ -129,7 +130,6 @@ _scale_head, _scale_tail = _split(
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
-_quality_head, _quality_tail = _split(quality, ["decontam_overlap"])
 _sampling_head, _sampling_tail = _split(sampling, ["weighted_sample"])
 _text_head, _text_tail = _split(
     text, ["text_bpe_encode", "text_chunk_plan"]
@@ -173,13 +173,14 @@ _MODULES = [
     # so those pipelines stay driver-gated through the eval query.
     # pq (2-streak, driver-proven r5+r6) ceded its pair of slots to
     # warehouse_ext's nation_metrics_unpivot + window headroom.)
-    _quality_head,  # decontam_overlap re-proof; the other three
-    # quality 2-streak queries ceded their slots to funcsuite
+    stats,  # NEW r8 wave 10 (streak 0): exact-moment stddev/corr/OLS
     funcsuite,  # NEW r8 wave 9 (streak 0): array/datetime/rank/string
-    # suites. Wave-9 slot arithmetic: quality's three 2-streak
-    # queries + sampling's three 2-streak queries (split_assign /
-    # split_summary / stratified_sample, driver-green r6+r7) ceded
-    # six slots to funcsuite (4), hypertable_gapfill, and
+    # suites. Wave-9/10 slot arithmetic: quality's four 2-streak
+    # queries (incl. the decontam_overlap re-proof — r7-green post
+    # spread-read, module untouched in r8) + sampling's three
+    # 2-streak queries (split_assign / split_summary /
+    # stratified_sample, driver-green r6+r7) ceded seven slots to
+    # funcsuite (4), stats_moments, hypertable_gapfill, and
     # cohort_retention.
     _sampling_head,  # weighted_sample (streak 0)
     gapfill,  # NEW r8 wave 9 (streak 0): time_bucket_gapfill shape
@@ -202,7 +203,7 @@ _MODULES = [
     pq,
     _scale_tail,
     _text_tail,
-    _quality_tail,
+    quality,
     _sampling_tail,
     curate,
     _semdedup_head,

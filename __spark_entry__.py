@@ -21,6 +21,7 @@ from bike_analyzer_spark.operators import (
     classifier,
     curate,
     dedup,
+    divergence,
     evalsuite,
     funcsuite,
     fuzzy,
@@ -68,6 +69,26 @@ from bike_analyzer_spark.operators import (
 # with <2 consecutive driver-green rounds sits inside the window" is
 # ENFORCED by tests/test_rotation.py, which derives green streaks
 # from the CORRECTNESS_r*.json history.
+# Manual rotate-backs (edited-module policy, tests/test_rotation.py):
+# proven queries whose operators changed materially this round, so
+# their historical streaks are not evidence and they re-occupy window
+# slots until re-proven.
+WINDOW_ROTATEBACKS = frozenset(
+    {
+        "tpch_pricing_summary",  # sum_charge → DECIMAL(38,0) accumulate
+        "dedup_minhash_lsh",  # XOR-scrambled minhash family
+        "dedup_incr_near",  # verify stage reuses the store index
+    }
+)
+
+# Window overflow (r8): every one of the 50 slots is held by a query
+# that MUST be there (streak <2, or a rotate-back above), so these
+# streak-0 newcomers queue outside until the r9 rotation frees slots.
+# tests/test_rotation.py verifies both facts — overflow may only be
+# declared while the window is provably full of must-stay queries.
+WINDOW_OVERFLOW = frozenset({"domain_entropy", "domain_jsd_pairs"})
+
+
 class _Slice:
     """A registration-order slice of one module's QUERIES/ORACLES.
 
@@ -203,6 +224,8 @@ _MODULES = [
     pq,
     _scale_tail,
     _text_tail,
+    divergence,  # NEW r8 wave 11 (streak 0, outside: the window is
+    # full with streak-0/1 queries; enters on r9 rotation)
     quality,
     _sampling_tail,
     curate,

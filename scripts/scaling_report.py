@@ -26,7 +26,8 @@ FAMILIES = [
     ("ANN / embeddings", ("sim_", "semdedup", "ann_recall")),
     ("dedup family", ("dedup_", "span_", "minhash_error")),
     ("text / quality / LM", ("text_", "tfidf", "decontam", "lang",
-                             "vocab_", "lm_", "nbq_", "dsir_", "fingerprint")),
+                             "vocab_", "lm_", "nbq_", "dsir_", "fingerprint",
+                             "domain_")),
     ("pipeline ops", ("split_", "stratified", "weighted_sample", "mix_",
                       "pack_", "scrub_", "curate", "cms_", "approx",
                       "fuzzy_")),

@@ -61,6 +61,8 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row corpus totals (IDF / frequency denominators)
     "vocab_top_terms",
     "tfidf_top_terms",
+    # 1-row corpus ln-total frame joined onto the |sources|-row sums
+    "domain_entropy",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

@@ -47,6 +47,7 @@ from bike_analyzer_spark.operators import (
     scale,
     scrub,
     semdedup,
+    sequences,
     similarity,
     stats,
     substring,
@@ -86,7 +87,15 @@ WINDOW_ROTATEBACKS = frozenset(
 # streak-0 newcomers queue outside until the r9 rotation frees slots.
 # tests/test_rotation.py verifies both facts — overflow may only be
 # declared while the window is provably full of must-stay queries.
-WINDOW_OVERFLOW = frozenset({"domain_entropy", "domain_jsd_pairs"})
+WINDOW_OVERFLOW = frozenset(
+    {
+        "domain_entropy",
+        "domain_jsd_pairs",
+        "event_transitions",
+        "activity_acf",
+        "od_reach_hops",
+    }
+)
 
 
 class _Slice:
@@ -226,6 +235,7 @@ _MODULES = [
     _text_tail,
     divergence,  # NEW r8 wave 11 (streak 0, outside: the window is
     # full with streak-0/1 queries; enters on r9 rotation)
+    sequences,  # NEW r8 wave 12 (streak 0, outside — same reason)
     quality,
     _sampling_tail,
     curate,

@@ -623,3 +623,112 @@ def _od_triangles_oracle() -> str:
 
 
 ORACLES["od_triangles"] = _od_triangles_oracle()
+
+
+#: strong-flow backbone: top out-edges kept per station
+BACKBONE_TOPK = 3
+
+#: BFS hop cap — fixed, so the Spark loop has a bounded plan and the
+#: recursive oracle has a finite frontier
+REACH_MAX_HOPS = 6
+
+
+def od_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (BFS min-hop distance) from the
+    busiest station over the STRONG-FLOW BACKBONE — the top-
+    BACKBONE_TOPK outgoing edges per station by flow.
+
+    The raw OD graph is near-complete (mean out-degree ~19 at
+    sf0.01), making unweighted distance trivially <=2; the backbone
+    is the standard sparsification (keep each node's strongest
+    edges) under which hop distance measures how traffic actually
+    chains between hubs. Reference analog: none — the reference's
+    OD page (`streamlit_app.py:242`) renders single edges only.
+
+    Scale shape: Pregel-style frontier expansion — each of the
+    REACH_MAX_HOPS rounds is ONE equi join (frontier x backbone,
+    shuffled on the station key) plus ONE anti join against the
+    settled set, both lineage-truncated by a lazy localCheckpoint,
+    so the plan depth is constant in rounds and the per-round cost
+    tracks the frontier, not the graph. The backbone itself is a
+    per-key top-k window (rank over flow), out-degree-capped, so
+    frontier fan-out is bounded by BACKBONE_TOPK regardless of hub
+    skew. No driver-side convergence probe: the hop cap is fixed,
+    and an exhausted frontier makes the remaining rounds empty
+    joins (cost ~0) rather than a .count() round-trip per level.
+
+    Determinism: the seed is (max total outflow, min id); backbone
+    ties break by (flow DESC, d ASC); hops are set-wise minima."""
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("o").orderBy(F.desc("flow"), F.asc("d"))
+    )
+    edges = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= BACKBONE_TOPK)
+        .select("o", "d")
+        .localCheckpoint(eager=False)
+    )
+    seed = (
+        flows.groupBy("o")
+        .agg(F.sum("flow").alias("t"))
+        .orderBy(F.desc("t"), F.asc("o"))
+        .limit(1)
+        .select(F.col("o").alias("station"), F.lit(0).alias("hops"))
+    )
+    dist = seed.localCheckpoint(eager=False)
+    frontier = dist
+    for i in range(1, REACH_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["station"] == edges["o"])
+            .select(F.col("d").alias("station"))
+            .distinct()
+            .join(dist, "station", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist.orderBy("hops", "station")
+
+
+QUERIES["od_reach_hops"] = od_reach_hops
+
+
+def _od_reach_hops_oracle() -> str:
+    from .od import FLOWS_CTE_SQL
+
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        e AS MATERIALIZED (
+            SELECT o, d FROM (
+                SELECT o, d, row_number() OVER (
+                    PARTITION BY o ORDER BY flow DESC, d
+                ) AS rn
+                FROM flows WHERE o <> d
+            ) WHERE rn <= {BACKBONE_TOPK}
+        ),
+        seed AS MATERIALIZED (
+            SELECT o AS station FROM flows WHERE o <> d
+            GROUP BY o ORDER BY sum(flow) DESC, o LIMIT 1
+        ),
+        reach(station, hops) AS (
+            SELECT station, 0 FROM seed
+            UNION
+            SELECT e.d, r.hops + 1
+            FROM reach r JOIN e ON e.o = r.station
+            WHERE r.hops < {REACH_MAX_HOPS}
+        )
+        SELECT station, CAST(min(hops) AS INT) AS hops
+        FROM reach GROUP BY station
+        ORDER BY hops, station
+    """
+
+
+ORACLES["od_reach_hops"] = _od_reach_hops_oracle()

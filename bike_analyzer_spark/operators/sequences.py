@@ -1,0 +1,282 @@
+"""Event-sequence analytics — the per-user Markov transition matrix
+and the autocorrelation function of the hourly activity series.
+
+Reference scope: the reference's event queries stop at marginal
+distributions (counts per type / per hour — `analysis.py`,
+`sql/queries.sql`); the two standard next questions a product stack
+asks are ORDER-dependent: "given a user just did X, what do they do
+next?" (the first-order Markov transition matrix over per-user
+event sequences) and "how self-similar is the activity series
+hour-over-hour?" (the ACF — the instrument behind seasonality
+detection and forecast-model selection).
+
+Exactness:
+* transition probabilities are `functions.exact.halfup_ratio_sql`
+  over exact integer (pair count, row total) — never a rounded
+  double;
+* the ACF at lag k is computed entirely in integers via the
+  multiply-through identity (m = S/n is the mean of the DENSE
+  hourly series, zeros included):
+
+    num_k = sum_{t=k}^{n-1} (c_t - m)(c_{t-k} - m)
+    n^2*num_k = n^2*P_k - n*S*(A_k + B_k) + (n-k)*S^2
+    n^2*den   = n^2*Q   - n*S^2
+
+  with P_k = sum c_t*c_{t-k} (observed pairs only — zero hours
+  contribute nothing), A_k = S - head_k, B_k = S - tail_k where
+  head_k/tail_k are the first/last-k-hour partial sums, and
+  Q = sum c^2. The quotient is ONE shared-text double division of
+  two 128-bit integers (Spark DECIMAL(38,0) / DuckDB HUGEINT —
+  both round-to-nearest the same exact integer, so the doubles are
+  bit-identical). Headroom: the largest intermediate is n*S*(A+B)
+  <= 2*n*S^2 — at 10^12 events over 10^5 hours that is ~2*10^29,
+  safely inside the 38-digit decimal range (bigint would wrap at
+  S ~ 3*10^9, which is why the wide form is not optional).
+
+Scale shape: the transition matrix is one shuffle on `user_id`
+(the lag window) followed by a |types|^2-row aggregate; the ACF
+pre-aggregates the corpus to the TIME-bounded hourly series (the
+only corpus-sized shuffle), after which every join — the K-lag
+self-join via an explode of K shift keys (an equi join, never a
+range join), the head/tail offset folds, the K-row assembly — runs
+on span-hours-sized frames. No global window exists anywhere: the
+series needs no dense materialization because zero hours cancel
+out of every sum analytically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import halfup_ratio_sql
+from ..sources.catalog import load
+
+#: displayed digits of the transition probability
+TRANSITION_DIGITS = 4
+
+#: ACF lags emitted (1..K)
+ACF_LAGS = 6
+
+#: microseconds per hour — the integer hour index base (gapfill.py)
+HOUR_US = 3_600_000_000
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences ordered by (ts, event_id): for each (from_type,
+    to_type), the transition count and the half-up conditional
+    probability P(next = to | current = from)."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("from_type"),
+    )
+    pairs = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    # the row total is a |types|-row frame — broadcast side of the join
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            f"{halfup_ratio_sql('n_transitions', 'row_total', TRANSITION_DIGITS, 'spark')}"
+            " AS p_next",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _acf_frac(engine: str) -> tuple[str, str]:
+    """(numerator, denominator) of r_k, 128-bit integer expressions
+    over columns k, n, s, q, p, hd, tl — shared structure, engine-
+    specific wide-integer spelling."""
+    wide = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+    num = (
+        f"(CAST(n AS {wide}) * n * p"
+        f" - CAST(n AS {wide}) * s * ((s - hd) + (s - tl))"
+        f" + CAST(n - k AS {wide}) * s * s)"
+    )
+    den = f"(CAST(n AS {wide}) * n * q - CAST(n AS {wide}) * s * s)"
+    return num, den
+
+
+def activity_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the dense hourly event-count series
+    at lags 1..ACF_LAGS, as one exact-integer ratio per lag."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        (F.max("h") - F.min("h") + F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.expr("sum(c * c)").alias("q"),
+    )
+    ks = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_LAGS))).alias("k"),
+        "n",
+        "s",
+        "q",
+        "h0",
+        "h1",
+    )
+    # P_k: equi self-join of the observed series on the shifted hour
+    # key (each row exploded into its K shift targets)
+    shifted = counts.select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_LAGS))).alias("k"),
+        (F.col("h")).alias("ht"),
+        F.col("c").alias("ct"),
+    ).withColumn("h", F.col("ht") - F.col("k"))
+    p = (
+        shifted.join(counts.select("h", F.col("c").alias("cs")), "h")
+        .groupBy("k")
+        .agg(F.expr("sum(ct * cs)").alias("p"))
+    )
+    # head_k / tail_k: each boundary-offset count folds into every
+    # k strictly above its offset (filter BEFORE sequence — Spark's
+    # sequence(a, b) with a > b descends instead of emitting empty)
+    b1 = bounds.select("h0", "h1")
+    hd = (
+        counts.crossJoin(F.broadcast(b1))
+        .withColumn("d", F.col("h") - F.col("h0"))
+        .where(F.col("d") < ACF_LAGS)
+        .select(
+            F.explode(
+                F.sequence(F.col("d") + 1, F.lit(ACF_LAGS))
+            ).alias("k"),
+            "c",
+        )
+        .groupBy("k")
+        .agg(F.sum("c").alias("hd"))
+    )
+    tl = (
+        counts.crossJoin(F.broadcast(b1))
+        .withColumn("e", F.col("h1") - F.col("h"))
+        .where(F.col("e") < ACF_LAGS)
+        .select(
+            F.explode(
+                F.sequence(F.col("e") + 1, F.lit(ACF_LAGS))
+            ).alias("k"),
+            "c",
+        )
+        .groupBy("k")
+        .agg(F.sum("c").alias("tl"))
+    )
+    num, den = _acf_frac("spark")
+    return (
+        ks.join(p, "k", "left")
+        .join(hd, "k", "left")
+        .join(tl, "k", "left")
+        .fillna({"p": 0, "hd": 0, "tl": 0})
+        .selectExpr(
+            "k AS lag_hours",
+            "n AS n_hours",
+            f"CAST({num} AS DOUBLE)"
+            f" / CAST(nullif({den}, 0) AS DOUBLE) AS acf",
+        )
+        .orderBy("lag_hours")
+    )
+
+
+QUERIES = {
+    "event_transitions": event_transitions,
+    "activity_acf": activity_acf,
+}
+
+_ACF_NUM, _ACF_DEN = _acf_frac("duck")
+
+ORACLES = {
+    "event_transitions": f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS to_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_type, to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        totals AS (
+            SELECT from_type,
+                   CAST(sum(n_transitions) AS BIGINT) AS row_total
+            FROM pairs GROUP BY from_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               {halfup_ratio_sql(
+                   'n_transitions', 'row_total', TRANSITION_DIGITS, 'duck'
+               )} AS p_next
+        FROM pairs JOIN totals USING (from_type)
+        ORDER BY from_type, to_type
+    """,
+    "activity_acf": f"""
+        WITH counts AS (
+            SELECT epoch_us(ts) // {HOUR_US} AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        bounds AS (
+            SELECT min(h) AS h0, max(h) AS h1,
+                   max(h) - min(h) + 1 AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS q
+            FROM counts
+        ),
+        ks AS (
+            SELECT CAST(g.k AS INT) AS k, n, s, q, h0, h1
+            FROM bounds, generate_series(1, {ACF_LAGS}) AS g(k)
+        ),
+        p AS (
+            SELECT CAST(a.h - b.h AS INT) AS k,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS p
+            FROM counts a JOIN counts b
+              ON a.h - b.h BETWEEN 1 AND {ACF_LAGS}
+            GROUP BY 1
+        ),
+        hd AS (
+            SELECT ks.k, CAST(sum(c.c) AS BIGINT) AS hd
+            FROM ks JOIN counts c ON c.h - ks.h0 < ks.k
+            GROUP BY ks.k
+        ),
+        tl AS (
+            SELECT ks.k, CAST(sum(c.c) AS BIGINT) AS tl
+            FROM ks JOIN counts c ON ks.h1 - c.h < ks.k
+            GROUP BY ks.k
+        ),
+        assembled AS (
+            SELECT ks.k, ks.n, ks.s, ks.q,
+                   coalesce(p.p, 0) AS p,
+                   coalesce(hd.hd, 0) AS hd,
+                   coalesce(tl.tl, 0) AS tl
+            FROM ks
+            LEFT JOIN p USING (k)
+            LEFT JOIN hd USING (k)
+            LEFT JOIN tl USING (k)
+        )
+        SELECT k AS lag_hours, n AS n_hours,
+               CAST({_ACF_NUM} AS DOUBLE)
+               / CAST(nullif({_ACF_DEN}, 0) AS DOUBLE) AS acf
+        FROM assembled
+        ORDER BY lag_hours
+    """,
+}

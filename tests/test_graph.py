@@ -184,3 +184,44 @@ def test_od_triangles_matches_bruteforce_and_plans_equi_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_od_reach_hops_matches_bfs(spark):
+    """Independent reimplementation: deque BFS over the top-k
+    backbone built in plain Python from the same flow edges."""
+    from collections import defaultdict, deque
+
+    from bike_analyzer_spark.operators.od import infer_flows
+    from tests.conftest import SF_DIR_ORACLE
+
+    flows = [
+        (r.o, r.d, r.flow)
+        for r in infer_flows(spark, SF_DIR_ORACLE, minutes=10).collect()
+        if r.o != r.d
+    ]
+    out = defaultdict(list)
+    for o, d, f in flows:
+        out[o].append((-f, d))
+    adj = {
+        o: [d for _, d in sorted(es)[: graph.BACKBONE_TOPK]]
+        for o, es in out.items()
+    }
+    tot = defaultdict(int)
+    for o, _, f in flows:
+        tot[o] += f
+    seed = min(tot, key=lambda o: (-tot[o], o))
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= graph.REACH_MAX_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r.station: r.hops
+        for r in graph.od_reach_hops(spark, SF_DIR_ORACLE).collect()
+    }
+    assert got == dist

@@ -63,6 +63,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "tfidf_top_terms",
     # 1-row corpus ln-total frame joined onto the |sources|-row sums
     "domain_entropy",
+    # 1-row series-bounds frame joined onto the hourly series
+    "activity_acf",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

@@ -1,0 +1,107 @@
+"""Sequence analytics: oracle parity, pure-Python semantic twins
+(the windowed lag really builds per-user sequences; the integer ACF
+really is the textbook estimator), and the Cauchy–Schwarz bound."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from bike_analyzer_spark.operators import sequences
+from tests.conftest import SF_DIR_ORACLE, SF_DIR_SMOKE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(sequences.QUERIES))
+def test_vs_oracle(spark, duck, name):
+    df = sequences.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, sequences.ORACLES[name], name=name)
+
+
+def _events(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+
+
+def test_transitions_match_pure_python(spark):
+    """Counting (prev, next) over per-user (ts, event_id)-sorted
+    sequences in plain Python gives the same matrix."""
+    rows = _events(spark, SF_DIR_SMOKE)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    got = sequences.event_transitions(spark, SF_DIR_SMOKE).collect()
+    assert {(r.from_type, r.to_type): r.n_transitions for r in got} == dict(
+        pairs
+    )
+    # each user contributes len(seq) - 1 transitions
+    assert sum(pairs.values()) == len(rows) - len(by_user)
+    # rows of the conditional-probability matrix sum to ~1
+    by_from = defaultdict(float)
+    for r in got:
+        assert 0.0 <= r.p_next <= 1.0
+        by_from[r.from_type] += r.p_next
+    for s in by_from.values():
+        assert math.isclose(s, 1.0, abs_tol=5e-4)
+
+
+def _dense_series(spark, sf_dir):
+    hours = Counter(
+        r.h
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(ts AS TIMESTAMP) AS t"
+        )
+        .selectExpr(f"unix_micros(t) div {sequences.HOUR_US} AS h")
+        .collect()
+    )
+    h0, h1 = min(hours), max(hours)
+    return [hours.get(h, 0) for h in range(h0, h1 + 1)]
+
+
+def test_acf_matches_pure_python(spark):
+    """The multiply-through integer form equals the float textbook
+    estimator sum((c_t-m)(c_{t-k}-m)) / sum((c_t-m)^2) on the dense
+    zero-filled series."""
+    c = _dense_series(spark, SF_DIR_SMOKE)
+    n = len(c)
+    m = sum(c) / n
+    den = sum((x - m) ** 2 for x in c)
+    got = sequences.activity_acf(spark, SF_DIR_SMOKE).collect()
+    assert [r.lag_hours for r in got] == list(
+        range(1, sequences.ACF_LAGS + 1)
+    )
+    for r in got:
+        k = r.lag_hours
+        num = sum(
+            (c[t] - m) * (c[t - k] - m) for t in range(k, n)
+        )
+        assert r.n_hours == n
+        assert math.isclose(r.acf, num / den, abs_tol=1e-9)
+
+
+def test_acf_cauchy_schwarz_bound(spark):
+    """|r_k| <= 1: the lag-k deviation products are bounded by the
+    full-series sum of squares (each factor set is a subset)."""
+    for r in sequences.activity_acf(spark, SF_DIR_ORACLE).collect():
+        assert -1.0 - 1e-12 <= r.acf <= 1.0 + 1e-12
+
+
+def test_acf_partition_invariance(spark):
+    """Integer sums make the statistic partition-order invariant."""
+    base = sequences.activity_acf(spark, SF_DIR_ORACLE).collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        other = sequences.activity_acf(spark, SF_DIR_ORACLE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [tuple(r) for r in base] == [tuple(r) for r in other]

@@ -1,0 +1,312 @@
+"""Distribution-shift diagnostics over the events stream — CUSUM
+changepoint detection on the hourly series and the Population
+Stability Index (PSI) between the first and second half of the
+observation window.
+
+Reference scope: the reference's dashboards assume a stationary
+feed; a pipeline retraining models on rolling data needs to know
+WHEN the input distribution moved (CUSUM localizes the shift hour)
+and BY HOW MUCH the categorical mix drifted (PSI is the industry
+threshold metric — <0.1 stable, >0.25 shifted). Both instruments
+follow `divergence.py`'s integer discipline.
+
+Exactness:
+* CUSUM: with m = S/n the dense-series mean, the statistic
+  S_t = sum_{i<=t}(c_i - m) multiplied through by n is
+  n*S_t = n*P_t - t*S — exact integers (P_t = dense prefix sum).
+  Zero hours change S_t linearly, so on any unobserved gap the
+  extremum sits at a gap ENDPOINT: the candidate set "every
+  observed hour + the position just before each observed hour"
+  covers the dense argmax without materializing the grid. The
+  argmax of |n*S_t| (tie: earliest) is exact; displayed values are
+  single divisions / half-up ratios of integers.
+* PSI: with half totals T1, T2 and per-bucket counts f, g,
+  (p-q)*ln(p/q) = (f*T2 - g*T1) * (L(f*T2) - L(g*T1))
+                  / (T1*T2*1e6)
+  where L(x) = round(ln(x)*1e6) is quantized ONCE per integer
+  product (the divergence.py ratio trick — ln of a RATIO of
+  integers needs no division), so per-bucket contributions and
+  their sum are exact integers over a shared 128-bit lift; each
+  display is one IEEE divide. Buckets empty in either half are
+  excluded (ln 0 — the standard "co-occurring buckets" PSI form),
+  identically in both engines.
+
+Overflow headroom: the PSI integrand (f*T2 - g*T1)*dL carries
+~T^2*ln(T)*1e6 — bigint wraps near T ~ 10^4 events per half, so
+the lift runs in Spark DECIMAL(38,0) / DuckDB HUGEINT from the
+start (safe through T ~ 3*10^12). CUSUM's n*P_t is bigint-safe to
+n*S ~ 9*10^18 (a century of hours at ~10^10 events/hour); its
+displayed ratios ride the wide half-up helpers.
+
+Scale shape: both queries reduce the corpus to bounded frames in
+ONE shuffle (the hourly aggregate, span-sized; the type-by-half
+aggregate, |types|*2 rows). CUSUM's prefix sum is a single global
+window over the TIME-bounded hourly series (the cohort-triangle
+allowance — never corpus-sized); everything after is span-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import halfup_ratio_wide_sql
+from ..sources.catalog import load
+
+#: micro-nat quantizer — shared text, applied ONCE per transcendental
+_L = "CAST(round(ln(CAST({} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+#: microseconds per hour (gapfill.py's integer hour index)
+HOUR_US = 3_600_000_000
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hour where the cumulative deviation from the global mean
+    peaks — the CUSUM changepoint estimate — with the before/after
+    mean rates quantifying the level shift."""
+    counts = _hourly(spark, sf_dir).localCheckpoint(eager=False)
+    bounds = counts.agg(
+        F.min("h").alias("h0"),
+        (F.max("h") - F.min("h") + F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+    )
+    pref = counts.withColumn(
+        "p", F.sum("c").over(Window.orderBy("h"))
+    )
+    base = pref.crossJoin(F.broadcast(bounds))
+    # candidate A: this observed hour; candidate B: the dense
+    # position just before it (the other end of any preceding gap)
+    cand_a = base.selectExpr("h - h0 + 1 AS pos", "p", "n", "s", "h0")
+    cand_b = base.selectExpr(
+        "h - h0 AS pos", "p - c AS p", "n", "s", "h0"
+    ).where(F.col("pos") >= 1)
+    cands = cand_a.unionAll(cand_b).withColumn(
+        "ns", F.expr("n * p - pos * s")
+    )
+    top = (
+        cands.orderBy(F.abs(F.col("ns")).desc(), F.asc("pos"))
+        .limit(1)
+    )
+    mean_b = halfup_ratio_wide_sql("p", "pos", 4, "spark")
+    mean_a = halfup_ratio_wide_sql("s - p", "n - pos", 4, "spark")
+    return top.selectExpr(
+        f"timestamp_micros((h0 + pos - 1) * {HOUR_US}) AS change_ts",
+        "pos AS change_pos",
+        "n AS n_hours",
+        "CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) AS cusum",
+        f"{mean_b} AS mean_rate_before",
+        f"CASE WHEN n > pos THEN {mean_a}"
+        f" ELSE CAST(0 AS DOUBLE) END AS mean_rate_after",
+    )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the event-type mix, first half vs second half of the
+    observation window (split at the midpoint hour). Per-bucket
+    contributions plus an '(all)' total row."""
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hb = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"),
+    )
+    lim = hb.agg(
+        # first half: h <= mid where mid splits [h0, h1] evenly
+        F.expr("(min(h) + max(h) - 1) div 2").alias("mid")
+    )
+    halves = (
+        hb.crossJoin(F.broadcast(lim))
+        .groupBy(
+            "event_type",
+            (F.col("h") <= F.col("mid")).alias("first_half"),
+        )
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    wide = (
+        halves.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("first_half"), F.col("f"))).alias("f1"),
+            F.sum(
+                F.when(~F.col("first_half"), F.col("f"))
+            ).alias("f2"),
+        )
+        .where(F.col("f1").isNotNull() & F.col("f2").isNotNull())
+    )
+    return psi_table(wide)
+
+
+def psi_table(wide: DataFrame) -> DataFrame:
+    """PSI report over a (event_type, f1, f2) count frame: per-bucket
+    contributions plus the '(all)' total — the reusable core behind
+    `psi_drift` (first vs second half) and the streaming monitor
+    (`streaming.driftserve`: frozen baseline vs each micro-batch).
+    Caller guarantees f1 > 0 and f2 > 0 (co-occurring buckets)."""
+    tot = wide.agg(
+        F.sum("f1").alias("t1"), F.sum("f2").alias("t2")
+    )
+    per = (
+        wide.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib_u",
+            F.expr(
+                "(CAST(f1 AS DECIMAL(38,0)) * t2"
+                " - CAST(f2 AS DECIMAL(38,0)) * t1)"
+                f" * ({_L.format('f1 * CAST(t2 AS DECIMAL(38,0))')}"
+                f" - {_L.format('f2 * CAST(t1 AS DECIMAL(38,0))')})"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    show = (
+        "CAST(contrib_u AS DOUBLE) / (CAST(t1 AS DOUBLE)"
+        " * CAST(t2 AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+    )
+    rows = per.selectExpr(
+        "event_type",
+        "f1 AS n_first",
+        "f2 AS n_second",
+        f"{halfup_ratio_wide_sql('f1', 't1', 4, 'spark')} AS p_first",
+        f"{halfup_ratio_wide_sql('f2', 't2', 4, 'spark')} AS p_second",
+        f"{show} AS psi_contrib",
+    )
+    total = (
+        per.groupBy("t1", "t2")
+        .agg(
+            F.sum("f1").alias("f1"),
+            F.sum("f2").alias("f2"),
+            F.sum("contrib_u").alias("contrib_u"),
+        )
+        .selectExpr(
+            "'(all)' AS event_type",
+            "f1 AS n_first",
+            "f2 AS n_second",
+            f"{halfup_ratio_wide_sql('f1', 't1', 4, 'spark')} AS p_first",
+            f"{halfup_ratio_wide_sql('f2', 't2', 4, 'spark')}"
+            " AS p_second",
+            f"{show} AS psi_contrib",
+        )
+    )
+    return rows.unionAll(total).orderBy("event_type")
+
+
+QUERIES = {
+    "cusum_changepoint": cusum_changepoint,
+    "psi_drift": psi_drift,
+}
+
+_CUSUM_MEAN_B = halfup_ratio_wide_sql("p", "pos", 4, "duck")
+_CUSUM_MEAN_A = halfup_ratio_wide_sql("s - p", "n - pos", 4, "duck")
+
+ORACLES = {
+    "cusum_changepoint": f"""
+        WITH counts AS (
+            SELECT epoch_us(ts) // {HOUR_US} AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        bounds AS (
+            SELECT min(h) AS h0, max(h) - min(h) + 1 AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM counts
+        ),
+        pref AS (
+            SELECT h, c,
+                   CAST(sum(c) OVER (ORDER BY h) AS BIGINT) AS p
+            FROM counts
+        ),
+        base AS (SELECT * FROM pref, bounds),
+        cands AS (
+            SELECT h - h0 + 1 AS pos, p, n, s, h0 FROM base
+            UNION ALL
+            SELECT h - h0 AS pos, p - c AS p, n, s, h0 FROM base
+            WHERE h - h0 >= 1
+        ),
+        scored AS (
+            SELECT *, n * p - pos * s AS ns FROM cands
+        ),
+        top AS (
+            SELECT * FROM scored
+            ORDER BY abs(ns) DESC, pos ASC LIMIT 1
+        )
+        SELECT make_timestamp((h0 + pos - 1) * {HOUR_US}) AS change_ts,
+               pos AS change_pos,
+               n AS n_hours,
+               CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+               {_CUSUM_MEAN_B} AS mean_rate_before,
+               CASE WHEN n > pos THEN {_CUSUM_MEAN_A}
+                    ELSE CAST(0 AS DOUBLE) END AS mean_rate_after
+        FROM top
+    """,
+    "psi_drift": f"""
+        WITH hb AS (
+            SELECT event_type, epoch_us(ts) // {HOUR_US} AS h
+            FROM events WHERE ts IS NOT NULL
+        ),
+        lim AS (
+            SELECT (min(h) + max(h) - 1) // 2 AS mid FROM hb
+        ),
+        halves AS (
+            SELECT event_type, h <= mid AS first_half,
+                   CAST(count(*) AS BIGINT) AS f
+            FROM hb, lim GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN first_half THEN f END)
+                        AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN NOT first_half THEN f END)
+                        AS BIGINT) AS f2
+            FROM halves GROUP BY event_type
+        ),
+        both_sides AS (
+            SELECT * FROM wide
+            WHERE f1 IS NOT NULL AND f2 IS NOT NULL
+        ),
+        tot AS (
+            SELECT CAST(sum(f1) AS BIGINT) AS t1,
+                   CAST(sum(f2) AS BIGINT) AS t2
+            FROM both_sides
+        ),
+        per AS (
+            SELECT event_type, f1, f2, t1, t2,
+                   (CAST(f1 AS HUGEINT) * t2
+                    - CAST(f2 AS HUGEINT) * t1)
+                   * ({_L.format('f1 * CAST(t2 AS HUGEINT)')}
+                      - {_L.format('f2 * CAST(t1 AS HUGEINT)')})
+                   AS contrib_u
+            FROM both_sides, tot
+        ),
+        shown AS (
+            SELECT event_type, f1 AS n_first, f2 AS n_second,
+                   {halfup_ratio_wide_sql('f1', 't1', 4, 'duck')}
+                       AS p_first,
+                   {halfup_ratio_wide_sql('f2', 't2', 4, 'duck')}
+                       AS p_second,
+                   CAST(contrib_u AS DOUBLE) / (CAST(t1 AS DOUBLE)
+                       * CAST(t2 AS DOUBLE)
+                       * CAST(1000000 AS DOUBLE)) AS psi_contrib
+            FROM per
+            UNION ALL
+            SELECT '(all)', CAST(sum(f1) AS BIGINT),
+                   CAST(sum(f2) AS BIGINT),
+                   {halfup_ratio_wide_sql(
+                       'sum(f1)', 'any_value(t1)', 4, 'duck')},
+                   {halfup_ratio_wide_sql(
+                       'sum(f2)', 'any_value(t2)', 4, 'duck')},
+                   CAST(sum(contrib_u) AS DOUBLE)
+                       / (CAST(any_value(t1) AS DOUBLE)
+                          * CAST(any_value(t2) AS DOUBLE)
+                          * CAST(1000000 AS DOUBLE))
+            FROM per
+        )
+        SELECT * FROM shown ORDER BY event_type
+    """,
+}

@@ -84,11 +84,10 @@ def _contrib(idf_col: str, tf_col: str) -> F.Column:
     ).otherwise(F.lit(0))
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_K} documents for QUERY_TERMS by BM25, ties broken on
-    doc_id. Emits the exact integer micro-score plus per-term tfs
-    (so the gate pins the whole decomposition, not just the
-    ranking)."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tf*, score_u) for every document with a positive
+    BM25 score — the shared scoring frame behind `bm25_topk` and
+    `rrf_fusion`."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens("text")
 
@@ -145,9 +144,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dl",
             *[f"tf{i}" for i in range(len(QUERY_TERMS))],
             "score_u",
-            (F.col("score_u") / F.lit(QUANT).cast("double")).alias(
-                "bm25"
-            ),
+        )
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} documents for QUERY_TERMS by BM25, ties broken on
+    doc_id. Emits the exact integer micro-score plus per-term tfs
+    (so the gate pins the whole decomposition, not just the
+    ranking)."""
+    return (
+        bm25_scored(spark, sf_dir)
+        .withColumn(
+            "bm25", F.col("score_u") / F.lit(QUANT).cast("double")
         )
         .orderBy(F.desc("score_u"), "doc_id")
         .limit(TOP_K)
@@ -157,7 +166,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"bm25_topk": bm25_topk}
 
 
-def _oracle() -> str:
+def _scored_ctes() -> str:
+    """The `d/s/i/scored` CTE chain ending in the positive-score
+    scored frame — shared by the bm25 and rrf oracles."""
     tf_sel = ",\n               ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(QUERY_TERMS)
@@ -189,7 +200,7 @@ def _oracle() -> str:
     )
     tf_cols = ", ".join(f"tf{i}" for i in range(len(QUERY_TERMS)))
     return f"""
-        WITH d AS (
+        d AS (
             SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS dl,
                {tf_sel}
@@ -202,18 +213,184 @@ def _oracle() -> str:
             FROM d
         ),
         i AS (SELECT *, {idf_sel} FROM s),
-        scored AS (
+        scored0 AS (
             SELECT doc_id, dl, {tf_cols},
                    ({contribs}) AS score_u
             FROM d, i
-        )
+        ),
+        scored AS (SELECT * FROM scored0 WHERE score_u > 0)
+    """
+
+
+def _oracle() -> str:
+    tf_cols = ", ".join(f"tf{i}" for i in range(len(QUERY_TERMS)))
+    return f"""
+        WITH {_scored_ctes()}
         SELECT doc_id, dl, {tf_cols}, score_u,
                score_u / CAST({QUANT} AS DOUBLE) AS bm25
         FROM scored
-        WHERE score_u > 0
         ORDER BY score_u DESC, doc_id
         LIMIT {TOP_K}
     """
 
 
 ORACLES = {"bm25_topk": _oracle()}
+
+
+#: RRF constant (Cormack et al.'s k=60) and pool/output sizes
+RRF_K = 60
+RRF_POOL = 100
+RRF_TOP_K = 20
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    ranking fused with a dense cosine ranking whose query vector is
+    the TOP-1 BM25 document's embedding (pseudo-relevance feedback —
+    "more like the best lexical hit"). Scores docs in either top-
+    RRF_POOL list by
+
+        rrf = sum over rankers of 1/(RRF_K + rank)
+
+    with each reciprocal half-up-quantized ONCE to integer micro-
+    units (the micro-nat discipline, but the operand is already
+    rational so there is no boundary class at all: both engines
+    compute the identical integer), summed exactly, divided once
+    for display. A doc missing from a ranker's pool contributes 0
+    (rank sentinel 0 — never NULL, which would break the oracle
+    sort), the standard RRF treatment of unretrieved documents.
+
+    The vec_id <-> doc_id identification is the testdata contract
+    (`embeddings.vec_id` is the embedding of `documents.doc_id` —
+    TESTDATA.md; ivf/semdedup rely on the same alignment).
+
+    Scale shape: each ranker is one corpus pass ending in a top-
+    RRF_POOL rank window (constant output); the fusion is a full
+    outer join of two 100-row frames. The dense query side is a
+    1-row broadcast (plan-audited bounded BNLJ). At 100 TB the
+    dense pool would ride the IVF/PQ index path instead of the
+    brute-force pass — same fusion, cheaper candidate generation.
+
+    Reference analog: none (no search in the reference) — this
+    completes the retrieval family bm25_topk opened.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _cosine_from, _dot, _with_norm
+
+    lexr = (
+        bm25_scored(spark, sf_dir)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank_lex") <= RRF_POOL)
+        .select("doc_id", "rank_lex")
+        .localCheckpoint(eager=False)
+    )
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    qe = emb.join(
+        lexr.filter(F.col("rank_lex") == 1).select("doc_id"),
+        emb["vec_id"] == F.col("doc_id"),
+    ).select(F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    cos = _cosine_from(
+        _dot(F.col("qe"), F.col("embedding")), F.col("qn"), F.col("norm")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(qe))
+        .withColumn("cos", F.round(cos, 4))
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank_dense") <= RRF_POOL)
+        .select(F.col("vec_id").alias("doc_id"), "rank_dense")
+    )
+
+    def _recip(rank: str) -> F.Column:
+        return F.when(
+            F.col(rank) > 0,
+            F.expr(
+                halfup_div_wide_sql(
+                    str(QUANT), f"{RRF_K} + {rank}", engine="spark"
+                )
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return (
+        lexr.join(dense, "doc_id", "full_outer")
+        .fillna({"rank_lex": 0, "rank_dense": 0})
+        .withColumn(
+            "rrf_u", _recip("rank_lex") + _recip("rank_dense")
+        )
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_dense",
+            "rrf_u",
+            (F.col("rrf_u") / F.lit(QUANT).cast("double")).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf_u"), "doc_id")
+        .limit(RRF_TOP_K)
+    )
+
+
+QUERIES["rrf_fusion"] = rrf_fusion
+
+
+def _rrf_oracle() -> str:
+    from .similarity import _cos_sql
+
+    def recip(rank: str) -> str:
+        return (
+            f"CASE WHEN {rank} > 0 THEN "
+            + halfup_div_wide_sql(
+                str(QUANT), f"{RRF_K} + {rank}", engine="duck"
+            )
+            + " ELSE 0 END"
+        )
+
+    return f"""
+        WITH {_scored_ctes()},
+        lexr AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score_u DESC, doc_id) AS INT) AS rank_lex
+            FROM scored
+        ),
+        lexp AS (SELECT * FROM lexr WHERE rank_lex <= {RRF_POOL}),
+        q AS (
+            SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = (SELECT doc_id FROM lexp WHERE rank_lex = 1)
+        ),
+        dcos AS (
+            SELECT e.vec_id AS doc_id,
+                   {_cos_sql("q.qe", "e.embedding")} AS cos
+            FROM embeddings e, q
+        ),
+        denser AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY cos DESC, doc_id) AS INT) AS rank_dense
+            FROM dcos
+        ),
+        densep AS (SELECT * FROM denser WHERE rank_dense <= {RRF_POOL}),
+        fused AS (
+            SELECT coalesce(l.doc_id, p.doc_id) AS doc_id,
+                   coalesce(l.rank_lex, 0) AS rank_lex,
+                   coalesce(p.rank_dense, 0) AS rank_dense
+            FROM lexp l FULL OUTER JOIN densep p ON l.doc_id = p.doc_id
+        )
+        SELECT doc_id, rank_lex, rank_dense,
+               ({recip('rank_lex')}) + ({recip('rank_dense')}) AS rrf_u,
+               (({recip('rank_lex')}) + ({recip('rank_dense')}))
+                   / CAST({QUANT} AS DOUBLE) AS rrf
+        FROM fused
+        ORDER BY rrf_u DESC, doc_id
+        LIMIT {RRF_TOP_K}
+    """
+
+
+ORACLES["rrf_fusion"] = _rrf_oracle()

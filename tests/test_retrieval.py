@@ -128,3 +128,77 @@ def test_contribution_math_survives_web_scale_operands(spark, duck):
         f"SELECT {halfup_div_wide_sql(d_num, d_den, 'duck')}"
     ).fetchall()
     assert got_s.h == got_d == want
+
+
+def test_rrf_vs_oracle(spark, duck):
+    df = retrieval.rrf_fusion(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, retrieval.ORACLES["rrf_fusion"], name="rrf_fusion"
+    )
+
+
+def test_rrf_matches_pure_python(spark):
+    """Independent fusion: numpy cosine ranking against the top-1
+    lexical doc's embedding + the engine-validated BM25 ranking,
+    fused with exact Fraction reciprocals, reproduces the top-20."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    lex = sorted(
+        (
+            (-r.score_u, r.doc_id)
+            for r in retrieval.bm25_scored(spark, SF_DIR_ORACLE).collect()
+        ),
+    )
+    rank_lex = {
+        d: i + 1 for i, (_, d) in enumerate(lex[: retrieval.RRF_POOL])
+    }
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            f"{SF_DIR_ORACLE}/embeddings.parquet"
+        ).collect()
+    }
+    q = emb[lex[0][1]]
+    qn = math.sqrt(float((q * q).sum()))
+    cos = {
+        v: round(
+            float((q * e).sum()) / (qn * math.sqrt(float((e * e).sum()))),
+            4,
+        )
+        for v, e in emb.items()
+    }
+    dense = sorted(((-c, v) for v, c in cos.items()))
+    rank_dense = {
+        v: i + 1 for i, (_, v) in enumerate(dense[: retrieval.RRF_POOL])
+    }
+
+    def recip(r):
+        if not r:
+            return 0
+        # half-up of QUANT/(K+r) as an exact rational
+        return int(
+            (
+                Fraction(retrieval.QUANT, retrieval.RRF_K + r)
+                + Fraction(1, 2)
+            ).__floor__()
+        )
+
+    want = sorted(
+        (
+            (
+                -(recip(rank_lex.get(d, 0)) + recip(rank_dense.get(d, 0))),
+                d,
+            )
+            for d in set(rank_lex) | set(rank_dense)
+        ),
+    )[: retrieval.RRF_TOP_K]
+    got = retrieval.rrf_fusion(spark, SF_DIR_ORACLE).collect()
+    assert [(r.doc_id, r.rrf_u) for r in got] == [
+        (d, -u) for u, d in want
+    ]
+    for r in got:
+        assert r.rank_lex == rank_lex.get(r.doc_id, 0)
+        assert r.rank_dense == rank_dense.get(r.doc_id, 0)
+        assert math.isclose(r.rrf, r.rrf_u / retrieval.QUANT)

@@ -140,3 +140,188 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+#: robust outlier threshold: |v - med| > ROBUST_K * 1.4826 * MAD,
+#: with the normal-consistency constant as the exact rational
+#: 14826/10000 so the comparison clears to pure integers
+ROBUST_K = 3
+MAD_SIGMA_N, MAD_SIGMA_D = 14826, 10000
+
+
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact median, exact MAD, and the count of
+    robust outliers (|v - median| > K * 1.4826 * MAD) over value
+    cents — the moment family's heavy-tail-safe sibling (a z-score
+    on stats_moments' stddev breaks down when outliers inflate the
+    stddev itself; the MAD rule is the standard robust form).
+
+    EXACT medians, distributively: the per-type VALUE HISTOGRAM
+    (type, cents, count) is the shuffled state — bounded by the
+    value domain (a 2-decimal price range), never by row count, so
+    a reducer holds ~10^4-10^6 integers per type at any corpus
+    size. Both middle order statistics come from the histogram's
+    cumulative counts with pure-integer ranks ((n+1) div 2 and
+    n div 2 + 1 — the grid_quantiles rational-rank lesson), and the
+    doubled medians M = v_lo + v_hi / M_A = a_lo + a_hi stay
+    integers, so the outlier test
+
+        |v - M/2| > K * (14826/10000) * (M_A / 4)
+
+    clears to  2*10^4 * |2v - M|  >  K * 14826 * M_A  — exact. The
+    deviation histogram reuses the value histogram (|2v - M| folds
+    values; counts re-aggregate), and displayed median/mad/sigma
+    are single IEEE divides of integers.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import halfup_ratio_sql
+
+    hist = (
+        load(spark, sf_dir, "events")
+        .select("event_type", cents(F.col("value")).alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _doubled_median(h: DataFrame, col: str) -> DataFrame:
+        """(event_type, m, n): m = lo+hi middle order stats of the
+        histogram (h must have event_type, col, cnt)."""
+        w = Window.partitionBy("event_type").orderBy(col)
+        c = h.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+        )
+        return c.groupBy("event_type").agg(
+            (
+                F.min(
+                    F.when(
+                        F.expr("cum >= (n + 1) div 2"), F.col(col)
+                    )
+                )
+                + F.min(
+                    F.when(F.expr("cum >= n div 2 + 1"), F.col(col))
+                )
+            ).alias("m"),
+            F.max("n").alias("n"),
+        )
+
+    med = _doubled_median(hist, "v")
+    a_hist = (
+        hist.join(
+            F.broadcast(med.select("event_type", "m")), "event_type"
+        )
+        .select(
+            "event_type",
+            F.abs(F.lit(2) * F.col("v") - F.col("m")).alias("a"),
+            "cnt",
+        )
+        .groupBy("event_type", "a")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    mad = _doubled_median(a_hist, "a").select(
+        "event_type", F.col("m").alias("ma")
+    )
+    thresh = ROBUST_K * MAD_SIGMA_N
+    out = (
+        a_hist.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"2 * {MAD_SIGMA_D} * a > {thresh} * ma"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(out, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(m AS DOUBLE) / CAST(200 AS DOUBLE) AS median_value",
+            "CAST(ma AS DOUBLE) / CAST(400 AS DOUBLE) AS mad_value",
+            f"CAST({MAD_SIGMA_N} * ma AS DOUBLE)"
+            f" / CAST({400 * MAD_SIGMA_D} AS DOUBLE) AS robust_sigma",
+            "n_outliers",
+            f"{halfup_ratio_sql('100 * n_outliers', 'n', 4, 'spark')}"
+            " AS outlier_pct",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["robust_outliers"] = robust_outliers
+
+
+def _robust_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    def doubled_median(src: str, col: str, alias: str) -> str:
+        return f"""
+        {alias}_c AS (
+            SELECT event_type, {col}, cnt,
+                   CAST(sum(cnt) OVER (
+                       PARTITION BY event_type ORDER BY {col}
+                   ) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (
+                       PARTITION BY event_type
+                   ) AS BIGINT) AS n
+            FROM {src}
+        ),
+        {alias} AS (
+            SELECT event_type,
+                   min(CASE WHEN cum >= (n + 1) // 2
+                            THEN {col} END)
+                   + min(CASE WHEN cum >= n // 2 + 1
+                              THEN {col} END) AS m,
+                   max(n) AS n
+            FROM {alias}_c GROUP BY event_type
+        )"""
+
+    thresh = ROBUST_K * MAD_SIGMA_N
+    return f"""
+        WITH hist AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        {doubled_median('hist', 'v', 'med')},
+        a_hist AS (
+            SELECT h.event_type, abs(2 * h.v - med.m) AS a,
+                   CAST(sum(h.cnt) AS BIGINT) AS cnt
+            FROM hist h JOIN med USING (event_type)
+            GROUP BY 1, 2
+        ),
+        {doubled_median('a_hist', 'a', 'madm')},
+        outl AS (
+            SELECT a.event_type,
+                   CAST(sum(CASE WHEN 2 * {MAD_SIGMA_D} * a.a
+                                      > {thresh} * madm.m
+                                 THEN a.cnt ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM a_hist a JOIN madm USING (event_type)
+            GROUP BY 1
+        )
+        SELECT med.event_type AS event_type, med.n AS n,
+               CAST(med.m AS DOUBLE) / CAST(200 AS DOUBLE)
+                   AS median_value,
+               CAST(madm.m AS DOUBLE) / CAST(400 AS DOUBLE)
+                   AS mad_value,
+               CAST({MAD_SIGMA_N} * madm.m AS DOUBLE)
+                   / CAST({400 * MAD_SIGMA_D} AS DOUBLE)
+                   AS robust_sigma,
+               n_outliers,
+               {halfup_ratio_sql('100 * n_outliers', 'med.n', 4, 'duck')}
+                   AS outlier_pct
+        FROM med JOIN madm USING (event_type)
+        JOIN outl USING (event_type)
+        ORDER BY event_type
+    """
+
+
+ORACLES["robust_outliers"] = _robust_oracle()

@@ -110,3 +110,141 @@ ORACLES = {
         ORDER BY cohort_week, week_offset
     """,
 }
+
+
+#: touch channels eligible for attribution, and the lookback window
+ATTR_CHANNELS = ("view", "click")
+ATTR_WINDOW_HOURS = 24
+
+_HOUR_US = 3_600_000_000
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every `purchase` is
+    credited to the user's most recent `view`/`click` within the
+    preceding ATTR_WINDOW_HOURS (channel `(none)` otherwise), and
+    revenue rolls up per channel with a half-up share of total.
+
+    The mechanism is a conditional LOCF over each user's (ts,
+    event_id)-ordered sequence: `last(<touch expr>, ignorenulls)
+    OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)` carries the
+    latest qualifying touch forward. Touch timestamp and channel
+    ride two parallel IGNORE-NULLS windows gated by the IDENTICAL
+    condition, so both resolve to the same row by construction (no
+    struct needed — keeps the oracle twin engine-portable). The
+    recency cut compares integer microsecond timestamps, so both
+    engines apply the same exact 24h boundary (closed: a touch
+    exactly 24h old still qualifies — the condition is >=,
+    identically on both sides).
+
+    Exactness: revenue sums are integer cents; the share is
+    `halfup_ratio_sql` on (10000 * channel_cents, total_cents).
+
+    Scale shape: ONE shuffle on user_id for the sequence window,
+    then a |channels|-row aggregate; the total-revenue join is a
+    1-row broadcast. Reference analog: none (the reference has no
+    notion of attribution) — extends the events family a8/a9 and
+    funnel_reconciliation opened.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import cents
+
+    in_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("unix_micros(ts)").alias("us"),
+        cents(F.col("value")).alias("v"),
+    )
+    seq = ev.select(
+        "event_type",
+        "us",
+        "v",
+        F.last(F.when(in_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+        F.last(F.when(in_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    window_us = ATTR_WINDOW_HOURS * _HOUR_US
+    attributed = seq.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us") >= F.col("us") - F.lit(window_us),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("(none)"))
+        .alias("channel"),
+        "v",
+    )
+    per = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").alias("rev_c"),
+    )
+    tot = per.agg(F.sum("rev_c").alias("tot_c"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "channel",
+            "n_purchases",
+            "CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue",
+            halfup_ratio_sql("100 * rev_c", "tot_c", 4)
+            + " AS revenue_share_pct",
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["attribution_last_touch"] = attribution_last_touch
+
+_SHARE_DUCK = halfup_ratio_sql("100 * rev_c", "tot_c", 4, engine="duck")
+
+ORACLES["attribution_last_touch"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, us, v,
+               last_value(CASE WHEN event_type IN
+                       {ATTR_CHANNELS} THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch_us,
+               last_value(CASE WHEN event_type IN
+                       {ATTR_CHANNELS} THEN event_type END
+                       IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch_type
+        FROM ev
+    ),
+    attributed AS (
+        SELECT CASE WHEN touch_us >= us - {ATTR_WINDOW_HOURS}
+                        * {_HOUR_US}
+                    THEN touch_type ELSE '(none)' END AS channel,
+               v
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    per AS (
+        SELECT channel, count(*) AS n_purchases,
+               CAST(sum(v) AS BIGINT) AS rev_c
+        FROM attributed GROUP BY channel
+    ),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM per)
+    SELECT channel, n_purchases,
+           CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+           {_SHARE_DUCK} AS revenue_share_pct
+    FROM per, tot
+    ORDER BY channel
+"""

@@ -62,3 +62,58 @@ def test_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert sorted(map(tuple, base)) == sorted(map(tuple, other))
+
+
+def test_robust_outliers_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.stats import (
+        ORACLES,
+        robust_outliers,
+    )
+
+    assert_matches_oracle(
+        robust_outliers(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["robust_outliers"],
+        name="robust_outliers",
+    )
+
+
+def test_robust_outliers_matches_pure_python(spark):
+    """statistics.median over the raw cents lists + a literal float
+    MAD-rule scan reproduce median/MAD/outlier counts exactly (the
+    integer comparison has no boundary error: 1.4826 is rational)."""
+    import statistics
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bike_analyzer_spark.operators import stats as st
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(round(value * 100) AS BIGINT) AS v"
+        )
+        .collect()
+    ):
+        vals[r.event_type].append(r.v)
+    got = {
+        r.event_type: r
+        for r in st.robust_outliers(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(got) == set(vals)
+    for t, vs in vals.items():
+        med = Fraction(statistics.median(vs))  # exact for int input
+        devs = [abs(Fraction(v) - med) for v in vs]
+        mad = Fraction(statistics.median(sorted(devs)))
+        cut = (
+            st.ROBUST_K
+            * Fraction(st.MAD_SIGMA_N, st.MAD_SIGMA_D)
+            * mad
+        )
+        n_out = sum(1 for d in devs if d > cut)
+        r = got[t]
+        assert r.n == len(vs)
+        assert r.median_value == float(med) / 100
+        assert r.mad_value == float(mad) / 100
+        assert r.n_outliers == n_out

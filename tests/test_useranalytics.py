@@ -34,3 +34,61 @@ def test_triangle_identities(spark):
         r["week_offset"] > 0 and r["n_users"] < r["cohort_size"]
         for r in rows
     )
+
+
+def test_attribution_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.useranalytics import (
+        ORACLES,
+        attribution_last_touch,
+    )
+
+    assert_matches_oracle(
+        attribution_last_touch(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["attribution_last_touch"],
+        name="attribution_last_touch",
+    )
+
+
+def test_attribution_matches_pure_python(spark):
+    """Scan each user's sorted sequence in plain Python: credit each
+    purchase to the latest view/click within the window."""
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type, r.v))
+    win = ua.ATTR_WINDOW_HOURS * 3_600_000_000
+    per = defaultdict(lambda: [0, 0])
+    for seq in by_user.values():
+        seq.sort()
+        touch = None  # (us, type)
+        for us, _, et, v in seq:
+            if et == "purchase":
+                ch = (
+                    touch[1]
+                    if touch and touch[0] >= us - win
+                    else "(none)"
+                )
+                per[ch][0] += 1
+                per[ch][1] += v
+            if et in ua.ATTR_CHANNELS:
+                touch = (us, et)
+    got = {
+        r.channel: (r.n_purchases, round(r.revenue * 100))
+        for r in ua.attribution_last_touch(spark, SF_DIR_ORACLE).collect()
+    }
+    assert got == {c: (n, cts) for c, (n, cts) in per.items()}

@@ -22,6 +22,7 @@ from bike_analyzer_spark.operators import (
     curate,
     dedup,
     divergence,
+    drift,
     evalsuite,
     funcsuite,
     fuzzy,
@@ -94,6 +95,13 @@ WINDOW_OVERFLOW = frozenset(
         "event_transitions",
         "activity_acf",
         "od_reach_hops",
+        "rrf_fusion",
+        "cusum_changepoint",
+        "psi_drift",
+        "robust_outliers",
+        "attribution_last_touch",
+        "source_data_card",
+        "activity_anova",
     }
 )
 
@@ -158,6 +166,11 @@ _scale_head, _scale_tail = _split(
     scale, ["scale_salted_sums", "scale_grid_quantiles"]
 )
 _graph_head, _graph_tail = _split(graph, ["od_triangles"])
+_retrieval_head, _retrieval_tail = _split(retrieval, ["bm25_topk"])
+_stats_head, _stats_tail = _split(stats, ["stats_moments"])
+_useranalytics_head, _useranalytics_tail = _split(
+    useranalytics, ["cohort_retention"]
+)
 _semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
 _sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
 _sampling_head, _sampling_tail = _split(sampling, ["weighted_sample"])
@@ -203,7 +216,7 @@ _MODULES = [
     # so those pipelines stay driver-gated through the eval query.
     # pq (2-streak, driver-proven r5+r6) ceded its pair of slots to
     # warehouse_ext's nation_metrics_unpivot + window headroom.)
-    stats,  # NEW r8 wave 10 (streak 0): exact-moment stddev/corr/OLS
+    _stats_head,  # NEW r8 wave 10 (streak 0): exact-moment stddev/corr/OLS
     funcsuite,  # NEW r8 wave 9 (streak 0): array/datetime/rank/string
     # suites. Wave-9/10 slot arithmetic: quality's four 2-streak
     # queries (incl. the decontam_overlap re-proof — r7-green post
@@ -214,10 +227,10 @@ _MODULES = [
     # cohort_retention.
     _sampling_head,  # weighted_sample (streak 0)
     gapfill,  # NEW r8 wave 9 (streak 0): time_bucket_gapfill shape
-    useranalytics,  # NEW r8 wave 9 (streak 0): cohort retention
+    _useranalytics_head,  # NEW r8 wave 9 (streak 0): cohort retention
     _dedup_head,
     _graph_head,  # NEW r8: od_triangles (streak 0)
-    retrieval,  # NEW r8: bm25_topk (streak 0)
+    _retrieval_head,  # NEW r8: bm25_topk (streak 0)
     tpch_close,  # NEW r8 wave 5 (streak 0): Q2/Q6/Q8/Q9/Q15/Q20/Q21
     # (tpch_close's seven slots came from multimodal (4) and the
     # similarity tail (3) — all streak ≥3, none in the r7 window,
@@ -236,6 +249,10 @@ _MODULES = [
     divergence,  # NEW r8 wave 11 (streak 0, outside: the window is
     # full with streak-0/1 queries; enters on r9 rotation)
     sequences,  # NEW r8 wave 12 (streak 0, outside — same reason)
+    _retrieval_tail,  # NEW r8 wave 12: rrf_fusion (streak 0, outside)
+    drift,  # NEW r8 wave 12: cusum/psi (streak 0, outside)
+    _stats_tail,  # NEW r8 wave 13: robust MAD outliers (streak 0, outside)
+    _useranalytics_tail,  # NEW r8 wave 13: attribution (streak 0, outside)
     quality,
     _sampling_tail,
     curate,

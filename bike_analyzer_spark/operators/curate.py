@@ -129,3 +129,147 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATA CARD — the one-page curation summary a
+    training-data team publishes alongside a corpus release: volume
+    (docs / tokens / chars), exact-duplicate rate, Gopher/C4 quality
+    pass rate, and language composition, one row per source.
+
+    Every statistic reuses a standalone operator's arithmetic
+    verbatim (`quality.rule_flags` for the keep gate, `text`'s
+    marker langid, `dedup_exact`'s md5 identity), so the card is
+    consistent-by-construction with the pipeline's own gates —
+    a reader can drill from any card number into the operator that
+    produced it.
+
+    Exactness: every displayed rate is `halfup_ratio_sql` over
+    exact integer (count, count) pairs — the card carries no
+    rounded doubles at all.
+
+    Scale shape: ONE corpus scan computing all per-doc columns in a
+    single fused projection (tokenize subexpressions share via
+    codegen CSE), then one hash aggregate keyed by source. The
+    exact-duplicate count rides count(DISTINCT md5) INSIDE the same
+    aggregate — Spark plans the standard two-phase distinct-agg
+    expansion, so per-reducer state is (source, hash)-sized, the
+    same bound dedup_exact already carries. No joins anywhere.
+    """
+    from ..functions.exact import halfup_ratio_sql
+    from .quality import rule_flags
+
+    flagged = rule_flags(load(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    hits = {
+        code: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for code, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= 2) & (hits["en"] >= hits["pt"]), F.lit("en")
+        )
+        .when(hits["pt"] >= 2, F.lit("pt"))
+        .otherwise(F.lit("und"))
+    )
+    per_doc = flagged.select(
+        "source",
+        F.size(toks).cast("long").alias("ntok"),
+        "n_chars",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"),
+        F.col("keep").cast("long").alias("keepi"),
+        (pred == "en").cast("long").alias("eni"),
+        (pred == "und").cast("long").alias("undi"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.col("h")).alias("n_uniq"),
+        F.sum("keepi").alias("n_keep"),
+        F.sum("eni").alias("n_en"),
+        F.sum("undi").alias("n_und"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sum_chars",
+        f"{halfup_ratio_sql('n_tokens', 'n_docs', 2)} AS mean_tokens",
+        f"{halfup_ratio_sql('100 * (n_docs - n_uniq)', 'n_docs', 4)}"
+        " AS exact_dup_pct",
+        f"{halfup_ratio_sql('100 * n_keep', 'n_docs', 4)} AS keep_pct",
+        f"{halfup_ratio_sql('100 * n_en', 'n_docs', 4)} AS en_pct",
+        f"{halfup_ratio_sql('100 * n_und', 'n_docs', 4)} AS und_pct",
+    ).orderBy("source")
+
+
+QUERIES["source_data_card"] = source_data_card
+
+
+def _data_card_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+    from .quality import KEEP_EXPR, _max_token_count_duck
+
+    def pct(num: str) -> str:
+        return halfup_ratio_sql(num, "n_docs", 4, engine="duck")
+
+    return f"""
+        WITH t AS (
+            SELECT source, text, n_chars, {_TOKS} AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT source, text, n_chars,
+                   len(toks) AS n_tok,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       / len(toks) AS mean_len,
+                   length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+                       / length(text) AS sym_ratio,
+                   len(list_filter(toks,
+                       x -> x IN ({_sql_list(STOPWORDS)}))) AS stop_hits,
+                   {_max_token_count_duck("toks")} / len(toks)
+                       AS top_ratio,
+                   len(list_filter(toks, x -> x IN
+                       ({_sql_list(LANG_MARKERS["en"])}))) AS en_hits,
+                   len(list_filter(toks, x -> x IN
+                       ({_sql_list(LANG_MARKERS["pt"])}))) AS pt_hits
+            FROM t
+        ),
+        f AS (
+            SELECT source, n_chars,
+                   CAST(n_tok AS BIGINT) AS ntok,
+                   md5(text) AS h,
+                   CASE WHEN {KEEP_EXPR} THEN 1 ELSE 0 END AS keepi,
+                   CASE WHEN en_hits >= 2 AND en_hits >= pt_hits
+                        THEN 'en'
+                        WHEN pt_hits >= 2 THEN 'pt'
+                        ELSE 'und' END AS pred
+            FROM m
+        ),
+        agg AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(DISTINCT h) AS n_uniq,
+                   CAST(sum(keepi) AS BIGINT) AS n_keep,
+                   CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_und
+            FROM f GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, sum_chars,
+               {halfup_ratio_sql('n_tokens', 'n_docs', 2, engine='duck')}
+                   AS mean_tokens,
+               {pct('100 * (n_docs - n_uniq)')} AS exact_dup_pct,
+               {pct('100 * n_keep')} AS keep_pct,
+               {pct('100 * n_en')} AS en_pct,
+               {pct('100 * n_und')} AS und_pct
+        FROM agg
+        ORDER BY source
+    """
+
+
+ORACLES["source_data_card"] = _data_card_oracle()

@@ -280,3 +280,138 @@ ORACLES = {
         ORDER BY lag_hours
     """,
 }
+
+
+#: micro-unit scale for the per-group S_g^2/n_g quantization
+ANOVA_SCALE = 1_000_000
+
+
+def activity_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of the observed hourly series: one-way
+    ANOVA variance decomposition by hour-of-day and by day-of-week,
+    emitting eta^2 = SS_between / SS_total per period — the
+    statistic behind "is there a daily/weekly cycle worth modeling"
+    (eta^2 ~ 0 means the seasonal-naive forecast adds nothing).
+
+    Exactness: SS_total rides the multiply-through identity
+    (n*Q - S^2, exact integers); each group's S_g^2/n_g is half-up
+    quantized ONCE to ANOVA_SCALE micro-units (128-bit lift — the
+    BM25 per-term discipline; error <= 0.5/SCALE per group, <= 24
+    groups) and summed exactly; eta^2 is then ONE shared-text
+    double expression over those integers. Day-of-week uses the
+    epoch-day + 4 mod 7 rule (day 0 = Thursday), pure integer math
+    identical in both engines.
+
+    Scale shape: the corpus collapses to the span-sized hourly
+    frame once (shared with activity_acf's aggregate); each period
+    is a <=24-row group-by over it plus a 1-row broadcast of the
+    corpus moments. Nothing downstream of the first aggregate is
+    corpus-sized.
+    """
+    from ..functions.exact import halfup_div_wide_sql
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.expr("sum(c * c)").alias("q"),
+    )
+    qg = halfup_div_wide_sql(
+        f"CAST(sg AS DECIMAL(38,0)) * sg * {ANOVA_SCALE}", "ng"
+    )
+    qt = halfup_div_wide_sql(
+        f"CAST(s AS DECIMAL(38,0)) * s * {ANOVA_SCALE}", "n"
+    )
+
+    def one(period: str, grp: str) -> DataFrame:
+        groups = (
+            counts.withColumn("g", F.expr(grp))
+            .groupBy("g")
+            .agg(F.sum("c").alias("sg"), F.count(F.lit(1)).alias("ng"))
+            .selectExpr(f"{qg} AS qg")
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("qg").alias("sqg"),
+            )
+        )
+        return groups.crossJoin(F.broadcast(tot)).selectExpr(
+            f"'{period}' AS period",
+            "n AS n_obs",
+            "n_groups",
+            f"CAST(q * n - s * s AS DOUBLE)"
+            f" / CAST(n AS DOUBLE) AS ss_total",
+            f"CAST(sqg - {qt} AS DOUBLE)"
+            f" / CAST({ANOVA_SCALE} AS DOUBLE) AS ss_between",
+            f"(CAST(sqg - {qt} AS DOUBLE)"
+            f" / CAST({ANOVA_SCALE} AS DOUBLE))"
+            f" / (CAST(q * n - s * s AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" AS eta_sq",
+        )
+
+    hod = one("hour_of_day", "h % 24")
+    dow = one("day_of_week", "((h div 24) + 4) % 7")
+    return hod.unionAll(dow).orderBy("period")
+
+
+QUERIES["activity_anova"] = activity_anova
+
+
+def _anova_oracle() -> str:
+    from ..functions.exact import halfup_div_wide_sql
+
+    qg = halfup_div_wide_sql(
+        f"CAST(sg AS HUGEINT) * sg * {ANOVA_SCALE}", "ng", engine="duck"
+    )
+    qt = halfup_div_wide_sql(
+        f"CAST(s AS HUGEINT) * s * {ANOVA_SCALE}", "n", engine="duck"
+    )
+
+    def one(period: str, grp: str) -> str:
+        return f"""
+        SELECT '{period}' AS period,
+               n AS n_obs, n_groups,
+               CAST(q * n - s * s AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS ss_total,
+               CAST(sqg - {qt} AS DOUBLE)
+                   / CAST({ANOVA_SCALE} AS DOUBLE) AS ss_between,
+               (CAST(sqg - {qt} AS DOUBLE)
+                   / CAST({ANOVA_SCALE} AS DOUBLE))
+                   / (CAST(q * n - s * s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS eta_sq
+        FROM (
+            SELECT count(*) AS n_groups,
+                   CAST(sum({qg}) AS BIGINT) AS sqg
+            FROM (
+                SELECT {grp} AS g, CAST(sum(c) AS BIGINT) AS sg,
+                       count(*) AS ng
+                FROM counts GROUP BY 1
+            )
+        ), tot"""
+
+    return f"""
+        WITH counts AS (
+            SELECT epoch_us(ts) // {HOUR_US} AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        tot AS (
+            SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS q
+            FROM counts
+        )
+        {one("hour_of_day", "h % 24")}
+        UNION ALL
+        {one("day_of_week", "((h // 24) + 4) % 7")}
+        ORDER BY period
+    """
+
+
+ORACLES["activity_anova"] = _anova_oracle()

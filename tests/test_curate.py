@@ -75,3 +75,60 @@ def test_single_shuffle_plan(spark):
     # body must contribute exactly one hashpartitioning exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_data_card_vs_oracle(spark, duck):
+    assert_matches_oracle(
+        curate.source_data_card(spark, SF_DIR_ORACLE),
+        duck,
+        curate.ORACLES["source_data_card"],
+        name="source_data_card",
+    )
+
+
+def test_data_card_consistent_with_standalone_operators(spark):
+    """Each card column re-derives from the operator that owns its
+    arithmetic: quality.text_quality_rules (keep), text.text_langid
+    (language mix), dedup_exact's md5 identity (dup rate)."""
+    from collections import Counter, defaultdict
+
+    from bike_analyzer_spark.operators import dedup, quality
+
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(
+            f"{SF_DIR_ORACLE}/documents.parquet"
+        )
+        .select("doc_id", "source")
+        .collect()
+    }
+    keep = Counter()
+    for r in quality.text_quality_rules(spark, SF_DIR_ORACLE).collect():
+        if r.keep:
+            keep[src[r.doc_id]] += 1
+    langs = defaultdict(Counter)
+    for r in text.text_langid(spark, SF_DIR_ORACLE).collect():
+        langs[src[r.doc_id]][r.lang_pred] += 1
+    # dedup_exact is corpus-global; recompute per-source md5 sets
+    import hashlib
+
+    uniq = defaultdict(set)
+    ndocs = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ):
+        ndocs[r.source] += 1
+        uniq[r.source].add(hashlib.md5(r.text.encode()).hexdigest())
+    card = curate.source_data_card(spark, SF_DIR_ORACLE).collect()
+    assert {r.source for r in card} == set(ndocs)
+    for r in card:
+        s = r.source
+        assert r.n_docs == ndocs[s]
+        assert round(r.keep_pct * ndocs[s]) == 100 * keep[s]
+        assert round(r.en_pct * ndocs[s]) == 100 * langs[s]["en"]
+        assert round(r.und_pct * ndocs[s]) == 100 * langs[s]["und"]
+        assert round(r.exact_dup_pct * ndocs[s]) == 100 * (
+            ndocs[s] - len(uniq[s])
+        )

@@ -65,6 +65,15 @@ _BOUNDED_CROSSJOIN_OK = {
     "domain_entropy",
     # 1-row series-bounds frame joined onto the hourly series
     "activity_acf",
+    # 1-row corpus-moments frame onto the <=24-row group stats
+    "activity_anova",
+    # bm25's 1-row stats frame + the 1-row dense query vector
+    "rrf_fusion",
+    # 1-row bounds / midpoint / totals frames over bounded series
+    "cusum_changepoint",
+    "psi_drift",
+    # 1-row total-revenue frame onto the |channels|-row rollup
+    "attribution_last_touch",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

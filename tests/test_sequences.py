@@ -105,3 +105,46 @@ def test_acf_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert [tuple(r) for r in base] == [tuple(r) for r in other]
+
+
+def test_anova_matches_pure_python(spark):
+    """Float one-way ANOVA on the observed hourly series equals the
+    quantized-integer decomposition to inside the micro-unit error,
+    and eta^2 lands in [0, 1]."""
+    from collections import defaultdict
+
+    hs = Counter(
+        r.h
+        for r in spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS t")
+        .selectExpr(f"unix_micros(t) div {sequences.HOUR_US} AS h")
+        .collect()
+    )
+    got = {
+        r.period: r
+        for r in sequences.activity_anova(spark, SF_DIR_SMOKE).collect()
+    }
+    assert set(got) == {"hour_of_day", "day_of_week"}
+    for period, key in [
+        ("hour_of_day", lambda h: h % 24),
+        ("day_of_week", lambda h: (h // 24 + 4) % 7),
+    ]:
+        n = len(hs)
+        mean = sum(hs.values()) / n
+        ss_total = sum((c - mean) ** 2 for c in hs.values())
+        groups = defaultdict(list)
+        for h, c in hs.items():
+            groups[key(h)].append(c)
+        ss_between = sum(
+            len(v) * (sum(v) / len(v) - mean) ** 2
+            for v in groups.values()
+        )
+        r = got[period]
+        assert r.n_obs == n
+        assert r.n_groups == len(groups)
+        assert math.isclose(r.ss_total, ss_total, rel_tol=1e-12)
+        assert math.isclose(r.ss_between, ss_between, abs_tol=1e-4)
+        assert math.isclose(
+            r.eta_sq, ss_between / ss_total, abs_tol=1e-6
+        )
+        assert -1e-9 <= r.eta_sq <= 1 + 1e-9

@@ -102,6 +102,7 @@ WINDOW_OVERFLOW = frozenset(
         "attribution_last_touch",
         "source_data_card",
         "activity_anova",
+        "entity_clusters",
     }
 )
 

@@ -153,3 +153,92 @@ ORACLES = {
         FROM sizes
     """,
 }
+
+
+#: match threshold: the sf-invariant bimodal gap in prefix edit
+#: distance (true variants land <=8; unrelated same-block docs ~24+
+#: at every testdata SF) — measured, with wide margin on both sides
+MATCH_DIST = 10
+
+
+def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking + edit-distance verify
+    (this module) feeding connected components (`graph.py`) — the
+    Fellegi-Sunter pipeline's resolve step. Same-block pairs within
+    MATCH_DIST prefix edits become match edges; transitively linked
+    documents collapse into one entity whose canonical id is the
+    cluster's min doc_id (the dedup_clusters convention). Emits one
+    row per multi-member entity: canonical id, member count, and the
+    sorted member list (array_join CSV — deterministic).
+
+    Scale shape: the match-edge stage inherits fuzzy_pairs' bounds
+    (capped blocks, quadratic only within a block); the clustering
+    inherits connected_components' O(diameter) label propagation
+    with per-round checkpoints. Entity chains are short (matches are
+    near-identical strings), so convergence is fast by construction.
+    """
+    from .graph import connected_components
+
+    b = _blocked(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    l = b.select(
+        "blk", F.col("doc_id").alias("a"), F.col("prefix").alias("pa")
+    )
+    r = b.select(
+        "blk", F.col("doc_id").alias("b"), F.col("prefix").alias("pb")
+    )
+    edges = (
+        l.join(r, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("pa", "pb") <= MATCH_DIST)
+        .select("a", "b")
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list("id")), ","
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("component").alias("canonical_id"),
+            "n_members",
+            "members",
+        )
+        .orderBy(F.desc("n_members"), F.asc("canonical_id"))
+    )
+
+
+QUERIES["entity_clusters"] = entity_clusters
+
+ORACLES["entity_clusters"] = f"""
+    WITH RECURSIVE {_BLOCKED_CTE},
+    edges AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+        WHERE levenshtein(l.prefix, r.prefix) <= {MATCH_DIST}
+    ),
+    bidir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b, a FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT e.dst, r.lbl
+        FROM bidir e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT component AS canonical_id,
+           count(*) AS n_members,
+           array_to_string(list_sort(list(id)), ',') AS members
+    FROM comp
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY n_members DESC, canonical_id ASC
+"""

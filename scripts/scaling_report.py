@@ -19,6 +19,13 @@ FAMILIES = [
                                  "a7", "a8", "a9", "a11", "a12", "w1", "w3",
                                  "w4", "s14", "f_")),
     ("OD / graph", ("od_",)),
+    ("events analytics", ("event_transitions", "activity_", "cusum",
+                          "psi_", "robust_outliers", "attribution",
+                          "stats_", "cohort", "rolling_user",
+                          "funnel", "scd2", "event_gap",
+                          "purchase_value_rank", "dormant",
+                          "above_avg", "scale_")),
+    ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "cube", "purchase_quartiles",
                        "user_value_navigation", "event_grouping_sets",
@@ -30,7 +37,7 @@ FAMILIES = [
                              "domain_")),
     ("pipeline ops", ("split_", "stratified", "weighted_sample", "mix_",
                       "pack_", "scrub_", "curate", "cms_", "approx",
-                      "fuzzy_")),
+                      "fuzzy_", "source_data", "mm_")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_")),
 ]

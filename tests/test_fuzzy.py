@@ -76,3 +76,72 @@ def test_pairs_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_clusters_match_union_find(spark):
+    """Independent resolve: plain union-find over python-recomputed
+    match edges reproduces every multi-member entity."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(
+            f"{SF_DIR_ORACLE}/documents.parquet"
+        ).collect()
+    ]
+    blocks = defaultdict(list)
+    for did, text in docs:
+        toks = text.strip().split()
+        blocks[" ".join(toks[:2])].append(
+            (did, text[: fuzzy.PREFIX_LEN])
+        )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[-1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for members in blocks.values():
+        if len(members) > fuzzy.BLOCK_CAP:
+            continue
+        for i, (a, pa) in enumerate(members):
+            for b, pb in members[i + 1:]:
+                if lev(pa, pb) <= fuzzy.MATCH_DIST:
+                    union(a, b)
+    want = defaultdict(set)
+    for x in parent:
+        want[find(x)].add(x)
+    want = {
+        min(v): sorted(v) for v in want.values() if len(v) >= 2
+    }
+    got = {
+        r.canonical_id: [int(m) for m in r.members.split(",")]
+        for r in fuzzy.entity_clusters(spark, SF_DIR_ORACLE).collect()
+    }
+    assert got == want

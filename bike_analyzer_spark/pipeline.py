@@ -79,12 +79,40 @@ def run_corpus_build(
     spark: SparkSession, sf_dir: str, table_dir: str, n_shards: int = N_SHARDS
 ) -> dict:
     """Build and publish one corpus version. Returns a small audit
-    dict (the numbers a pipeline run should log)."""
-    docs = curated_docs(spark, sf_dir).localCheckpoint(eager=False)
+    dict (the numbers a pipeline run should log).
+
+    The audit counts ride Spark's OBSERVED-METRICS API
+    (`DataFrame.observe`): the metrics accumulate inside the shard
+    write's own pass — the curated frame is never re-scanned just to
+    count it (at 100 TB a `.count()` audit is a second full corpus
+    scan). The observe node sits BELOW the train filter and the lazy
+    checkpoint, so the one materializing action sees every curated
+    row, train and val."""
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_build_audit")
+    docs = (
+        curated_docs(spark, sf_dir)
+        # checkpoint FIRST, observe ABOVE it: CollectMetrics
+        # accumulators register with the query that executes them, and
+        # a lazily-materialized checkpoint runs its subtree as an
+        # internal RDD job the outer query's listener never sees —
+        # metrics below the checkpoint boundary read back as zeros
+        .localCheckpoint(eager=False)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum((F.col("split") == "train").cast("long")).alias(
+                "train_seen"
+            ),
+            F.min(F.length("text")).alias("min_text_len"),
+        )
+    )
     staging = os.path.join(table_dir, "_build.staging")
     write_shuffled_shards(
         docs.filter("split = 'train'").drop("split"), staging, n_shards
     )
+    audit = obs.get
     train = spark.read.parquet(staging)
     # publish through the constraint gate: a pipeline bug ships
     # NOTHING rather than a plausible-but-broken training set
@@ -102,7 +130,7 @@ def run_corpus_build(
     )
     n_train = versioned.history(table_dir)[-1]["n_rows"]
     n_total = load(spark, sf_dir, "documents").count()
-    n_kept = docs.count()
+    n_kept = audit["docs_kept"]
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -112,5 +140,6 @@ def run_corpus_build(
         "docs_kept": n_kept,
         "train_rows": n_train,
         "val_rows": n_kept - n_train,
+        "min_text_len": audit["min_text_len"],
         "n_shards": n_shards,
     }

@@ -56,3 +56,15 @@ def test_build_publishes_versions_and_reruns_identically(spark, tmp_path):
     }
     assert v2 == v1  # deterministic end-to-end: rerun == same corpus
     assert out2["train_rows"] == out1["train_rows"]
+
+
+def test_audit_metrics_ride_the_write_pass(spark, tmp_path):
+    """The observed-metrics audit agrees with the published version:
+    counting never needed a second corpus scan."""
+    table = str(tmp_path / "corpus_obs")
+    out = pipeline.run_corpus_build(spark, SF_DIR_SMOKE, table)
+    assert out["docs_kept"] == out["train_rows"] + out["val_rows"]
+    assert out["min_text_len"] >= 1  # the CHECK constraint's floor
+    direct = pipeline.curated_docs(spark, SF_DIR_SMOKE)
+    assert out["docs_kept"] == direct.count()
+    assert out["train_rows"] == direct.filter("split = 'train'").count()

@@ -103,6 +103,7 @@ WINDOW_OVERFLOW = frozenset(
         "source_data_card",
         "activity_anova",
         "entity_clusters",
+        "integrity_audit",
     }
 )
 

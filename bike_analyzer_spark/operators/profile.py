@@ -119,3 +119,107 @@ ORACLES = {
         + "\nORDER BY col_name"
     ),
 }
+
+
+#: declared relationships: (name, child table, child key, parent
+#: table, parent key) — the dbt-style tests a warehouse runs nightly
+FK_RELATIONSHIPS = (
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+)
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per declared relationship
+    with child row count, NULL-key rows, distinct child keys, orphan
+    keys (no matching parent), and orphan ROWS.
+
+    Scale shape: the child fact collapses to its KEY HISTOGRAM
+    (groupBy key, count) BEFORE touching the parent — the anti join
+    runs at key cardinality, never row cardinality, so auditing a
+    100 TB lineitem against orders shuffles |distinct orderkeys|
+    rows, and orphan-row counts come back as sums over that
+    histogram. Each relationship is an independent branch of one
+    union — Spark schedules them as parallel stages.
+
+    Reference analog: none (the reference never validates
+    referential integrity) — the read-side complement of
+    `sources/constraints.py`'s write-side foreign_key gate.
+    """
+    out = None
+    for name, child, ckey, parent, pkey in FK_RELATIONSHIPS:
+        c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+        )
+        hist = c.where(F.col("k").isNotNull()).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        nulls = c.where(F.col("k").isNull()).agg(
+            F.count(F.lit(1)).alias("n_null_keys")
+        )
+        orphans = (
+            hist.join(p, "k", "left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n_orphan_keys"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphan_rows"),
+            )
+        )
+        totals = hist.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct_keys"),
+        )
+        row = (
+            totals.crossJoin(F.broadcast(nulls))
+            .crossJoin(F.broadcast(orphans))
+            .selectExpr(
+                f"'{name}' AS relationship",
+                "n_rows",
+                "n_null_keys",
+                "n_distinct_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relationship")
+
+
+QUERIES["integrity_audit"] = integrity_audit
+
+
+def _integrity_oracle() -> str:
+    parts = []
+    for name, child, ckey, parent, pkey in FK_RELATIONSHIPS:
+        parts.append(f"""
+        SELECT '{name}' AS relationship,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}
+                WHERE {ckey} IS NULL) AS n_null_keys,
+               count(*) AS n_distinct_keys,
+               CAST(coalesce(sum(CASE WHEN orphan THEN 1 END), 0)
+                    AS BIGINT) AS n_orphan_keys,
+               CAST(coalesce(sum(CASE WHEN orphan THEN n END), 0)
+                    AS BIGINT) AS n_orphan_rows
+        FROM (
+            SELECT k, n,
+                   k NOT IN (SELECT {pkey} FROM {parent}
+                             WHERE {pkey} IS NOT NULL) AS orphan
+            FROM (
+                SELECT {ckey} AS k, CAST(count(*) AS BIGINT) AS n
+                FROM {child} WHERE {ckey} IS NOT NULL GROUP BY 1
+            )
+        )""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"{body}\n        ORDER BY relationship"
+
+
+ORACLES["integrity_audit"] = _integrity_oracle()

@@ -74,6 +74,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "psi_drift",
     # 1-row total-revenue frame onto the |channels|-row rollup
     "attribution_last_touch",
+    # per-relationship 1-row null/orphan/total frames assembled
+    "integrity_audit",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

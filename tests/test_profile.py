@@ -22,3 +22,61 @@ def test_profile_null_handling(spark):
            for r in prof.profile(df).collect()}
     assert got["a"] == (2, 0.3333, 1.0, 2.0)
     assert got["b"][0] == 2 and got["b"][2] is None
+
+
+def test_integrity_audit_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.profile import (
+        ORACLES,
+        integrity_audit,
+    )
+
+    assert_matches_oracle(
+        integrity_audit(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["integrity_audit"],
+        name="integrity_audit",
+    )
+
+
+def test_integrity_audit_detects_planted_orphans(spark, tmp_path):
+    """Deleting parents and nulling keys in a copied mini-warehouse
+    surfaces exactly the planted violations."""
+    from pyspark.sql import functions as F
+
+    from bike_analyzer_spark.operators.profile import integrity_audit
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_SMOKE
+
+    sf = str(tmp_path)
+    for t in ["lineitem", "customer", "nation", "events"]:
+        load(spark, SF_DIR_SMOKE, t).write.parquet(f"{sf}/{t}.parquet")
+    orders = load(spark, SF_DIR_SMOKE, "orders")
+    victims = [
+        r.l_orderkey
+        for r in load(spark, SF_DIR_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .orderBy("l_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    # drop 3 referenced orders; null 5 order custkeys
+    (
+        orders.where(~F.col("o_orderkey").isin(victims))
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 997 < 5, None).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .write.parquet(f"{sf}/orders.parquet")
+    )
+    got = {r.relationship: r for r in integrity_audit(spark, sf).collect()}
+    li = got["lineitem.orderkey->orders"]
+    assert li.n_orphan_keys == 3
+    assert li.n_orphan_rows >= 3
+    oc = got["orders.custkey->customer"]
+    assert oc.n_null_keys > 0
+    assert oc.n_orphan_keys == 0
+    # untouched relationships stay clean
+    assert got["customer.nationkey->nation"].n_orphan_keys == 0

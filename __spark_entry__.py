@@ -104,6 +104,9 @@ WINDOW_OVERFLOW = frozenset(
         "activity_anova",
         "entity_clusters",
         "integrity_audit",
+        "ltv_decay",
+        "skew_report",
+        "value_reversals",
     }
 )
 

@@ -202,3 +202,153 @@ ORACLES = {
         ORDER BY event_type, q
     """,
 }
+
+
+def value_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over each user's value series — the
+    MATCH_RECOGNIZE `PATTERN (DOWN+ UP+)` shape, emulated with the
+    gaps-and-islands idiom Spark actually executes: per user, count
+    V-reversals (strict local minima), peaks (strict local maxima),
+    and the longest strict down-run / up-run.
+
+    Mechanics: direction = sign(v - lag(v)) per step over the
+    (ts, event_id) total order; a valley is dir = -1 followed by
+    dir = +1 (lead); runs are islands keyed by
+    rn - row_number-within-(user, dir) — the standard consecutive-
+    group trick (`busy_islands`' sibling, here over a value series
+    instead of station status). Ties (dir = 0) break runs and can't
+    fake extrema — strictness is the sign function itself.
+
+    Exactness: directions compare exact integer CENTS, counts and
+    run lengths are integers — nothing to quantize.
+
+    Scale shape: ONE shuffle on user_id; every window
+    (lag/lead/row_number twice) reuses that single partitioning,
+    then one per-user aggregate. Output is user-cardinality.
+    """
+    rn_u = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            cents(F.col("value")).alias("v"),
+        )
+        .withColumn("rn", rn_u)
+        .withColumn(
+            "dir",
+            F.expr(
+                "CAST(sign(v - lag(v) OVER (PARTITION BY user_id"
+                " ORDER BY ts, event_id)) AS INT)"
+            ),
+        )
+        .withColumn(
+            "next_dir",
+            F.lead("dir").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    runs = (
+        ev.where(F.col("dir").isin(-1, 1))
+        .withColumn(
+            "isl",
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("user_id", "dir").orderBy("rn")
+            ),
+        )
+        .groupBy("user_id", "dir", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("dir") == -1, F.col("run_len"))
+            ).alias("max_down_run"),
+            F.max(
+                F.when(F.col("dir") == 1, F.col("run_len"))
+            ).alias("max_up_run"),
+        )
+    )
+    extrema = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            (
+                (F.col("dir") == -1) & (F.col("next_dir") == 1)
+            ).cast("long")
+        ).alias("n_valleys"),
+        F.sum(
+            (
+                (F.col("dir") == 1) & (F.col("next_dir") == -1)
+            ).cast("long")
+        ).alias("n_peaks"),
+    )
+    return (
+        extrema.join(runs, "user_id", "left")
+        .fillna({"max_down_run": 0, "max_up_run": 0})
+        .orderBy("user_id")
+    )
+
+
+QUERIES["value_reversals"] = value_reversals
+
+ORACLES["value_reversals"] = """
+    WITH ev0 AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    ev AS (
+        SELECT *, CAST(sign(v - lag(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS INT) AS dir
+        FROM ev0
+    ),
+    ev2 AS (
+        SELECT *, lead(dir) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_dir
+        FROM ev
+    ),
+    runs AS (
+        SELECT user_id,
+               max(CASE WHEN dir = -1 THEN run_len END)
+                   AS max_down_run,
+               max(CASE WHEN dir = 1 THEN run_len END) AS max_up_run
+        FROM (
+            SELECT user_id, dir,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM (
+                SELECT user_id, dir, rn,
+                       rn - row_number() OVER (
+                           PARTITION BY user_id, dir ORDER BY rn
+                       ) AS isl
+                FROM ev2 WHERE dir IN (-1, 1)
+            )
+            GROUP BY user_id, dir, isl
+        )
+        GROUP BY user_id
+    ),
+    extrema AS (
+        SELECT user_id,
+               count(*) AS n_points,
+               CAST(sum(CASE WHEN dir = -1 AND next_dir = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_valleys,
+               CAST(sum(CASE WHEN dir = 1 AND next_dir = -1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+        FROM ev2
+        GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id, n_points, n_valleys, n_peaks,
+           coalesce(max_down_run, 0) AS max_down_run,
+           coalesce(max_up_run, 0) AS max_up_run
+    FROM extrema e LEFT JOIN runs USING (user_id)
+    ORDER BY user_id
+"""

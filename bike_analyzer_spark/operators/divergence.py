@@ -102,12 +102,16 @@ _JSD = (
 
 def _source_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, w, f): per-source term frequencies — the Heaps-law
-    sized table every statistic here reads."""
+    sized table every statistic here reads. Lineage-truncated once:
+    both queries consume it from TWO subtrees (corpus/total rollup +
+    the term join), and without the checkpoint Catalyst re-runs the
+    corpus explode per consumer (the shingle-frame lesson)."""
     return (
         load(spark, sf_dir, "documents")
         .select("source", F.explode(tokens("text")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
     )
 
 

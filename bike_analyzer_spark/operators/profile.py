@@ -223,3 +223,144 @@ def _integrity_oracle() -> str:
 
 
 ORACLES["integrity_audit"] = _integrity_oracle()
+
+
+#: shuffle keys audited for skew: (display name, table, key column)
+SKEW_KEYS = (
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("documents.source", "documents", "source"),
+)
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the report a 100-TB operator
+    reads BEFORE a join melts an executor: per declared key, the
+    rows-per-key distribution's exact median and p99, the heaviest
+    key's row count, its share of the table, and the skew ratio
+    (max over mean). AQE's skew-join split and `scale.salted_*`
+    are the remedies; this query is the instrument that says when
+    they're needed.
+
+    Exactness: everything derives from the (rows-per-key -> n_keys)
+    HISTOGRAM-OF-THE-HISTOGRAM — integer order statistics via the
+    doubled-median and the pure-integer ceil rank
+    ((99K + 99) div 100), shares/ratios via half-up wide division.
+
+    Scale shape: one shuffle per table to its key histogram; the
+    distribution-of-counts frame is tiny (distinct frequencies), so
+    the window/rank passes cost nothing. Branches union — Spark
+    runs them as independent parallel stages.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import halfup_ratio_wide_sql
+
+    out = None
+    for name, table, key in SKEW_KEYS:
+        hist = (
+            load(spark, sf_dir, table)
+            .where(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        dist = hist.groupBy("n").agg(
+            F.count(F.lit(1)).alias("nk")
+        )
+        w = Window.orderBy("n")
+        c = dist.withColumn(
+            "cum", F.sum("nk").over(w)
+        ).withColumn(
+            "kk", F.sum("nk").over(Window.partitionBy(F.lit(1)))
+        )
+        row = (
+            c.agg(
+                F.expr("sum(n * nk)").alias("n_rows"),
+                F.max("kk").alias("n_keys"),
+                F.max("n").alias("max_key_rows"),
+                (
+                    F.min(
+                        F.when(
+                            F.expr("cum >= (kk + 1) div 2"), F.col("n")
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.expr("cum >= kk div 2 + 1"), F.col("n")
+                        )
+                    )
+                ).alias("med2"),
+                F.min(
+                    F.when(
+                        F.expr("cum >= (99 * kk + 99) div 100"),
+                        F.col("n"),
+                    )
+                ).alias("p99_rows"),
+            )
+            .selectExpr(
+                f"'{name}' AS shuffle_key",
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "CAST(med2 AS DOUBLE) / CAST(2 AS DOUBLE)"
+                " AS p50_rows",
+                "p99_rows",
+                f"{halfup_ratio_wide_sql('max_key_rows * n_keys', 'n_rows', 4)}"
+                " AS skew_ratio",
+                f"{halfup_ratio_wide_sql('100 * max_key_rows', 'n_rows', 4)}"
+                " AS top_share_pct",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("shuffle_key")
+
+
+QUERIES["skew_report"] = skew_report
+
+
+def _skew_oracle() -> str:
+    from ..functions.exact import halfup_ratio_wide_sql
+
+    parts = []
+    for name, table, key in SKEW_KEYS:
+        parts.append(f"""
+        SELECT '{name}' AS shuffle_key, n_rows, n_keys, max_key_rows,
+               CAST(med2 AS DOUBLE) / CAST(2 AS DOUBLE) AS p50_rows,
+               p99_rows,
+               {halfup_ratio_wide_sql(
+                   'max_key_rows * n_keys', 'n_rows', 4, 'duck')}
+                   AS skew_ratio,
+               {halfup_ratio_wide_sql(
+                   '100 * max_key_rows', 'n_rows', 4, 'duck')}
+                   AS top_share_pct
+        FROM (
+            SELECT CAST(sum(n * nk) AS BIGINT) AS n_rows,
+                   max(kk) AS n_keys,
+                   max(n) AS max_key_rows,
+                   min(CASE WHEN cum >= (kk + 1) // 2 THEN n END)
+                   + min(CASE WHEN cum >= kk // 2 + 1 THEN n END)
+                       AS med2,
+                   min(CASE WHEN cum >= (99 * kk + 99) // 100
+                            THEN n END) AS p99_rows
+            FROM (
+                SELECT n, nk,
+                       CAST(sum(nk) OVER (ORDER BY n) AS BIGINT)
+                           AS cum,
+                       CAST(sum(nk) OVER () AS BIGINT) AS kk
+                FROM (
+                    SELECT n, CAST(count(*) AS BIGINT) AS nk
+                    FROM (
+                        SELECT {key} AS k,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM {table} WHERE {key} IS NOT NULL
+                        GROUP BY 1
+                    ) GROUP BY n
+                )
+            )
+        )""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"{body}\n        ORDER BY shuffle_key"
+
+
+ORACLES["skew_report"] = _skew_oracle()

@@ -248,3 +248,99 @@ ORACLES["attribution_last_touch"] = f"""
     FROM per, tot
     ORDER BY channel
 """
+
+
+#: decay time constant (days) and the quantization of the decay
+#: factor (ppm — the exp() twin of the dsir/lm ln() discipline)
+LTV_TAU_DAYS = 7
+LTV_TOP = 20
+
+_DAY_US = 86_400_000_000
+
+
+def ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-LTV_TOP users by exponentially-decayed lifetime value —
+    the retention-weighted LTV every growth team ranks accounts by:
+    an event worth v that happened dt ago contributes
+    v * exp(-dt / tau), anchored at the corpus's max timestamp (a
+    deterministic shared reference, not wall clock).
+
+    Exactness: exp() is the ONE transcendental — quantized ONCE per
+    event to integer ppm (`round(exp(-dt/tau) * 1e6)`; dt/tau is a
+    ratio of exact integer microseconds, so both engines evaluate
+    exp on the bit-identical double; the ~1e-9 .5-boundary class is
+    the same accepted one as the ln() family). Contributions
+    v_cents * decay_ppm are exact integers, the per-user sum is
+    order-free, and the displayed LTV is ONE divide by 1e8.
+
+    Scale shape: one corpus-sized shuffle on user_id; the anchor is
+    a 1-row broadcast. Overflow: cents * ppm <= 1e6 * v_cents per
+    event — a user needs ~10^12 event-cents to stress bigint; the
+    sum itself is pinned by DuckDB erroring loudly (the canary).
+    """
+    from ..functions.exact import cents
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        cents(F.col("value")).alias("v"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    anchor = ev.agg(F.max("us").alias("ref_us"))
+    tau_us = LTV_TAU_DAYS * _DAY_US
+    decay_ppm = (
+        f"CAST(round(exp(-(CAST(ref_us - us AS DOUBLE)"
+        f" / CAST({tau_us} AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .selectExpr(
+            "user_id", "v", f"{decay_ppm} AS d"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("raw_c"),
+            F.expr("sum(v * d)").alias("ltv_u"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "CAST(raw_c AS DOUBLE) / CAST(100 AS DOUBLE) AS raw_value",
+            "ltv_u",
+            "CAST(ltv_u AS DOUBLE) / CAST(100000000 AS DOUBLE)"
+            " AS decayed_value",
+        )
+        .orderBy(F.desc("ltv_u"), F.asc("user_id"))
+        .limit(LTV_TOP)
+    )
+
+
+QUERIES["ltv_decay"] = ltv_decay
+
+ORACLES["ltv_decay"] = f"""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    anchor AS (SELECT max(us) AS ref_us FROM ev),
+    scored AS (
+        SELECT user_id, v,
+               CAST(round(exp(-(CAST(ref_us - us AS DOUBLE)
+                   / CAST({LTV_TAU_DAYS * _DAY_US} AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS d
+        FROM ev, anchor
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS raw_value,
+           CAST(sum(v * d) AS BIGINT) AS ltv_u,
+           CAST(CAST(sum(v * d) AS BIGINT) AS DOUBLE)
+               / CAST(100000000 AS DOUBLE) AS decayed_value
+    FROM scored
+    GROUP BY user_id
+    ORDER BY ltv_u DESC, user_id ASC
+    LIMIT {LTV_TOP}
+"""

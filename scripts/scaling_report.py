@@ -23,7 +23,7 @@ FAMILIES = [
                           "psi_", "robust_outliers", "attribution",
                           "stats_", "cohort", "rolling_user",
                           "funnel", "scd2", "event_gap",
-                          "purchase_value_rank", "dormant",
+                          "purchase_value_rank", "dormant", "ltv_",
                           "above_avg", "scale_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
@@ -39,7 +39,8 @@ FAMILIES = [
                       "pack_", "scrub_", "curate", "cms_", "approx",
                       "fuzzy_", "source_data", "mm_")),
     ("table services", ("hypertable", "busy_islands", "range_join",
-                        "session", "asof", "profile", "zorder", "tpch_")),
+                        "session", "asof", "profile", "zorder", "tpch_",
+                        "integrity", "skew_report")),
 ]
 
 

@@ -76,6 +76,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "attribution_last_touch",
     # per-relationship 1-row null/orphan/total frames assembled
     "integrity_audit",
+    # the 1-row corpus-max anchor broadcast over the event scan
+    "ltv_decay",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

@@ -80,3 +80,53 @@ def test_integrity_audit_detects_planted_orphans(spark, tmp_path):
     assert oc.n_orphan_keys == 0
     # untouched relationships stay clean
     assert got["customer.nationkey->nation"].n_orphan_keys == 0
+
+
+def test_skew_report_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.profile import (
+        ORACLES,
+        skew_report,
+    )
+
+    assert_matches_oracle(
+        skew_report(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["skew_report"],
+        name="skew_report",
+    )
+
+
+def test_skew_report_matches_pure_python(spark):
+    """statistics.median + brute-force order stats over the raw
+    rows-per-key lists reproduce every column."""
+    import statistics
+    from collections import Counter
+
+    from bike_analyzer_spark.operators.profile import (
+        SKEW_KEYS,
+        skew_report,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    got = {
+        r.shuffle_key: r
+        for r in skew_report(spark, SF_DIR_SMOKE).collect()
+    }
+    for name, table, key in SKEW_KEYS:
+        counts = Counter(
+            r[0]
+            for r in spark.read.parquet(
+                f"{SF_DIR_SMOKE}/{table}.parquet"
+            )
+            .select(key)
+            .collect()
+            if r[0] is not None
+        )
+        per_key = sorted(counts.values())
+        r = got[name]
+        assert r.n_rows == sum(per_key)
+        assert r.n_keys == len(per_key)
+        assert r.max_key_rows == per_key[-1]
+        assert r.p50_rows == float(statistics.median(per_key))
+        k = len(per_key)
+        assert r.p99_rows == per_key[-(-99 * k // 100) - 1]

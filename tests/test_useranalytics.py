@@ -92,3 +92,52 @@ def test_attribution_matches_pure_python(spark):
         for r in ua.attribution_last_touch(spark, SF_DIR_ORACLE).collect()
     }
     assert got == {c: (n, cts) for c, (n, cts) in per.items()}
+
+
+def test_ltv_decay_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.useranalytics import (
+        ORACLES,
+        ltv_decay,
+    )
+
+    assert_matches_oracle(
+        ltv_decay(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["ltv_decay"],
+        name="ltv_decay",
+    )
+
+
+def test_ltv_decay_matches_pure_python(spark):
+    """Quantized-integer decay sums equal the float e^(-dt/tau)
+    formula to inside the ppm quantization, and the decayed value
+    never exceeds the raw value."""
+    import math
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        )
+        .collect()
+    )
+    ref = max(r.us for r in rows)
+    tau = ua.LTV_TAU_DAYS * 86_400_000_000
+    per = defaultdict(float)
+    raw = defaultdict(int)
+    for r in rows:
+        per[r.user_id] += r.v * math.exp(-(ref - r.us) / tau)
+        raw[r.user_id] += r.v
+    got = ua.ltv_decay(spark, SF_DIR_ORACLE).collect()
+    assert len(got) == ua.LTV_TOP
+    for r in got:
+        want = per[r.user_id] / 100
+        # per-event ppm quantization: error <= n_events * 0.5e-6 * v
+        assert abs(r.decayed_value - want) < 1e-3
+        assert r.decayed_value <= r.raw_value + 1e-9
+        assert raw[r.user_id] == round(r.raw_value * 100)

@@ -107,6 +107,7 @@ WINDOW_OVERFLOW = frozenset(
         "ltv_decay",
         "skew_report",
         "value_reversals",
+        "od_kcore",
     }
 )
 

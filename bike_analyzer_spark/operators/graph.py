@@ -732,3 +732,154 @@ def _od_reach_hops_oracle() -> str:
 
 
 ORACLES["od_reach_hops"] = _od_reach_hops_oracle()
+
+
+#: k-core threshold percentile of the degree distribution (corpus-
+#: scaled: a fixed k is degenerate — the OD graph's density grows
+#: with SF, so p5 keeps the peel non-trivial at every scale) and the
+#: fixed unroll bound (measured convergence <= 5 rounds at every SF;
+#: the Spark loop ASSERTS the fixpoint, the oracle's extra rounds
+#: are no-ops by monotonicity)
+KCORE_PCT = 5
+KCORE_MAX_ROUNDS = 7
+
+
+def od_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the undirected OD graph at the
+    corpus-scaled threshold k = p{KCORE_PCT} of the initial degree
+    distribution: iteratively peel nodes with degree < k until the
+    fixpoint; emit the surviving core's per-node degree.
+
+    The fourth iterative graph algorithm (CC, LSS-CC, PageRank,
+    BFS): peeling is the one whose per-round work SHRINKS — each
+    round is one degree aggregate + two semi joins against the
+    survivors, all on the previous round's (checkpointed) edge set.
+    The loop runs a FIXED KCORE_MAX_ROUNDS (no per-round driver
+    probe — the pagerank discipline) and asserts convergence with
+    ONE post-loop peel; the oracle unrolls the same bound inside a
+    recursive CTE whose extra rounds are no-ops (peeling is
+    monotone). k itself is the exact integer p{KCORE_PCT} order
+    statistic of the degree histogram (ceil-rank integer math).
+
+    Reference analog: none — completes graph.py's inventory with
+    the standard community-density pruning primitive.
+    """
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10)
+    edges = (
+        flows.filter(F.col("o") != F.col("d"))
+        .select(
+            F.least("o", "d").alias("u"), F.greatest("o", "d").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+
+    deg0 = _deg(edges)
+    from pyspark.sql import Window
+
+    kval = (
+        deg0.withColumn(
+            "cum", F.sum(F.lit(1)).over(Window.orderBy("dg", "id"))
+        )
+        .withColumn(
+            "kk", F.sum(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .where(
+            F.expr(f"cum >= ({KCORE_PCT} * kk + 99) div 100")
+        )
+        .agg(F.min("dg").alias("k"))
+    ).localCheckpoint(eager=False)
+
+    def _peel(e: DataFrame) -> DataFrame:
+        live = (
+            _deg(e)
+            .crossJoin(F.broadcast(kval))
+            .where(F.col("dg") >= F.col("k"))
+            .select("id")
+        )
+        return (
+            e.join(
+                live.withColumnRenamed("id", "u"), "u", "left_semi"
+            ).join(live.withColumnRenamed("id", "v"), "v", "left_semi")
+        )
+
+    for _ in range(KCORE_MAX_ROUNDS):
+        edges = _peel(edges).localCheckpoint(eager=False)
+    n = edges.count()
+    assert _peel(edges).count() == n, (
+        f"k-core failed to converge within {KCORE_MAX_ROUNDS} rounds"
+    )
+    return (
+        _deg(edges)
+        .crossJoin(F.broadcast(kval))
+        .select("id", F.col("dg").alias("core_degree"), "k")
+        .orderBy("id")
+    )
+
+
+QUERIES["od_kcore"] = od_kcore
+
+
+def _od_kcore_oracle() -> str:
+    from .od import FLOWS_CTE_SQL
+
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        e AS MATERIALIZED (
+            SELECT DISTINCT least(o, d) AS u, greatest(o, d) AS v
+            FROM flows WHERE o <> d
+        ),
+        deg0 AS (
+            SELECT id, count(*) AS dg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+            GROUP BY id
+        ),
+        kval AS MATERIALIZED (
+            SELECT CAST(min(dg) AS BIGINT) AS k FROM (
+                SELECT dg,
+                       row_number() OVER (ORDER BY dg, id) AS cum,
+                       count(*) OVER () AS kk
+                FROM deg0
+            ) WHERE cum >= ({KCORE_PCT} * kk + 99) // 100
+        ),
+        core(iter, u, v) AS (
+            SELECT 0, u, v FROM e
+            UNION ALL
+            (
+                WITH it AS (SELECT max(iter) AS i FROM core),
+                live AS (
+                    SELECT id FROM (
+                        SELECT u AS id FROM core
+                        UNION ALL SELECT v FROM core)
+                    GROUP BY id
+                    HAVING count(*) >= (SELECT k FROM kval)
+                )
+                SELECT it.i + 1, c.u, c.v
+                FROM core c, it
+                WHERE it.i < {KCORE_MAX_ROUNDS}
+                  AND c.u IN (SELECT id FROM live)
+                  AND c.v IN (SELECT id FROM live)
+            )
+        ),
+        final AS (
+            SELECT u, v FROM core WHERE iter = {KCORE_MAX_ROUNDS}
+        )
+        SELECT id, count(*) AS core_degree,
+               (SELECT k FROM kval) AS k
+        FROM (SELECT u AS id FROM final UNION ALL SELECT v FROM final)
+        GROUP BY id
+        ORDER BY id
+    """
+
+
+ORACLES["od_kcore"] = _od_kcore_oracle()

@@ -225,3 +225,39 @@ def test_od_reach_hops_matches_bfs(spark):
         for r in graph.od_reach_hops(spark, SF_DIR_ORACLE).collect()
     }
     assert got == dist
+
+
+def test_od_kcore_matches_peeling_reimpl(spark):
+    """Plain-Python peeling at the same p-percentile threshold
+    reproduces the surviving core and its degrees."""
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators.od import infer_flows
+    from tests.conftest import SF_DIR_ORACLE
+
+    adj = defaultdict(set)
+    for r in infer_flows(spark, SF_DIR_ORACLE, minutes=10).collect():
+        if r.o != r.d:
+            adj[r.o].add(r.d)
+            adj[r.d].add(r.o)
+    degs = sorted(
+        (len(s), n) for n, s in adj.items()
+    )
+    K = len(degs)
+    rank = -(-graph.KCORE_PCT * K // 100)
+    k = degs[rank - 1][0]
+    cur = {n: set(s) for n, s in adj.items()}
+    while True:
+        kill = [n for n, s in cur.items() if len(s) < k]
+        if not kill:
+            break
+        for n in kill:
+            for m in cur[n]:
+                cur[m].discard(n)
+            del cur[n]
+    got = {
+        r.id: (r.core_degree, r.k)
+        for r in graph.od_kcore(spark, SF_DIR_ORACLE).collect()
+    }
+    assert got == {n: (len(s), k) for n, s in cur.items()}
+    assert got  # non-degenerate at the oracle SF

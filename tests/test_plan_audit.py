@@ -78,6 +78,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "integrity_audit",
     # the 1-row corpus-max anchor broadcast over the event scan
     "ltv_decay",
+    # the 1-row degree-threshold frame broadcast into each peel round
+    "od_kcore",
     # bounded query set broadcast against the corpus — the brute-force
     # ANN baseline's documented shape
     "sim_topk_bruteforce",

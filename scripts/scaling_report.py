@@ -27,7 +27,8 @@ FAMILIES = [
                           "above_avg", "scale_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
-                       "value_percentiles", "cube", "purchase_quartiles",
+                       "value_percentiles", "value_reversals", "cube",
+                       "purchase_quartiles",
                        "user_value_navigation", "event_grouping_sets",
                        "nation_metrics_unpivot")),
     ("ANN / embeddings", ("sim_", "semdedup", "ann_recall")),

@@ -230,3 +230,104 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     for d in dead_dirs - live_dirs:
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return retire
+
+
+def merge_into(
+    source: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    update_set: dict[str, str] | None = None,
+    delete_condition: str | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+) -> int:
+    """Full conditional MERGE (the Delta `MERGE INTO` statement) on
+    the versioned store, publishing the result as a NEW version:
+
+      WHEN MATCHED [AND delete_condition] THEN DELETE
+      WHEN MATCHED THEN UPDATE SET update_set
+      WHEN NOT MATCHED [AND insert_condition] THEN INSERT
+
+    Clause expressions are SQL strings over `t_<col>` (target) and
+    `s_<col>` (source) — e.g. `{"balance": "t_balance + s_delta"}`.
+    Delete is tested before update (Delta's clause-order contract for
+    one condition-bearing clause of each kind); matched rows hit by
+    neither clause carry the target row through unchanged; unmatched
+    target rows always survive.
+
+    Like Delta, a source with DUPLICATE merge keys is an ERROR (two
+    sources updating one target row is nondeterministic) — checked
+    with one aggregate before any write.
+
+    Scale shape: ONE full-outer join on the merge key (same shuffle
+    a MERGE pays anywhere), one projection applying the clauses, one
+    commit. The pre-merge snapshot stays queryable (time travel /
+    rollback), which in-place MERGE implementations give up.
+    """
+    spark = source.sparkSession
+    from pyspark.sql import functions as F
+
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate keys on "
+            f"{key_cols} — resolve (aggregate or keep-latest) first"
+        )
+    target = read(spark, table_dir)
+    cols = target.columns
+    t = target.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"t_{c}")
+            for c in cols
+            if c not in key_cols
+        ],
+        F.lit(True).alias("_in_t"),
+    )
+    s = source.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"s_{c}")
+            for c in source.columns
+            if c not in key_cols
+        ],
+        F.lit(True).alias("_in_s"),
+    )
+    j = t.join(s, key_cols, "full_outer")
+    matched = F.col("_in_t").isNotNull() & F.col("_in_s").isNotNull()
+    deleted = (
+        matched & F.expr(delete_condition)
+        if delete_condition
+        else F.lit(False)
+    )
+    inserted = F.col("_in_t").isNull() & (
+        F.expr(insert_condition) if insert_condition else F.lit(True)
+    )
+    if not insert:
+        inserted = F.lit(False)
+    out_cols = []
+    for c in cols:
+        if c in key_cols:
+            out_cols.append(F.col(c))
+            continue
+        updated = (
+            F.expr(update_set[c])
+            if update_set and c in update_set
+            else F.col(f"t_{c}")
+        )
+        out_cols.append(
+            F.when(matched, updated)
+            .when(F.col("_in_t").isNotNull(), F.col(f"t_{c}"))
+            .otherwise(F.col(f"s_{c}"))
+            .alias(c)
+        )
+    keep = (matched & ~deleted) | (
+        F.col("_in_t").isNotNull() & F.col("_in_s").isNull()
+    ) | inserted
+    return commit(j.where(keep).select(*out_cols), table_dir)

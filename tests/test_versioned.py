@@ -203,3 +203,79 @@ def test_diff_digest_distinguishes_null_shift_and_boundary_shift(
         for r in versioned.diff(spark, tdir, 1, 2, ["k"]).collect()
     }
     assert changes == {1: "update", 2: "update", 3: "update"}
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, n bigint")
+
+
+def test_merge_into_all_three_clauses(spark, tdir):
+    """One MERGE exercising DELETE / UPDATE / conditional INSERT /
+    untouched-target / matched-but-no-clause rows simultaneously."""
+    versioned.commit(
+        _kv(
+            spark,
+            [(1, "keep", 10), (2, "upd", 20), (3, "del", 30), (4, "idle", 40)],
+        ),
+        tdir,
+    )
+    src = _kv(
+        spark,
+        [
+            (2, "newval", 200),   # matched -> update
+            (3, "whatever", 0),   # matched -> delete (val = 'del')
+            (5, "ins", 50),       # not matched -> insert (n >= 50)
+            (6, "small", 4),      # not matched, fails insert condition
+        ],
+    )
+    v = versioned.merge_into(
+        src,
+        tdir,
+        ["k"],
+        update_set={"val": "s_val", "n": "t_n + s_n"},
+        delete_condition="t_val = 'del'",
+        insert_condition="s_n >= 50",
+    )
+    assert v == 2
+    got = {
+        r.k: (r.val, r.n)
+        for r in versioned.read(spark, tdir).collect()
+    }
+    assert got == {
+        1: ("keep", 10),      # target-only: untouched
+        2: ("newval", 220),   # updated: t_n + s_n
+        4: ("idle", 40),      # target-only: untouched
+        5: ("ins", 50),       # inserted
+    }
+    # pre-merge snapshot still queryable (the point of versioned MERGE)
+    old = {
+        r.k for r in versioned.read(spark, tdir, version=1).collect()
+    }
+    assert old == {1, 2, 3, 4}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tdir):
+    versioned.commit(_kv(spark, [(1, "a", 1)]), tdir)
+    dup = _kv(spark, [(1, "x", 1), (1, "y", 2)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        versioned.merge_into(dup, tdir, ["k"])
+
+
+def test_merge_into_insert_only_and_delete_only(spark, tdir):
+    versioned.commit(_kv(spark, [(1, "a", 1), (2, "b", 2)]), tdir)
+    # pure upsert-insert: no clauses but insert
+    versioned.merge_into(_kv(spark, [(3, "c", 3)]), tdir, ["k"])
+    assert {
+        r.k for r in versioned.read(spark, tdir).collect()
+    } == {1, 2, 3}
+    # pure delete: matched rows vanish, insert disabled
+    versioned.merge_into(
+        _kv(spark, [(1, "zz", 0), (9, "zz", 0)]),
+        tdir,
+        ["k"],
+        delete_condition="true",
+        insert=False,
+    )
+    assert {
+        r.k for r in versioned.read(spark, tdir).collect()
+    } == {2, 3}

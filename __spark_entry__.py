@@ -108,6 +108,7 @@ WINDOW_OVERFLOW = frozenset(
         "skew_report",
         "value_reversals",
         "od_kcore",
+        "attribution_delay",
     }
 )
 

@@ -344,3 +344,123 @@ ORACLES["ltv_decay"] = f"""
     ORDER BY ltv_u DESC, user_id ASC
     LIMIT {LTV_TOP}
 """
+
+
+def attribution_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per attributed channel: for every purchase
+    credited by the last-touch rule, the delay between touch and
+    purchase — count, exact mean (half-up seconds), min and max.
+    The '(none)' bucket has no touch and is excluded by definition.
+
+    Shares attribution_last_touch's sequence machinery verbatim (the
+    same parallel IGNORE-NULLS windows), so the two reports cannot
+    disagree on which touch was credited. Delays are exact integer
+    microseconds; the mean is `halfup_ratio_wide_sql` (the summed
+    microseconds clear bigint only at ~10^5 purchase-years, but the
+    wide form costs nothing and removes the ceiling).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import halfup_ratio_wide_sql
+
+    in_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    seq = ev.select(
+        "event_type",
+        "us",
+        F.last(F.when(in_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+        F.last(F.when(in_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    window_us = ATTR_WINDOW_HOURS * _HOUR_US
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("touch_us") >= F.col("us") - F.lit(window_us))
+        )
+        .select(
+            F.col("touch_type").alias("channel"),
+            (F.col("us") - F.col("touch_us")).alias("delay_us"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("delay_us").alias("sum_us"),
+            F.min("delay_us").alias("min_us"),
+            F.max("delay_us").alias("max_us"),
+        )
+        .selectExpr(
+            "channel",
+            "n_conversions",
+            halfup_ratio_wide_sql("sum_us", "n_conversions * 1000000", 2)
+            + " AS mean_delay_s",
+            "CAST(min_us AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE) AS min_delay_s",
+            "CAST(max_us AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE) AS max_delay_s",
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["attribution_delay"] = attribution_delay
+
+from ..functions.exact import halfup_ratio_wide_sql as _hrw
+
+_MEAN_DELAY_DUCK = _hrw("sum_us", "n_conversions * 1000000", 2, "duck")
+
+ORACLES["attribution_delay"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, us,
+               last_value(CASE WHEN event_type IN
+                       {ATTR_CHANNELS} THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch_us,
+               last_value(CASE WHEN event_type IN
+                       {ATTR_CHANNELS} THEN event_type END
+                       IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch_type
+        FROM ev
+    ),
+    agg AS (
+        SELECT touch_type AS channel,
+               count(*) AS n_conversions,
+               CAST(sum(us - touch_us) AS BIGINT) AS sum_us,
+               CAST(min(us - touch_us) AS BIGINT) AS min_us,
+               CAST(max(us - touch_us) AS BIGINT) AS max_us
+        FROM seq
+        WHERE event_type = 'purchase'
+          AND touch_us >= us - {ATTR_WINDOW_HOURS} * {_HOUR_US}
+        GROUP BY touch_type
+    )
+    SELECT channel, n_conversions,
+           {_MEAN_DELAY_DUCK} AS mean_delay_s,
+           CAST(min_us AS DOUBLE) / CAST(1000000 AS DOUBLE)
+               AS min_delay_s,
+           CAST(max_us AS DOUBLE) / CAST(1000000 AS DOUBLE)
+               AS max_delay_s
+    FROM agg
+    ORDER BY channel
+"""

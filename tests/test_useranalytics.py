@@ -141,3 +141,39 @@ def test_ltv_decay_matches_pure_python(spark):
         assert abs(r.decayed_value - want) < 1e-3
         assert r.decayed_value <= r.raw_value + 1e-9
         assert raw[r.user_id] == round(r.raw_value * 100)
+
+
+def test_attribution_delay_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators.useranalytics import (
+        ORACLES,
+        attribution_delay,
+    )
+
+    assert_matches_oracle(
+        attribution_delay(spark, SF_DIR_ORACLE),
+        duck,
+        ORACLES["attribution_delay"],
+        name="attribution_delay",
+    )
+
+
+def test_attribution_delay_consistent_with_last_touch(spark):
+    """The delay report's conversion counts equal the revenue
+    report's attributed purchase counts per channel, and delays
+    respect the window bound."""
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rev = {
+        r.channel: r.n_purchases
+        for r in ua.attribution_last_touch(spark, SF_DIR_ORACLE).collect()
+        if r.channel != "(none)"
+    }
+    dly = {
+        r.channel: r
+        for r in ua.attribution_delay(spark, SF_DIR_ORACLE).collect()
+    }
+    assert {c: d.n_conversions for c, d in dly.items()} == rev
+    bound = ua.ATTR_WINDOW_HOURS * 3600
+    for d in dly.values():
+        assert 0 <= d.min_delay_s <= d.mean_delay_s <= d.max_delay_s
+        assert d.max_delay_s <= bound

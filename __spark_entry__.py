@@ -18,12 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from bike_analyzer_spark.operators import (
     analytics_ext,
     asof,
+    assoc,
     classifier,
     curate,
     dedup,
     divergence,
     drift,
     evalsuite,
+    experiment,
     funcsuite,
     fuzzy,
     gapfill,
@@ -109,6 +111,9 @@ WINDOW_OVERFLOW = frozenset(
         "value_reversals",
         "od_kcore",
         "attribution_delay",
+        "ab_test_chi2",
+        "event_cooccurrence",
+        "vocab_bigram_pmi",
     }
 )
 
@@ -260,6 +265,8 @@ _MODULES = [
     drift,  # NEW r8 wave 12: cusum/psi (streak 0, outside)
     _stats_tail,  # NEW r8 wave 13: robust MAD outliers (streak 0, outside)
     _useranalytics_tail,  # NEW r8 wave 13: attribution (streak 0, outside)
+    experiment,  # NEW r8 wave 14: chi-square A/B (streak 0, outside)
+    assoc,  # NEW r8 wave 14: basket co-occurrence (streak 0, outside)
     quality,
     _sampling_tail,
     curate,

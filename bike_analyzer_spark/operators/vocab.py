@@ -120,3 +120,109 @@ ORACLES = {
         LIMIT {TOP_TERMS}
     """,
 }
+
+
+#: collocation report bounds: min pair frequency, head size
+MIN_PAIR_FREQ = 5
+TOP_BIGRAMS = 20
+
+#: micro-nat PMI of an adjacent-token bigram against the unigram
+#: model: p(w1,w2)=c12/B, p(w)=c/T, so PMI = ln(c12*T*T/(B*c1*c2)).
+#: Quantized ONCE via a shared-text IEEE-double expression (the
+#: dsir/lm micro-nat discipline) — the operand is built from doubles
+#: so no integer product can overflow at any corpus size.
+_PMI_UNATS = (
+    "CAST(round(ln(CAST(c12 AS DOUBLE)"
+    " * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)"
+    " / (CAST(b AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))"
+    " * 1000000) AS BIGINT)"
+)
+
+_BIGRAM_FINAL = [
+    "w1",
+    "w2",
+    "c12",
+    "c1",
+    "c2",
+    f"{_PMI_UNATS} AS pmi_unats",
+    f"CAST({_PMI_UNATS} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS pmi",
+]
+
+
+def vocab_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOP_BIGRAMS strongest adjacent-token collocations by PMI
+    (min pair count MIN_PAIR_FREQ) — the phrase-detection pass a
+    tokenizer/word2vec pipeline runs before training, and the
+    natural companion of the Zipf head above.
+
+    Scale shape: the bigram explode collapses map-side into the
+    (w1, w2, c12) table (Heaps-sublinear, like the unigram table);
+    the unigram joins are vocabulary-sized broadcasts; T and B are
+    1-row broadcast scalars; the head is a bounded
+    TakeOrderedAndProject with a full deterministic tiebreak
+    (pmi desc, c12 desc, w1, w2)."""
+    docs = load(spark, sf_dir, "documents").select(
+        tokens("text").alias("t")
+    )
+    bigrams = (
+        docs.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    tf = _term_freqs(spark, sf_dir).localCheckpoint(eager=False)
+    totals = tf.agg(F.sum("freq").alias("t")).crossJoin(
+        F.broadcast(bigrams.agg(F.sum("c12").alias("b")))
+    )
+    c1 = tf.select(F.col("w").alias("w1"), F.col("freq").alias("c1"))
+    c2 = tf.select(F.col("w").alias("w2"), F.col("freq").alias("c2"))
+    return (
+        bigrams.where(F.col("c12") >= MIN_PAIR_FREQ)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(*_BIGRAM_FINAL)
+        .orderBy(
+            F.desc("pmi_unats"), F.desc("c12"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(TOP_BIGRAMS)
+    )
+
+
+QUERIES["vocab_bigram_pmi"] = vocab_bigram_pmi
+
+ORACLES["vocab_bigram_pmi"] = f"""
+    WITH {_TF_CTE},
+    bg AS (
+        SELECT t[k] AS w1, t[k + 1] AS w2, count(*) AS c12
+        FROM (SELECT {_TOKS} AS t FROM documents),
+             unnest(range(1, len(t))) u(k)
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT (SELECT CAST(sum(freq) AS BIGINT) FROM tf) AS t,
+               (SELECT CAST(sum(c12) AS BIGINT) FROM bg) AS b
+    )
+    SELECT {', '.join(_BIGRAM_FINAL)}
+    FROM (
+        SELECT bg.w1, bg.w2, bg.c12,
+               cx.freq AS c1, cy.freq AS c2, totals.t, totals.b
+        FROM bg
+        JOIN tf cx ON cx.w = bg.w1
+        JOIN tf cy ON cy.w = bg.w2
+        CROSS JOIN totals
+        WHERE bg.c12 >= {MIN_PAIR_FREQ}
+    )
+    ORDER BY pmi_unats DESC, c12 DESC, w1 ASC, w2 ASC
+    LIMIT {TOP_BIGRAMS}
+"""

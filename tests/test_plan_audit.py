@@ -98,6 +98,11 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row params crossJoin
     "ann_recall_ivf",
     "nbq_confusion",
+    # 1-row totals frames: (n_users, total_c) over the user frame /
+    # (n_baskets) over the pair table / (T, B) over the bigram table
+    "ab_test_chi2",
+    "event_cooccurrence",
+    "vocab_bigram_pmi",
 }
 
 

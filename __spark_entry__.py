@@ -114,6 +114,7 @@ WINDOW_OVERFLOW = frozenset(
         "ab_test_chi2",
         "event_cooccurrence",
         "vocab_bigram_pmi",
+        "od_shortest_path",
     }
 )
 

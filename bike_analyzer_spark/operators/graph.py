@@ -883,3 +883,191 @@ def _od_kcore_oracle() -> str:
 
 
 ORACLES["od_kcore"] = _od_kcore_oracle()
+
+#: inverse-flow friction scale: edge cost = FRICTION div flow, an
+#: exact positive-integer division both engines truncate identically
+SP_FRICTION = 1_000_000
+
+#: Bellman-Ford unroll bound OVER THE SQUARED BACKBONE (each round
+#: covers 2 original hops). Measured hop-convergence on the top-3
+#: backbone: 4 rounds at sf0.001, 9 at sf0.01, 13 at sf0.1 — ~+4 per
+#: data decade (the backbone diameter grows logarithmically), so 12
+#: squared rounds = 24 hops cover ~sf100 with margin while paying
+#: half the per-round scheduling overhead. The Spark loop ASSERTS
+#: the fixpoint (loud failure, never a silent wrong answer); the
+#: oracle's extra rounds are no-ops by monotonicity of min().
+SP_MAX_ROUNDS = 12
+
+
+def od_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the busiest
+    station over the strong-flow backbone (`od_reach_hops`'s graph),
+    with integer edge cost = SP_FRICTION div flow — strong flows are
+    cheap, weak ones expensive — so the distance measures traffic
+    FRICTION where `od_reach_hops` measures hops: the two disagree
+    exactly where a 2-hop chain of heavy flows beats a direct trickle.
+
+    Distributed Bellman-Ford (the Pregel form) over the MIN-PLUS
+    SQUARED backbone: one self-join builds the 2-hop closure (edge
+    count stays bounded — out-degree <= BACKBONE_TOPK + TOPK^2 = 12
+    per node by construction), so every round covers TWO original
+    hops and the unroll halves. Each of the SP_MAX_ROUNDS rounds is
+    ONE equi join (dist x closure, shuffled on the station key) +
+    ONE min-aggregate, lineage-truncated by a lazy localCheckpoint,
+    so the plan depth is constant in rounds and per-round cost
+    tracks the reachable set. No per-round driver probe; ONE
+    post-loop relaxation asserts convergence (the kcore
+    discipline). Costs are exact integers (<= 2 * rounds *
+    SP_FRICTION, no overflow anywhere), so min() ties are
+    value-identical and the result is deterministic without
+    tiebreaks.
+
+    Reference analog: none — completes the graph inventory (CC,
+    PageRank, triangles, BFS, k-core) with the weighted-distance
+    primitive.
+    """
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("o").orderBy(F.desc("flow"), F.asc("d"))
+    )
+    edges = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= BACKBONE_TOPK)
+        .select(
+            F.col("o").alias("eo"),
+            F.col("d").alias("ed"),
+            F.expr(f"{SP_FRICTION} div flow").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # min-plus square: shortest cost using <= 2 backbone edges.
+    # Renamed sides — the self-join alias trap is real.
+    a = edges.select(
+        F.col("eo").alias("ao"), F.col("ed").alias("am"), F.col("w").alias("aw")
+    )
+    b = edges.select(
+        F.col("eo").alias("bm"), F.col("ed").alias("bd"), F.col("w").alias("bw")
+    )
+    two_hop = (
+        a.join(b, F.col("am") == F.col("bm"))
+        .where(F.col("ao") != F.col("bd"))
+        .select(
+            F.col("ao").alias("eo"),
+            F.col("bd").alias("ed"),
+            (F.col("aw") + F.col("bw")).alias("w"),
+        )
+    )
+    edges = (
+        edges.unionAll(two_hop)
+        .groupBy("eo", "ed")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        flows.groupBy("o")
+        .agg(F.sum("flow").alias("t"))
+        .orderBy(F.desc("t"), F.asc("o"))
+        .limit(1)
+        .select(
+            F.col("o").alias("station"),
+            F.lit(0).cast("long").alias("cost"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _relax(dd: DataFrame) -> DataFrame:
+        step = dd.join(edges, dd["station"] == edges["eo"]).select(
+            F.col("ed").alias("station"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        return (
+            dd.unionAll(step)
+            .groupBy("station")
+            .agg(F.min("cost").alias("cost"))
+        )
+
+    for _ in range(SP_MAX_ROUNDS):
+        dist = _relax(dist).localCheckpoint(eager=False)
+    # fixpoint check: one more relaxation must change nothing —
+    # per-side RENAMES before the join (relaxed shares lineage with
+    # dist, the classic self-join alias misresolution trap)
+    relaxed = _relax(dist).select(
+        F.col("station").alias("rs"), F.col("cost").alias("rc")
+    )
+    prev = dist.select(
+        F.col("station").alias("s2"), F.col("cost").alias("c2")
+    )
+    n_changed = (
+        relaxed.join(prev, F.col("rs") == F.col("s2"), "full_outer")
+        .where(
+            F.col("rs").isNull()
+            | F.col("s2").isNull()
+            | (F.col("rc") != F.col("c2"))
+        )
+        .count()
+    )
+    assert n_changed == 0, (
+        f"Bellman-Ford failed to converge within {SP_MAX_ROUNDS} rounds"
+    )
+    return dist.orderBy("cost", "station")
+
+
+QUERIES["od_shortest_path"] = od_shortest_path
+
+
+def _od_shortest_path_oracle() -> str:
+    from .od import FLOWS_CTE_SQL
+
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        e1 AS MATERIALIZED (
+            SELECT o AS eo, d AS ed, {SP_FRICTION} // flow AS w
+            FROM (
+                SELECT o, d, flow, row_number() OVER (
+                    PARTITION BY o ORDER BY flow DESC, d
+                ) AS rn
+                FROM flows WHERE o <> d
+            ) WHERE rn <= {BACKBONE_TOPK}
+        ),
+        e AS MATERIALIZED (
+            SELECT eo, ed, min(w) AS w FROM (
+                SELECT eo, ed, w FROM e1
+                UNION ALL
+                SELECT a.eo, b.ed, a.w + b.w
+                FROM e1 a JOIN e1 b ON a.ed = b.eo
+                WHERE a.eo <> b.ed
+            ) GROUP BY eo, ed
+        ),
+        seed AS MATERIALIZED (
+            SELECT o AS station FROM flows WHERE o <> d
+            GROUP BY o ORDER BY sum(flow) DESC, o LIMIT 1
+        ),
+        bf(iter, station, cost) AS (
+            SELECT 0, station, CAST(0 AS BIGINT) FROM seed
+            UNION ALL
+            (
+                WITH it AS (SELECT max(iter) AS i FROM bf)
+                SELECT it.i + 1, station, min(cost)
+                FROM (
+                    SELECT station, cost FROM bf
+                    UNION ALL
+                    SELECT e.ed, b.cost + e.w
+                    FROM bf b JOIN e ON e.eo = b.station
+                ), it
+                WHERE it.i < {SP_MAX_ROUNDS}
+                GROUP BY it.i, station
+            )
+        )
+        SELECT station, cost FROM bf
+        WHERE iter = {SP_MAX_ROUNDS}
+        ORDER BY cost, station
+    """
+
+
+ORACLES["od_shortest_path"] = _od_shortest_path_oracle()

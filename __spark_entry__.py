@@ -115,6 +115,8 @@ WINDOW_OVERFLOW = frozenset(
         "event_cooccurrence",
         "vocab_bigram_pmi",
         "od_shortest_path",
+        "dau_wau_stickiness",
+        "ordered_funnel",
     }
 )
 

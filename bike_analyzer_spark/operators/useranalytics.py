@@ -464,3 +464,274 @@ ORACLES["attribution_delay"] = f"""
     FROM agg
     ORDER BY channel
 """
+
+
+#: rolling active-user window (days): WAU = distinct users active in
+#: the trailing 7 calendar days ending at each day
+WAU_DAYS = 7
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day: DAU, trailing-7-day WAU, and the DAU/WAU
+    stickiness percentage — the top row of every product-analytics
+    dashboard, absent from the reference (its KPIs are
+    station-level, `streamlit_app.py:96`).
+
+    Sliding COUNT DISTINCT without a sliding window: each distinct
+    (user, active-day) row is exploded into the WAU_DAYS calendar
+    days it keeps the user "weekly active" for, deduped, and
+    counted — an exact bounded-fanout rewrite (x7 rows, map-side
+    local) of the quadratic days-x-events range join, and the shape
+    that survives 100 TB where a per-day `COUNT(DISTINCT) OVER
+    (RANGE 6 PRECEDING)` cannot (Spark refuses distinct aggregates
+    over windows; a self-join recomputes each user 7 times). A
+    28-day MAU would multiply the explode to x28 — at that width a
+    bitmap/HLL sketch per day is the right tool (see `scale.py`),
+    so this report deliberately stops at WAU.
+
+    The day spine is generated from the observed [min, max] day
+    bounds (1-row broadcast, the activity_acf shape), so zero-DAU
+    days inside the span still appear — with their genuine WAU from
+    neighbours' activity — and phantom days past the span do not.
+
+    Exactness: integer counts; stickiness rides halfup_ratio_sql;
+    WAU >= DAU by construction (every same-day user is covered).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct().localCheckpoint(eager=False)
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}))")
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    bounds = user_days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = (
+        spark.range(1)
+        .crossJoin(F.broadcast(bounds))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    return (
+        calendar.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+        )
+        .selectExpr(
+            "day",
+            "dau",
+            "wau",
+            "CASE WHEN wau > 0 THEN "
+            + halfup_ratio_sql("100 * dau", "wau", 2, "spark")
+            + " END AS stickiness_pct",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["dau_wau_stickiness"] = dau_wau_stickiness
+
+ORACLES["dau_wau_stickiness"] = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    dau AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY day
+    ),
+    wau AS (
+        SELECT day, count(*) AS wau FROM (
+            SELECT DISTINCT user_id,
+                   CAST(unnest(generate_series(day,
+                       day + INTERVAL {WAU_DAYS - 1} DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM ud
+        ) GROUP BY day
+    ),
+    cal AS (
+        SELECT CAST(unnest(generate_series(
+                   (SELECT min(day) FROM ud),
+                   (SELECT max(day) FROM ud),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT cal.day AS day,
+           CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+           CASE WHEN coalesce(wau.wau, 0) > 0 THEN
+               {halfup_ratio_sql('100 * coalesce(dau.dau, 0)',
+                                 'wau.wau', 2, 'duck')}
+           END AS stickiness_pct
+    FROM cal
+    LEFT JOIN dau ON dau.day = cal.day
+    LEFT JOIN wau ON wau.day = cal.day
+    ORDER BY day
+"""
+
+
+#: ordered funnel step sequence (strictly increasing timestamps)
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step SAME-DAY funnel: a (user, day) attempt
+    reaches step k when an event of that type occurs STRICTLY AFTER
+    the attempt's earliest qualifying step-(k-1) event (the classic
+    min-chained funnel — each step's anchor is the earliest one, so
+    the result is deterministic and order-of-evaluation-free).
+    Emits one row per step: attempts reaching it, half-up
+    conversion vs the previous step and vs step 1.
+
+    The (user, day) grain is the SCALE-INVARIANT choice: per-user
+    event density grows with the corpus (an all-time per-user chain
+    saturates to 100% everywhere — measured), while density per
+    user-day is corpus-independent, so the funnel shows genuine
+    dropout at every SF. Complements `funnel_reconciliation` (set
+    overlap on user-days, no ordering) with the SEQUENCED
+    definition product funnels mean.
+
+    Scale shape: ONE shuffle on the (user_id, day) key; the four
+    chained min-over-partition windows run in successive
+    projections over the SAME unsorted hash partitioning (no ORDER
+    BY -> no sort — each is a full-partition min, and Catalyst
+    reuses the exchange), then a 1-row global conditional aggregate
+    and a constant 4-row unpivot. Timestamps compare as exact
+    integer microseconds.
+    """
+    w = Window.partitionBy("user_id", "day")
+    df = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    prev = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("us") > F.col(prev))
+        df = df.withColumn(f"s{i}", F.min(F.when(cond, F.col("us"))).over(w))
+        prev = f"s{i}"
+    users = df.groupBy("user_id", "day").agg(
+        *[
+            F.max(f"s{i}").alias(f"s{i}")
+            for i in range(1, len(FUNNEL_STEPS) + 1)
+        ]
+    )
+    counts = users.agg(
+        *[
+            F.count(f"s{i}").alias(f"n{i}")
+            for i in range(1, len(FUNNEL_STEPS) + 1)
+        ]
+    )
+    rows = ", ".join(
+        f"struct({i} AS step_idx, '{s}' AS step, n{i} AS n_user_days,"
+        f" n{i - 1 if i > 1 else i} AS n_prev, n1 AS n_first)"
+        for i, s in enumerate(FUNNEL_STEPS, start=1)
+    )
+    pct_prev = halfup_ratio_sql(
+        "100 * n_user_days", "n_prev", 2, "spark"
+    )
+    pct_first = halfup_ratio_sql(
+        "100 * n_user_days", "n_first", 2, "spark"
+    )
+    return (
+        counts.selectExpr(f"explode(array({rows})) AS r")
+        .selectExpr(
+            "r.step_idx AS step_idx",
+            "r.step AS step",
+            "r.n_user_days AS n_user_days",
+            "r.n_prev AS n_prev",
+            "r.n_first AS n_first",
+        )
+        .selectExpr(
+            "step_idx",
+            "step",
+            "n_user_days",
+            f"CASE WHEN n_prev > 0 THEN {pct_prev} END AS pct_of_prev",
+            f"CASE WHEN n_first > 0 THEN {pct_first} END AS pct_of_first",
+        )
+        .orderBy("step_idx")
+    )
+
+
+QUERIES["ordered_funnel"] = ordered_funnel
+
+
+def _ordered_funnel_oracle() -> str:
+    sel, src = [], "ev"
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        cond = f"event_type = '{step}'"
+        if i > 1:
+            cond += f" AND us > s{i - 1}"
+        sel.append(
+            f"c{i} AS (SELECT *, min(CASE WHEN {cond} THEN us END)"
+            f" OVER (PARTITION BY user_id, day) AS s{i} FROM {src})"
+        )
+        src = f"c{i}"
+    n = len(FUNNEL_STEPS)
+    steps_rows = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(FUNNEL_STEPS, start=1)
+    )
+    ns = ", ".join(
+        f"count(s{i}) AS n{i}" for i in range(1, n + 1)
+    )
+    pick_n = (
+        "CASE "
+        + " ".join(
+            f"WHEN step_idx = {i} THEN n{i}" for i in range(1, n + 1)
+        )
+        + " END"
+    )
+    pick_prev = (
+        "CASE "
+        + " ".join(
+            f"WHEN step_idx = {i} THEN n{max(i - 1, 1)}"
+            for i in range(1, n + 1)
+        )
+        + " END"
+    )
+    pp = halfup_ratio_sql("100 * n_user_days", "n_prev", 2, "duck")
+    pf = halfup_ratio_sql("100 * n_user_days", "n_first", 2, "duck")
+    return f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        {', '.join(sel)},
+        u AS (
+            SELECT user_id, day,
+                   {', '.join(f'max(s{i}) AS s{i}' for i in range(1, n + 1))}
+            FROM {src} GROUP BY user_id, day
+        ),
+        counts AS (SELECT {ns} FROM u),
+        unp AS (
+            SELECT s.step_idx, s.step,
+                   {pick_n} AS n_user_days,
+                   {pick_prev} AS n_prev,
+                   n1 AS n_first
+            FROM (VALUES {steps_rows}) s(step_idx, step), counts
+        )
+        SELECT step_idx, step, n_user_days,
+               CASE WHEN n_prev > 0 THEN {pp} END AS pct_of_prev,
+               CASE WHEN n_first > 0 THEN {pf} END AS pct_of_first
+        FROM unp
+        ORDER BY step_idx
+    """
+
+
+ORACLES["ordered_funnel"] = _ordered_funnel_oracle()

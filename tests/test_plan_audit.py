@@ -103,6 +103,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "ab_test_chi2",
     "event_cooccurrence",
     "vocab_bigram_pmi",
+    # 1-row observed-day-bounds frame generating the calendar spine
+    "dau_wau_stickiness",
 }
 
 

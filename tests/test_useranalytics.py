@@ -177,3 +177,94 @@ def test_attribution_delay_consistent_with_last_touch(spark):
     for d in dly.values():
         assert 0 <= d.min_delay_s <= d.mean_delay_s <= d.max_delay_s
         assert d.max_delay_s <= bound
+
+
+def test_dau_wau_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    assert_matches_oracle(
+        ua.dau_wau_stickiness(spark, SF_DIR_ORACLE),
+        duck,
+        ua.ORACLES["dau_wau_stickiness"],
+        name="dau_wau_stickiness",
+    )
+
+
+def test_dau_wau_identities(spark):
+    """WAU bounds DAU; the spine is gap-free; WAU equals a brute
+    recount of distinct users over each trailing 7-day window."""
+    import duckdb as dk
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = ua.dau_wau_stickiness(spark, SF_DIR_ORACLE).collect()
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    brute = {
+        d: n
+        for d, n in dk.sql(
+            f"""
+            WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+                        FROM '{SF_DIR_ORACLE}/events.parquet'),
+            cal AS (SELECT DISTINCT d FROM ud)
+            SELECT cal.d, count(DISTINCT ud.user_id)
+            FROM cal JOIN ud
+              ON ud.d BETWEEN cal.d - INTERVAL 6 DAY AND cal.d
+            GROUP BY cal.d
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        assert r.dau <= r.wau
+        assert r.wau == brute.get(r.day, r.wau)
+        if r.wau:
+            assert abs(r.stickiness_pct - 100 * r.dau / r.wau) <= 5e-3
+
+
+def test_ordered_funnel_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    assert_matches_oracle(
+        ua.ordered_funnel(spark, SF_DIR_ORACLE),
+        duck,
+        ua.ORACLES["ordered_funnel"],
+        name="ordered_funnel",
+    )
+
+
+def test_ordered_funnel_monotone_and_sequenced(spark):
+    """Counts are monotone non-increasing; a python replay of the
+    min-chained same-day rule over the raw events agrees exactly."""
+    from collections import defaultdict
+
+    import duckdb as dk
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = ua.ordered_funnel(spark, SF_DIR_ORACLE).collect()
+    ns = [r.n_user_days for r in sorted(rows, key=lambda r: r.step_idx)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert ns[0] > ns[1] > 0, "fixture funnel must show real dropout"
+    ev = defaultdict(list)
+    for uid, d, et, us in dk.sql(
+        f"""SELECT user_id, CAST(ts AS DATE), event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{SF_DIR_ORACLE}/events.parquet'"""
+    ).fetchall():
+        ev[(uid, d)].append((us, et))
+    want = [0] * len(ua.FUNNEL_STEPS)
+    for evs in ev.values():
+        anchor, depth = -1, 0
+        for step in ua.FUNNEL_STEPS:
+            nxt = [
+                us
+                for us, et in evs
+                if et == step and (depth == 0 or us > anchor)
+            ]
+            if not nxt:
+                break
+            anchor = min(nxt)
+            want[depth] += 1
+            depth += 1
+    assert ns == want

@@ -117,6 +117,8 @@ WINDOW_OVERFLOW = frozenset(
         "od_shortest_path",
         "dau_wau_stickiness",
         "ordered_funnel",
+        "time_weighted_avg",
+        "nbq_gains",
     }
 )
 
@@ -192,6 +194,9 @@ _sampling_head, _sampling_tail = _split(sampling, ["weighted_sample"])
 _text_head, _text_tail = _split(
     text, ["text_bpe_encode", "text_chunk_plan"]
 )
+_eval_head, _eval_tail = _split(
+    evalsuite, ["ann_recall_ivf", "nbq_confusion", "minhash_error_profile"]
+)
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------
@@ -224,7 +229,7 @@ _MODULES = [
     # GROUPING SETS
     _scale_head,  # (cms_user_counts, 2-streak, ceded its slot to
     # the rotated-back dedup_minhash_lsh below)
-    evalsuite,  # NEW r8 wave 6 (streak 0): recall/calibration/error
+    _eval_head,  # NEW r8 wave 6 (streak 0): recall/calibration/error
     # (evalsuite's three slots came from ivf + the similarity head —
     # ann_recall_ivf's oracle replays BOTH operators' full DuckDB
     # twins (unrolled Lloyd included) and intersects their outputs,
@@ -270,6 +275,7 @@ _MODULES = [
     _useranalytics_tail,  # NEW r8 wave 13: attribution (streak 0, outside)
     experiment,  # NEW r8 wave 14: chi-square A/B (streak 0, outside)
     assoc,  # NEW r8 wave 14: basket co-occurrence (streak 0, outside)
+    _eval_tail,  # NEW r8 wave 15: nbq_gains (streak 0, outside)
     quality,
     _sampling_tail,
     curate,

@@ -306,3 +306,112 @@ ORACLES = {
         ORDER BY err_bucket
     """,
 }
+
+
+# ----------------------------------------------- NB gains table
+
+#: score-band lattice: log-odds clamped to [GAINS_LO, GAINS_HI) nats,
+#: one band per nat — bounded output regardless of corpus size
+GAINS_LO, GAINS_HI = -3, 3
+
+#: shared-text band index over the integer micro-nat margin: clamp,
+#: shift positive, then truncating integer division (Spark `div`
+#: truncates, DuckDB `//` floors — equal ONLY on non-negative
+#: operands, hence the shift)
+_BAND = (
+    f"CAST((least(greatest(CAST(round(log_odds * 1000000) AS BIGINT),"
+    f" {GAINS_LO * 1_000_000}), {GAINS_HI * 1_000_000 - 1})"
+    f" + {-GAINS_LO * 1_000_000}) {{div}} 1000000"
+    f" + {GAINS_LO} AS BIGINT)"
+)
+
+
+def nbq_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table of the NB quality classifier against its
+    weak rule label, by descending score band: per 1-nat log-odds
+    band (clamped to [GAINS_LO, GAINS_HI)), the doc count, observed
+    positive rate (the reliability-diagram y-axis), cumulative
+    capture of all positives down to this band (the gains curve),
+    and cumulative lift over the base rate. The top band capturing
+    far more than its share is what justifies score-ordered
+    selection; a non-monotone pos_rate column flags miscalibration.
+
+    VALUE-bracketed bands, not ntile deciles, by design: an exact
+    equal-frequency decile needs a corpus-wide total order (a
+    single-partition window — the one shape this engine bans at
+    100 TB), while value bands are a map-side projection over the
+    served scores plus a <=|bands|-row cumulative window (the
+    nbq_confusion discipline). Rides the SAME frozen persisted
+    model and `score_docs` serving path as nbq_select/nbq_confusion,
+    so the gate re-proves that whole pipeline; all displayed ratios
+    are exact integer half-ups, and the integer micro-nat margin is
+    recovered from the served log-odds by the shared-text
+    round(x * 1e6) both engines apply to identical doubles."""
+    sel = classifier.nbq_select(spark, sf_dir)
+    bands = (
+        sel.selectExpr(
+            f"{_BAND.format(div='div')} AS band_lo",
+            "CAST(keep_rule AS INT) AS pos",
+        )
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.desc("band_lo"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # <= |bands| rows at this point
+    tot = Window.partitionBy()
+    return (
+        bands.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .withColumn("tot_docs", F.sum("n_docs").over(tot))
+        .withColumn("tot_pos", F.sum("n_pos").over(tot))
+        .selectExpr(
+            "band_lo",
+            "n_docs",
+            "n_pos",
+            _hs("100 * n_pos", "n_docs", 4) + " AS pos_rate_pct",
+            _hs("100 * cum_pos", "tot_pos", 4) + " AS cum_gain_pct",
+            _hs("cum_pos * tot_docs", "cum_docs * tot_pos", 4)
+            + " AS cum_lift",
+        )
+        .orderBy(F.desc("band_lo"))
+    )
+
+
+def _hs(num: str, den: str, digits: int) -> str:
+    return halfup_ratio_sql(num, den, digits, engine="spark")
+
+
+QUERIES["nbq_gains"] = nbq_gains
+
+ORACLES["nbq_gains"] = f"""
+    WITH sel AS ({classifier.ORACLES["nbq_select"]}),
+    bands AS (
+        SELECT {_BAND.format(div='//')} AS band_lo,
+               count(*) AS n_docs,
+               CAST(sum(CAST(keep_rule AS INT)) AS BIGINT) AS n_pos
+        FROM sel GROUP BY 1
+    ),
+    cum AS (
+        SELECT *,
+               CAST(sum(n_docs) OVER (ORDER BY band_lo DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+               CAST(sum(n_pos) OVER (ORDER BY band_lo DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+        FROM bands
+    )
+    SELECT band_lo, n_docs, n_pos,
+           {_hd("100 * n_pos", "n_docs", 4)} AS pos_rate_pct,
+           {_hd("100 * cum_pos", "tot_pos", 4)} AS cum_gain_pct,
+           {_hd("cum_pos * tot_docs", "cum_docs * tot_pos", 4)}
+               AS cum_lift
+    FROM cum
+    ORDER BY band_lo DESC
+"""

@@ -173,3 +173,104 @@ ORACLES = {
         ORDER BY grain, bucket_us, event_type
     """,
 }
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style `time_weight('LOCF')` per (event_type,
+    day): each observation holds its value until the next one, so
+    the average weights every value by the exact microseconds it was
+    "current" — the right statistic for irregularly-sampled series,
+    where the plain AVG the rollup above emits over-counts bursts.
+    The integration runs first-to-last observation within the
+    partition (the last value carries no weight — pure LOCF); a
+    single-observation partition has zero duration and a NULL twap.
+
+    Exactness: weights are exact integer microsecond gaps from ONE
+    `lead()` over the (us, event_id)-ordered partition (same-
+    microsecond ties get zero weight deterministically); the
+    value*gap products are summed as DECIMAL(38,0) — cents * day-of-
+    microseconds is ~5e15 per row, so a bigint sum would wrap near
+    ~1800 rows/group while the decimal carries any SF (DuckDB's
+    HUGEINT mirrors it) — and the display divide is the 128-bit
+    half-up. The plain mean rides the same integer machinery for
+    contrast.
+
+    Scale shape: ONE shuffle on the (event_type, day) partition key
+    (the window sort and the groupBy reuse it), output rows =
+    |types| x days. No broadcast, no skew (per-key rows are
+    day-bounded).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import halfup_ratio_sql, halfup_ratio_wide_sql
+
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        cents(F.col("value")).alias("v"),
+    )
+    g = (
+        ev.withColumn("nxt", F.lead("us").over(w))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("v").alias("sum_v"),
+            F.sum(
+                F.expr("CAST(v * (nxt - us) AS DECIMAL(38,0))")
+            ).alias("vw"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+        )
+    )
+    twap = halfup_ratio_wide_sql("vw", "dur_us * 100", 4, "spark")
+    mean = halfup_ratio_sql("sum_v", "n_obs * 100", 4, "spark")
+    return g.selectExpr(
+        "event_type",
+        "day",
+        "n_obs",
+        "dur_us",
+        f"CASE WHEN dur_us > 0 THEN {twap} END AS twap_value",
+        f"{mean} AS mean_value",
+    ).orderBy("event_type", "day")
+
+
+QUERIES["time_weighted_avg"] = time_weighted_avg
+
+
+def _twap_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql, halfup_ratio_wide_sql
+
+    twap = halfup_ratio_wide_sql("vw", "dur_us * 100", 4, "duck")
+    mean = halfup_ratio_sql("sum_v", "n_obs * 100", 4, "duck")
+    return f"""
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        led AS (
+            SELECT *, lead(us) OVER (
+                PARTITION BY event_type, day ORDER BY us, event_id
+            ) AS nxt
+            FROM ev
+        ),
+        g AS (
+            SELECT event_type, day,
+                   count(*) AS n_obs,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   sum(CAST(v AS HUGEINT) * (nxt - us)) AS vw,
+                   CAST(max(us) - min(us) AS BIGINT) AS dur_us
+            FROM led GROUP BY 1, 2
+        )
+        SELECT event_type, day, n_obs, dur_us,
+               CASE WHEN dur_us > 0 THEN {twap} END AS twap_value,
+               {mean} AS mean_value
+        FROM g
+        ORDER BY event_type, day
+    """
+
+
+ORACLES["time_weighted_avg"] = _twap_oracle()

@@ -119,6 +119,8 @@ WINDOW_OVERFLOW = frozenset(
         "ordered_funnel",
         "time_weighted_avg",
         "nbq_gains",
+        "holt_forecast",
+        "geo_hotspots",
     }
 )
 

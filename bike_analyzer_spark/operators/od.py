@@ -553,3 +553,165 @@ ORACLES = {
         GROUP BY bucket_s
     """,
 }
+
+
+# --------------------------------------------------- geo hotspots
+
+#: grid is the pseudo-coord lattice itself: i = key % 100,
+#: j = (key*7) % 100 (functions/geo.pseudo_coords_cols quantized at
+#: its own 0.01-degree resolution — no float floor anywhere)
+GEO_TOP = 15
+
+_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+#: Getis-Ord Gi* over integer sums, ONE shared-text double
+#: expression (the stats_moments discipline): gi = 3x3 neighborhood
+#: activity, wi = existing neighbor cells, n/t/q = cell count, sum,
+#: sum of squares
+_GI_Z = (
+    "CASE WHEN n > 1 AND n > wi AND"
+    " (CAST(q AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))) > 0 THEN"
+    " (CAST(gi AS DOUBLE) - CAST(t AS DOUBLE) / CAST(n AS DOUBLE)"
+    "   * CAST(wi AS DOUBLE))"
+    " / (sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)"
+    "     - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))"
+    "    * sqrt((CAST(n AS DOUBLE) * CAST(wi AS DOUBLE)"
+    "      - CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE))"
+    "      / CAST(n - 1 AS DOUBLE)))"
+    " ELSE NULL END"
+)
+
+
+def geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot cells of OD traffic: station activity
+    (in+out flow) binned to the integer pseudo-coordinate grid, each
+    cell scored by how much its 3x3 neighborhood's activity exceeds
+    the corpus expectation, in standard deviations. The top GEO_TOP
+    cells are where a rebalancing crew goes first. Reference analog:
+    the OD map page (`streamlit_app.py:242`) draws raw edges only.
+
+    Exactness: activity, neighborhood sums (gi), neighbor counts
+    (wi) and the corpus moments (n, t, q) are exact integers — the
+    grid indices come from the key arithmetic that DEFINES the
+    pseudo-coords, so no float floor exists anywhere — and the z
+    score is ONE shared-text IEEE expression over them, bit-equal in
+    both engines (ordering and the top-15 cut are therefore stable;
+    ties break by (z desc, i, j)).
+
+    Scale shape: flows roll up to station activity (station-sized,
+    one shuffle — the flows kernel itself is the persisted od
+    cache), cells are <=100x100 regardless of corpus size, the
+    neighborhood sum is a bounded x9 explode + one join on the cell
+    key, and the moments ride a 1-row broadcast. Boundary cells
+    simply have fewer existing neighbors (wi < 9) — the Gi*
+    denominator accounts for that via wi.
+    """
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    act = (
+        flows.select(F.col("o").alias("k"), "flow")
+        .unionAll(flows.select(F.col("d").alias("k"), "flow"))
+        .groupBy("k")
+        .agg(F.sum("flow").alias("a"))
+    )
+    cells = (
+        act.select(
+            (F.col("k") % 100).alias("i"),
+            ((F.col("k") * 7) % 100).alias("j"),
+            "a",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("a").alias("x"), F.count(F.lit(1)).alias("n_stations")
+        )
+        .localCheckpoint(eager=False)
+    )
+    offs = "array(" + ",".join(
+        f"named_struct('di', {di}, 'dj', {dj})" for di, dj in _OFFSETS
+    ) + ")"
+    nbr = (
+        cells.select(
+            "i", "j", "x", F.explode(F.expr(offs)).alias("o")
+        )
+        .select(
+            (F.col("i") + F.col("o.di")).alias("ti"),
+            (F.col("j") + F.col("o.dj")).alias("tj"),
+            "x",
+        )
+        .groupBy("ti", "tj")
+        .agg(F.sum("x").alias("gi"), F.count(F.lit(1)).alias("wi"))
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.expr("sum(x * x)").alias("q"),
+    )
+    return (
+        cells.join(
+            nbr,
+            (F.col("i") == F.col("ti")) & (F.col("j") == F.col("tj")),
+        )
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "i",
+            "j",
+            "n_stations",
+            "x AS activity",
+            "gi AS neighborhood_activity",
+            "wi AS n_neighbor_cells",
+            f"{_GI_Z} AS gi_z",
+        )
+        .orderBy(F.desc("gi_z"), "i", "j")
+        .limit(GEO_TOP)
+    )
+
+
+QUERIES["geo_hotspots"] = geo_hotspots
+
+
+def _geo_hotspots_oracle() -> str:
+    offs_rows = ", ".join(f"({di}, {dj})" for di, dj in _OFFSETS)
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        act AS (
+            SELECT k, CAST(sum(flow) AS BIGINT) AS a FROM (
+                SELECT o AS k, flow FROM flows WHERE o <> d
+                UNION ALL
+                SELECT d AS k, flow FROM flows WHERE o <> d
+            ) GROUP BY k
+        ),
+        cells AS (
+            SELECT k % 100 AS i, (k * 7) % 100 AS j,
+                   CAST(sum(a) AS BIGINT) AS x,
+                   count(*) AS n_stations
+            FROM act GROUP BY 1, 2
+        ),
+        nbr AS (
+            SELECT c.i + o.di AS ti, c.j + o.dj AS tj,
+                   CAST(sum(c.x) AS BIGINT) AS gi,
+                   count(*) AS wi
+            FROM cells c, (VALUES {offs_rows}) o(di, dj)
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM cells
+        )
+        SELECT i, j, n_stations, x AS activity,
+               gi AS neighborhood_activity,
+               wi AS n_neighbor_cells,
+               {_GI_Z} AS gi_z
+        FROM cells
+        JOIN nbr ON nbr.ti = cells.i AND nbr.tj = cells.j
+        CROSS JOIN totals
+        ORDER BY gi_z DESC, i, j
+        LIMIT {GEO_TOP}
+    """
+
+
+ORACLES["geo_hotspots"] = _geo_hotspots_oracle()

@@ -415,3 +415,152 @@ def _anova_oracle() -> str:
 
 
 ORACLES["activity_anova"] = _anova_oracle()
+
+
+# -------------------------------------------- Holt forecasting
+
+#: Holt state scale (milli-cents) and the rational smoothing
+#: constants: alpha = 1/ALPHA_D, beta = 1/BETA_D — chosen rational so
+#: the entire recurrence is EXACT integer arithmetic (no float state
+#: drift, no cross-engine transcendental)
+HOLT_K = 1000
+ALPHA_D = 5
+BETA_D = 10
+
+
+def _fdiv(a: str, d: int, div: str) -> str:
+    """Shared-text FLOOR division of a possibly-negative integer:
+    subtract the non-negative remainder first, so the division is
+    exact and the engines' differing truncation (Spark `div` toward
+    zero, DuckDB `//` toward -inf) can never disagree."""
+    return f"((({a}) - (((({a}) % {d}) + {d}) % {d})) {div} {d})"
+
+
+def _holt_step(y: str, l_prev: str, b_prev: str, div: str) -> tuple[str, str]:
+    """One Holt update in exact integers: returns (l_t, b_t) SQL.
+    l_t = FDIV(y*K + (ALPHA_D-1)*(l+b), ALPHA_D)
+    b_t = FDIV((l_t - l) + (BETA_D-1)*b, BETA_D)"""
+    lt = _fdiv(
+        f"({y}) * {HOLT_K} + {ALPHA_D - 1} * (({l_prev}) + ({b_prev}))",
+        ALPHA_D,
+        div,
+    )
+    bt = _fdiv(
+        f"({lt}) - ({l_prev}) + {BETA_D - 1} * ({b_prev})", BETA_D, div
+    )
+    return lt, bt
+
+
+_DISP = f"CAST({{}} AS DOUBLE) / CAST({HOLT_K * 100} AS DOUBLE)"
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the daily purchase-
+    revenue series (observed days, time order): per day the level,
+    trend, and one-step-ahead fit — the last row's `fitted_next` IS
+    tomorrow's forecast. alpha=1/5, beta=1/10 are RATIONAL, state is
+    integer milli-cents, and every update divides via the shared
+    floor-div idiom, so the whole recurrence is exact integer math —
+    both engines produce bit-identical state at every step (the
+    float-free cousin of the ltv_decay/dsir quantization rule;
+    level/trend displays are single IEEE divides of those integers).
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    daily aggregate; the inherently-sequential smoothing then folds
+    over the DAYS-sized array (bounded by the calendar span, never
+    by corpus size) inside one whole-stage `aggregate()` expression
+    — JVM-side, no UDF, no driver loop — and explodes back to rows.
+    The executor-side collect_list is over that same bounded series
+    (the activity_acf family's contract: series length = time span).
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").alias(
+                "y"
+            )
+        )
+    )
+    stype = "struct<day:date,y:bigint,l:bigint,b:bigint>"
+    lt, bt = _holt_step(
+        "x.y",
+        "element_at(acc, -1).l",
+        "element_at(acc, -1).b",
+        "div",
+    )
+    fold = f"""
+        aggregate(
+            sort_array(collect_list(struct(day, y))),
+            CAST(array() AS array<{stype}>),
+            (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0
+                THEN named_struct(
+                    'day', x.day, 'y', x.y,
+                    'l', x.y * {HOLT_K}, 'b', CAST(0 AS BIGINT))
+                ELSE named_struct(
+                    'day', x.day, 'y', x.y,
+                    'l', CAST({lt} AS BIGINT),
+                    'b', CAST({bt} AS BIGINT))
+                END))
+        )
+    """
+    return (
+        daily.agg(F.expr(fold).alias("rows"))
+        .select(F.explode("rows").alias("r"))
+        .selectExpr(
+            "r.day AS day",
+            "CAST(r.y AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue",
+            f"{_DISP.format('r.l')} AS level",
+            f"{_DISP.format('r.b')} AS trend",
+            f"{_DISP.format('r.l + r.b')} AS fitted_next",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["holt_forecast"] = holt_forecast
+
+
+def _holt_oracle() -> str:
+    lt, bt = _holt_step(
+        "(SELECT s FROM ser)[r.i + 1].y", "r.l", "r.b", "//"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        ser AS MATERIALIZED (
+            SELECT list(struct_pack(day := day, y := y)
+                        ORDER BY day) AS s,
+                   count(*) AS n
+            FROM daily
+        ),
+        rec(i, day, y, l, b) AS (
+            SELECT 1, s[1].day, s[1].y,
+                   s[1].y * {HOLT_K}, CAST(0 AS BIGINT)
+            FROM ser
+            UNION ALL
+            SELECT r.i + 1,
+                   (SELECT s FROM ser)[r.i + 1].day,
+                   (SELECT s FROM ser)[r.i + 1].y,
+                   CAST({lt} AS BIGINT),
+                   CAST({bt} AS BIGINT)
+            FROM rec r
+            WHERE r.i < (SELECT n FROM ser)
+        )
+        SELECT day,
+               CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               {_DISP.format('l')} AS level,
+               {_DISP.format('b')} AS trend,
+               {_DISP.format('l + b')} AS fitted_next
+        FROM rec
+        ORDER BY day
+    """
+
+
+ORACLES["holt_forecast"] = _holt_oracle()

@@ -105,6 +105,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "vocab_bigram_pmi",
     # 1-row observed-day-bounds frame generating the calendar spine
     "dau_wau_stickiness",
+    # 1-row corpus-moments frame onto the <=100x100 cell grid
+    "geo_hotspots",
 }
 
 

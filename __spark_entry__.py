@@ -121,6 +121,8 @@ WINDOW_OVERFLOW = frozenset(
         "nbq_gains",
         "holt_forecast",
         "geo_hotspots",
+        "attribution_position",
+        "cohort_ltv",
     }
 )
 

@@ -735,3 +735,295 @@ def _ordered_funnel_oracle() -> str:
 
 
 ORACLES["ordered_funnel"] = _ordered_funnel_oracle()
+
+
+#: position-based (U-shaped) multi-touch credit, in basis points:
+#: first and last touch take POS_EDGE_BP each, the middles split
+#: POS_MID_BP with the integer remainder going to the EARLIEST
+#: middles (deterministic); 1-touch paths take everything, 2-touch
+#: paths split evenly
+POS_EDGE_BP = 4000
+POS_MID_BP = 2000
+
+
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    every purchase's credit is split across ALL its view/click
+    touches in the preceding ATTR_WINDOW_HOURS — 40% to the first,
+    40% to the last, 20% shared by the middles — and rolls up per
+    channel. Purchases with no touch keep full credit under
+    `(none)`. Completes the attribution family (last-touch credit,
+    time-to-convert delays) with the multi-touch member real
+    marketing mixes compare against.
+
+    Exactness: credit is integer BASIS POINTS that sum to exactly
+    10000 per purchase by construction — the middle share splits by
+    truncating division with the remainder handed to the earliest
+    middles one basis point each (all operands non-negative, so
+    Spark `div` and DuckDB `//` agree) — and credited revenue is the
+    exact integer sum of cents x bp, displayed through the 128-bit
+    half-up. A conservation pytest pins the per-purchase total.
+
+    Scale shape: ONE user-keyed equi join (purchases x touches) with
+    window-bounded fanout — touches per purchase are bounded by
+    event density x window, which is corpus-INDEPENDENT here (users
+    scale with the corpus, per-user density doesn't) — then two
+    windows over the purchase key (rank, count) that reuse the
+    join's shuffle, a channel-sized rollup, and a 1-row total
+    broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import cents, halfup_ratio_sql, halfup_ratio_wide_sql
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        cents(F.col("value")).alias("v"),
+    ).localCheckpoint(eager=False)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("pus"),
+        F.col("v").alias("pv"),
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_CHANNELS)).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"),
+        F.col("us").alias("tus"),
+    )
+    window_us = ATTR_WINDOW_HOURS * _HOUR_US
+    joined = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - F.lit(window_us)),
+        "left",
+    )
+    wp = W.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "pv",
+        F.coalesce("channel", F.lit("(none)")).alias("channel"),
+        F.row_number()
+        .over(wp.orderBy(F.asc_nulls_first("tus"), F.asc_nulls_first("tid")))
+        .alias("rn"),
+        F.count("tid").over(wp).alias("n"),
+    )
+    credit = (
+        "CASE WHEN n = 0 THEN 10000"
+        " WHEN n = 1 THEN 10000"
+        f" WHEN n = 2 THEN 5000"
+        f" WHEN rn = 1 OR rn = n THEN {POS_EDGE_BP}"
+        f" ELSE {POS_MID_BP} div (n - 2)"
+        f" + CAST(rn - 1 <= {POS_MID_BP} % (n - 2) AS INT)"
+        " END"
+    )
+    per = (
+        ranked.selectExpr(
+            "channel", "pid", "pv", f"CAST({credit} AS BIGINT) AS bp"
+        )
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("pid").alias("n_purchases"),
+            F.sum("bp").alias("sum_bp"),
+            F.sum(F.expr("pv * bp")).alias("vbp"),
+        )
+    )
+    tot = per.agg(F.sum("vbp").alias("tot_vbp"))
+    rev = halfup_ratio_wide_sql("vbp", "1000000", 2, "spark")
+    share = halfup_ratio_sql("100 * vbp", "tot_vbp", 4, "spark")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "channel",
+            "n_purchases",
+            "sum_bp",
+            f"{rev} AS credited_revenue",
+            f"{share} AS revenue_share_pct",
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["attribution_position"] = attribution_position
+
+
+def _attribution_position_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql, halfup_ratio_wide_sql
+
+    credit = (
+        "CASE WHEN n = 0 THEN 10000"
+        " WHEN n = 1 THEN 10000"
+        " WHEN n = 2 THEN 5000"
+        f" WHEN rn = 1 OR rn = n THEN {POS_EDGE_BP}"
+        f" ELSE {POS_MID_BP} // (n - 2)"
+        f" + CAST(rn - 1 <= {POS_MID_BP} % (n - 2) AS INT)"
+        " END"
+    )
+    rev = halfup_ratio_wide_sql("vbp", "1000000", 2, "duck")
+    share = halfup_ratio_sql("100 * vbp", "tot_vbp", 4, "duck")
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        p AS (
+            SELECT user_id AS pu, event_id AS pid, us AS pus, v AS pv
+            FROM ev WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id AS tu, event_type AS channel,
+                   event_id AS tid, us AS tus
+            FROM ev WHERE event_type IN {ATTR_CHANNELS}
+        ),
+        ranked AS (
+            SELECT pid, pv,
+                   coalesce(channel, '(none)') AS channel,
+                   row_number() OVER (
+                       PARTITION BY pid
+                       ORDER BY tus ASC NULLS FIRST,
+                                tid ASC NULLS FIRST) AS rn,
+                   count(tid) OVER (PARTITION BY pid) AS n
+            FROM p LEFT JOIN t
+              ON pu = tu AND tus < pus
+             AND tus >= pus - {ATTR_WINDOW_HOURS} * {_HOUR_US}
+        ),
+        per AS (
+            SELECT channel,
+                   count(DISTINCT pid) AS n_purchases,
+                   CAST(sum(CAST({credit} AS BIGINT)) AS BIGINT)
+                       AS sum_bp,
+                   CAST(sum(pv * CAST({credit} AS BIGINT)) AS BIGINT)
+                       AS vbp
+            FROM ranked GROUP BY channel
+        ),
+        tot AS (SELECT CAST(sum(vbp) AS BIGINT) AS tot_vbp FROM per)
+        SELECT channel, n_purchases, sum_bp,
+               {rev} AS credited_revenue,
+               {share} AS revenue_share_pct
+        FROM per CROSS JOIN tot
+        ORDER BY channel
+    """
+
+
+ORACLES["attribution_position"] = _attribution_position_oracle()
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-revenue LTV curves per weekly signup cohort: for
+    each (first-seen cohort week, week offset), the purchase
+    revenue earned that week, the running cumulative, and the
+    cumulative LTV per cohort user — the money-side twin of
+    `cohort_retention` (same cohort definition, same two-shuffle
+    shape), answering "how fast does a cohort pay back".
+
+    Exactness: revenue is integer cents; the cumulative rides an
+    exact integer window sum over the weeks x weeks triangle
+    (bounded by the time span squared, never corpus size); LTV per
+    user is the half-up of (cum cents, 100 x cohort size).
+
+    Scale shape: first-seen min-agg on user_id, purchase rollup
+    joined on user_id (reusing the same hash partitioning), then
+    all windows run on the bounded triangle.
+    """
+    from ..functions.exact import cents
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        cents(F.col("value")).alias("v"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").alias("rev_c"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # triangle-sized frame
+    return (
+        rev.withColumn("cum_c", F.sum("rev_c").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "week_offset",
+            "n_purchases",
+            "CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue",
+            "CAST(cum_c AS DOUBLE) / CAST(100 AS DOUBLE)"
+            " AS cum_revenue",
+            "cohort_size",
+            halfup_ratio_sql("cum_c", "100 * cohort_size", 4)
+            + " AS ltv_per_user",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QUERIES["cohort_ltv"] = cohort_ltv
+
+_LTV_PCT_DUCK = halfup_ratio_sql(
+    "cum_c", "100 * cohort_size", 4, engine="duck"
+)
+
+ORACLES["cohort_ltv"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                    AS DATE) AS week,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM first GROUP BY 1
+    ),
+    rev AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7
+                    AS INT) AS week_offset,
+               count(*) AS n_purchases,
+               CAST(sum(v) AS BIGINT) AS rev_c
+        FROM ev JOIN first USING (user_id)
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *,
+               CAST(sum(rev_c) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM rev
+    )
+    SELECT cohort_week, week_offset, n_purchases,
+           CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+           CAST(cum_c AS DOUBLE) / CAST(100 AS DOUBLE) AS cum_revenue,
+           cohort_size,
+           {_LTV_PCT_DUCK} AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+"""

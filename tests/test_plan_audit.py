@@ -107,6 +107,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "dau_wau_stickiness",
     # 1-row corpus-moments frame onto the <=100x100 cell grid
     "geo_hotspots",
+    # 1-row total-credited-revenue frame onto the |channels| rollup
+    "attribution_position",
 }
 
 

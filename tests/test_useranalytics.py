@@ -2,6 +2,8 @@
 identities (offset-0 row is the cohort itself at 100%; retained
 users never exceed cohort size; triangle is span-bounded)."""
 
+import pytest
+
 from bike_analyzer_spark.operators import useranalytics
 from tests.conftest import SF_DIR_ORACLE
 from tests.oracle import assert_matches_oracle
@@ -268,3 +270,81 @@ def test_ordered_funnel_monotone_and_sequenced(spark):
             want[depth] += 1
             depth += 1
     assert ns == want
+
+
+def test_attribution_position_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    assert_matches_oracle(
+        ua.attribution_position(spark, SF_DIR_ORACLE),
+        duck,
+        ua.ORACLES["attribution_position"],
+        name="attribution_position",
+    )
+
+
+def test_attribution_position_conserves_credit(spark):
+    """Every purchase's credit sums to exactly 10000 bp, channel
+    totals partition the purchase set, and credited revenue adds up
+    to total purchase revenue to the cent."""
+    import duckdb as dk
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = ua.attribution_position(spark, SF_DIR_ORACLE).collect()
+    n_purch, tot_rev_c = dk.sql(
+        f"""SELECT count(*),
+               sum(CAST(round(value * 100) AS BIGINT))
+        FROM '{SF_DIR_ORACLE}/events.parquet'
+        WHERE event_type = 'purchase'"""
+    ).fetchone()
+    # bp conservation: the grand total is exactly 10000 per purchase
+    assert sum(r.sum_bp for r in rows) == 10000 * n_purch
+    # revenue conservation to the cent (credited_revenue is the
+    # half-up display of vbp/1e6; sum the exact bp-weighted cents)
+    assert (
+        sum(round(r.credited_revenue * 100) for r in rows)
+        == pytest.approx(tot_rev_c, abs=len(rows))
+    )
+    shares = sum(r.revenue_share_pct for r in rows)
+    assert abs(shares - 100.0) < 0.01
+    assert {r.channel for r in rows} <= set(ua.ATTR_CHANNELS) | {
+        "(none)"
+    }
+
+
+def test_cohort_ltv_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    assert_matches_oracle(
+        ua.cohort_ltv(spark, SF_DIR_ORACLE),
+        duck,
+        ua.ORACLES["cohort_ltv"],
+        name="cohort_ltv",
+    )
+
+
+def test_cohort_ltv_consistent_with_retention(spark):
+    """Cohort sizes agree with cohort_retention; cumulative revenue
+    is non-decreasing and ends at the cohort's total purchase
+    revenue; LTV tracks cum/size."""
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    ltv = ua.cohort_ltv(spark, SF_DIR_ORACLE).collect()
+    ret = ua.cohort_retention(spark, SF_DIR_ORACLE).collect()
+    sizes = {r.cohort_week: r.cohort_size for r in ret}
+    by_cohort: dict = {}
+    for r in ltv:
+        assert sizes[r.cohort_week] == r.cohort_size
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.week_offset)
+        cums = [r.cum_revenue for r in series]
+        assert cums == sorted(cums)
+        assert cums[-1] == pytest.approx(
+            sum(r.revenue for r in series), abs=1e-6
+        )
+        for r in series:
+            assert r.ltv_per_user == pytest.approx(
+                round(r.cum_revenue / r.cohort_size, 4), abs=5e-4
+            )

@@ -123,6 +123,7 @@ WINDOW_OVERFLOW = frozenset(
         "geo_hotspots",
         "attribution_position",
         "cohort_ltv",
+        "skyline_parts",
     }
 )
 

@@ -352,3 +352,83 @@ ORACLES["value_reversals"] = """
     FROM extrema e LEFT JOIN runs USING (user_id)
     ORDER BY user_id
 """
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand SKYLINE (Pareto frontier) of parts: the parts not
+    STRICTLY dominated on (retail price down, size up) — no other
+    same-brand part is at-most-as-expensive AND at-least-as-big
+    while strictly better on one axis. The skyline operator is the
+    classic "best value-for-money shortlist" missing from plain SQL
+    surfaces; per-brand partitioning is both the useful grain and
+    the scale-safe one (a GLOBAL skyline would need one corpus-wide
+    sort — per-brand windows shuffle on the brand key instead).
+
+    The 2-D frontier needs no pairwise join: order each brand by
+    price cents, then a part survives iff (a) no strictly cheaper
+    part matches its size — running MAX(size) over the
+    integer-valued RANGE frame `UNBOUNDED PRECEDING TO 1 PRECEDING`
+    on price, the frame both engines define identically — and (b)
+    no equal-priced part strictly exceeds its size (the per-price
+    partition max). Equal (price, size) twins both survive, per the
+    strict-domination definition. Everything compares exact integer
+    cents, so the frontier membership test is exact.
+    """
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("p_brand", "price_c")
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            cents(F.col("p_retailprice")).alias("price_c"),
+        )
+        .withColumn("max_lt", F.max("p_size").over(w_lt))
+        .withColumn("max_eq", F.max("p_size").over(w_eq))
+        .where(
+            (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("p_size")))
+            & (F.col("max_eq") == F.col("p_size"))
+        )
+        .selectExpr(
+            "p_brand",
+            "p_partkey",
+            "p_size",
+            "CAST(price_c AS DOUBLE) / CAST(100 AS DOUBLE)"
+            " AS retail_price",
+        )
+        .orderBy("p_brand", "price_c", "p_partkey")
+    )
+
+
+QUERIES["skyline_parts"] = skyline_parts
+
+ORACLES["skyline_parts"] = """
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part
+    ),
+    m AS (
+        SELECT *,
+               max(p_size) OVER (
+                   PARTITION BY p_brand ORDER BY price_c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS max_lt,
+               max(p_size) OVER (
+                   PARTITION BY p_brand, price_c
+               ) AS max_eq
+        FROM p
+    )
+    SELECT p_brand, p_partkey, p_size,
+           CAST(price_c AS DOUBLE) / CAST(100 AS DOUBLE)
+               AS retail_price
+    FROM m
+    WHERE (max_lt IS NULL OR max_lt < p_size)
+      AND max_eq = p_size
+    ORDER BY p_brand, price_c, p_partkey
+"""

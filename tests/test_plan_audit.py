@@ -98,6 +98,8 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row params crossJoin
     "ann_recall_ivf",
     "nbq_confusion",
+    # inherits nbq_select's 1-row params crossJoin (same as above)
+    "nbq_gains",
     # 1-row totals frames: (n_users, total_c) over the user frame /
     # (n_baskets) over the pair table / (T, B) over the bigram table
     "ab_test_chi2",

@@ -124,6 +124,8 @@ WINDOW_OVERFLOW = frozenset(
         "attribution_position",
         "cohort_ltv",
         "skyline_parts",
+        "path_trigrams",
+        "hll_user_estimate",
     }
 )
 

@@ -405,3 +405,150 @@ ORACLES["scale_grid_quantiles"] = f"""
     FROM hit
     ORDER BY event_type, q
 """
+
+
+# ------------------------------------------------------ HyperLogLog
+
+#: HLL geometry: m = 2^HLL_P registers; the hash is the portable
+#: 32-bit `hash64` (md5 head), split top-P bits -> register, low
+#: (32-P) bits -> rank
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_LOW_BITS = 32 - HLL_P
+HLL_SALT = "hll"
+
+#: shared-text rank-of-lowest-set-bit over the low bits: v & -v
+#: isolates it as an exact power of two, whose log2 is EXACT in IEEE
+#: doubles, so the round() can never sit on a boundary; v = 0 (all
+#: low bits zero) takes the saturated rank
+_RHO = (
+    f"CASE WHEN lo = 0 THEN {HLL_LOW_BITS + 1}"
+    " ELSE CAST(round(log2(CAST((lo & -lo) AS DOUBLE))) AS INT) + 1"
+    " END"
+)
+
+#: the standard bias constant alpha_m for m >= 128, as shared text
+_ALPHA = "(0.7213 / (1.0 + 1.079 / CAST(m AS DOUBLE)))"
+
+#: raw estimate alpha*m^2 / sum(2^-M_j), with the register sum held
+#: EXACT: 2^-M_j = 2^(LOW+1-M_j) / 2^(LOW+1), an integer per
+#: register, so the only double aggregation risk (order-dependent
+#: float sums) is gone; small-range correction = linear counting
+#: when E <= 2.5m and empty registers remain
+_EST = (
+    f"CASE WHEN {_ALPHA} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+    f" * CAST({1 << (HLL_LOW_BITS + 1)} AS DOUBLE)"
+    f" / CAST(s AS DOUBLE) <= 2.5 * CAST(m AS DOUBLE)"
+    " AND v > 0"
+    " THEN CAST(m AS DOUBLE)"
+    " * ln(CAST(m AS DOUBLE) / CAST(v AS DOUBLE))"
+    f" ELSE {_ALPHA} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+    f" * CAST({1 << (HLL_LOW_BITS + 1)} AS DOUBLE)"
+    f" / CAST(s AS DOUBLE) END"
+)
+
+
+def hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate vs the exact count, one
+    row: registers m, filled registers, the estimate, and the
+    signed error in ppm — the bounded-state sketch that replaces
+    COUNT(DISTINCT) when the distinct set itself no longer fits
+    (the CMS's cardinality sibling; at 100 TB the 256-register
+    state is what a streaming aggregator would carry).
+
+    Exactness discipline: the register table is exact integers
+    (max-rank per register, 2^(LOW+1-rank) summands), so the only
+    doubles are ONE shared-text estimate expression over (m, s, v)
+    and the ln() of the linear-counting branch — bit-equal in both
+    engines. The exact distinct count rides the same query for the
+    error column; err_ppm's round() sits on the accepted
+    quantization boundary class (dsir/lm).
+
+    Scale shape: one map-side-combinable groupBy on the register id
+    (<= m groups) after a projection; the exact count is the usual
+    two-phase distinct; both collapse to a 1-row report.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        hash64(F.col("user_id").cast("string"), HLL_SALT).alias("h")
+    )
+    regs = (
+        ev.select(
+            F.expr(f"h div {1 << HLL_LOW_BITS}").alias("reg"),
+            F.expr(f"h % {1 << HLL_LOW_BITS}").alias("lo"),
+        )
+        .selectExpr("reg", f"{_RHO} AS rho")
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    sums = regs.agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_LOW_BITS + 1} - mr)")
+        ).alias("s_filled"),
+    )
+    exact = load(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"CAST({HLL_M} AS BIGINT) AS m",
+            "filled",
+            "n_exact",
+            # empty registers contribute 2^-0 = 1 each: 2^(LOW+1)
+            f"s_filled + (CAST({HLL_M} AS BIGINT) - filled)"
+            f" * {1 << (HLL_LOW_BITS + 1)} AS s",
+            f"CAST({HLL_M} AS BIGINT) - filled AS v",
+        )
+        .selectExpr(
+            "m",
+            "filled",
+            "n_exact",
+            f"{_EST} AS hll_estimate",
+            f"CAST(round(({_EST} - CAST(n_exact AS DOUBLE))"
+            " / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)"
+            " AS err_ppm",
+        )
+    )
+
+
+QUERIES["hll_user_estimate"] = hll_user_estimate
+
+_H_DUCK = hash64_duck("CAST(user_id AS VARCHAR)", repr(HLL_SALT))
+
+ORACLES["hll_user_estimate"] = f"""
+    WITH h AS (
+        SELECT {_H_DUCK} AS h FROM events
+    ),
+    rl AS (
+        SELECT h // {1 << HLL_LOW_BITS} AS reg,
+               h % {1 << HLL_LOW_BITS} AS lo
+        FROM h
+    ),
+    regs AS (
+        SELECT reg, max({_RHO}) AS mr FROM rl GROUP BY reg
+    ),
+    sums AS (
+        SELECT count(*) AS filled,
+               CAST(sum(CAST(1 AS BIGINT)
+                        << ({HLL_LOW_BITS + 1} - mr)) AS BIGINT)
+                   AS s_filled
+        FROM regs
+    ),
+    exact AS (
+        SELECT count(DISTINCT user_id) AS n_exact FROM events
+    ),
+    wide AS (
+        SELECT CAST({HLL_M} AS BIGINT) AS m, filled, n_exact,
+               s_filled + (CAST({HLL_M} AS BIGINT) - filled)
+                   * {1 << (HLL_LOW_BITS + 1)} AS s,
+               CAST({HLL_M} AS BIGINT) - filled AS v
+        FROM sums CROSS JOIN exact
+    )
+    SELECT m, filled, n_exact,
+           {_EST} AS hll_estimate,
+           CAST(round(({_EST} - CAST(n_exact AS DOUBLE))
+               / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)
+               AS err_ppm
+    FROM wide
+"""

@@ -564,3 +564,90 @@ def _holt_oracle() -> str:
 
 
 ORACLES["holt_forecast"] = _holt_oracle()
+
+
+# ------------------------------------------------ journey trigrams
+
+#: bounded journey-pattern head
+TRIGRAM_TOP = 15
+
+
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIGRAM_TOP most common 3-step user journeys: consecutive
+    event-type triples along each user's (ts, event_id)-ordered
+    stream, with their share of all trigrams — the "common paths"
+    panel of a product-analytics stack, and the n-gram generalization
+    of `event_transitions` (its bigram Markov matrix).
+
+    Scale shape: ONE shuffle on user_id; two lead() windows over the
+    same sort produce the triple per row (no self-joins, no arrays),
+    then a map-side-combinable count on the bounded |types|^3 key
+    space and a 1-row total broadcast. Share is the exact integer
+    half-up; the head is fully tiebroken (count desc, steps asc).
+    """
+    from ..functions.exact import halfup_ratio_sql
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    tri = (
+        ev.withColumn("s2", F.lead("event_type", 1).over(w))
+        .withColumn("s3", F.lead("event_type", 2).over(w))
+        .where(F.col("s3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("s2").alias("step2"),
+            F.col("s3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.sum("n").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "step1",
+            "step2",
+            "step3",
+            "n",
+            halfup_ratio_sql("100 * n", "t", 4, "spark")
+            + " AS share_pct",
+        )
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+QUERIES["path_trigrams"] = path_trigrams
+
+
+def _path_trigrams_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    share = halfup_ratio_sql("100 * n", "t", 4, "duck")
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM events
+        ),
+        led AS (
+            SELECT event_type AS step1,
+                   lead(event_type, 1) OVER w AS step2,
+                   lead(event_type, 2) OVER w AS step3
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tri AS (
+            SELECT step1, step2, step3, count(*) AS n
+            FROM led WHERE step3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tri)
+        SELECT step1, step2, step3, n, {share} AS share_pct
+        FROM tri CROSS JOIN tot
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT {TRIGRAM_TOP}
+    """
+
+
+ORACLES["path_trigrams"] = _path_trigrams_oracle()

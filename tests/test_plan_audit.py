@@ -111,6 +111,9 @@ _BOUNDED_CROSSJOIN_OK = {
     "geo_hotspots",
     # 1-row total-credited-revenue frame onto the |channels| rollup
     "attribution_position",
+    # 1-row trigram-total / exact-count frames onto bounded rollups
+    "path_trigrams",
+    "hll_user_estimate",
 }
 
 

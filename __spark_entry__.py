@@ -126,6 +126,7 @@ WINDOW_OVERFLOW = frozenset(
         "skyline_parts",
         "path_trigrams",
         "hll_user_estimate",
+        "benford_digits",
     }
 )
 

@@ -325,3 +325,93 @@ def _robust_oracle() -> str:
 
 
 ORACLES["robust_outliers"] = _robust_oracle()
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of purchase amounts — the
+    standard forensic screen for fabricated numbers: per leading
+    digit 1-9, the observed count and share vs the Benford
+    expectation log10(1+1/d), plus the standardized residual
+    (o - e)/sqrt(e(1-p)) that flags which digits drift.
+
+    Exactness: the digit is string-extracted from the exact integer
+    cents (both engines materialize the same digits for positive
+    bigints — no float log10 on the value side); counts are exact
+    integers; expectation and residual are shared-text IEEE
+    expressions over (n_total, n_d) and the Benford constant
+    log10(1+1/d) computed identically in both engines. Per-digit
+    rows avoid any order-dependent double aggregation (a scalar
+    chi-square would sum 9 doubles in engine-dependent order).
+
+    Scale shape: one projection + one <=9-group map-side-combinable
+    aggregate + a 1-row total broadcast. Zero-amount purchases are
+    excluded (no leading digit).
+    """
+    from ..functions.exact import cents, halfup_ratio_sql
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(cents(F.col("value")).alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            F.expr("CAST(substring(CAST(c AS STRING), 1, 1) AS INT)").alias(
+                "digit"
+            )
+        )
+    )
+    per = ev.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = per.agg(F.sum("n_d").alias("n_total"))
+    p = "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+    resid = (
+        f"(CAST(n_d AS DOUBLE) - CAST(n_total AS DOUBLE) * {p})"
+        f" / sqrt(CAST(n_total AS DOUBLE) * {p} * (1.0 - {p}))"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n_d",
+            halfup_ratio_sql("100 * n_d", "n_total", 4, "spark")
+            + " AS observed_pct",
+            f"{p} * 100.0 AS benford_pct",
+            f"{resid} AS z_resid",
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["benford_digits"] = benford_digits
+
+
+def _benford_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    p = "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+    resid = (
+        f"(CAST(n_d AS DOUBLE) - CAST(n_total AS DOUBLE) * {p})"
+        f" / sqrt(CAST(n_total AS DOUBLE) * {p} * (1.0 - {p}))"
+    )
+    return f"""
+        WITH c AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'
+        ),
+        d AS (
+            SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT)
+                       AS digit
+            FROM c WHERE c > 0
+        ),
+        per AS (SELECT digit, count(*) AS n_d FROM d GROUP BY digit),
+        tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_total FROM per)
+        SELECT digit, n_d,
+               {halfup_ratio_sql('100 * n_d', 'n_total', 4, 'duck')}
+                   AS observed_pct,
+               {p} * 100.0 AS benford_pct,
+               {resid} AS z_resid
+        FROM per CROSS JOIN tot
+        ORDER BY digit
+    """
+
+
+ORACLES["benford_digits"] = _benford_oracle()

@@ -18,19 +18,22 @@ FAMILIES = [
     ("KPI / readers / windows", ("q1", "q2", "q3", "q4", "p1", "p2", "a2",
                                  "a7", "a8", "a9", "a11", "a12", "w1", "w3",
                                  "w4", "s14", "f_")),
-    ("OD / graph", ("od_",)),
+    ("OD / graph", ("od_", "geo_")),
     ("events analytics", ("event_transitions", "activity_", "cusum",
                           "psi_", "robust_outliers", "attribution",
                           "stats_", "cohort", "rolling_user",
                           "funnel", "scd2", "event_gap",
                           "purchase_value_rank", "dormant", "ltv_",
-                          "above_avg", "scale_")),
+                          "above_avg", "scale_", "ab_test",
+                          "event_cooccurrence", "dau_wau",
+                          "ordered_funnel", "path_", "holt",
+                          "hll_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",
                        "purchase_quartiles",
                        "user_value_navigation", "event_grouping_sets",
-                       "nation_metrics_unpivot")),
+                       "nation_metrics_unpivot", "skyline")),
     ("ANN / embeddings", ("sim_", "semdedup", "ann_recall")),
     ("dedup family", ("dedup_", "span_", "minhash_error")),
     ("text / quality / LM", ("text_", "tfidf", "decontam", "lang",
@@ -41,7 +44,7 @@ FAMILIES = [
                       "fuzzy_", "source_data", "mm_")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_",
-                        "integrity", "skew_report")),
+                        "integrity", "skew_report", "time_weighted")),
 ]
 
 

@@ -114,6 +114,8 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row trigram-total / exact-count frames onto bounded rollups
     "path_trigrams",
     "hll_user_estimate",
+    # 1-row purchase-total frame onto the 9-digit rollup
+    "benford_digits",
 }
 
 

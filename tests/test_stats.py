@@ -3,6 +3,8 @@ estimators, and the bit-stability claim the module exists for."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bike_analyzer_spark.operators import stats
@@ -117,3 +119,43 @@ def test_robust_outliers_matches_pure_python(spark):
         assert r.median_value == float(med) / 100
         assert r.mad_value == float(mad) / 100
         assert r.n_outliers == n_out
+
+
+def test_benford_digits_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import stats
+
+    assert_matches_oracle(
+        stats.benford_digits(spark, SF_DIR_ORACLE),
+        duck,
+        stats.ORACLES["benford_digits"],
+        name="benford_digits",
+    )
+
+
+def test_benford_digits_identities(spark):
+    import math
+
+    import duckdb as dk
+
+    from bike_analyzer_spark.operators import stats
+
+    rows = stats.benford_digits(spark, SF_DIR_ORACLE).collect()
+    n_pos = dk.sql(
+        f"""SELECT count(*) FROM '{SF_DIR_ORACLE}/events.parquet'
+        WHERE event_type = 'purchase'
+          AND CAST(round(value * 100) AS BIGINT) > 0"""
+    ).fetchone()[0]
+    assert sum(r.n_d for r in rows) == n_pos
+    assert [r.digit for r in rows] == sorted({r.digit for r in rows})
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    # Benford expectations sum to 100% and match log10(1 + 1/d)
+    assert sum(
+        math.log10(1 + 1 / d) * 100 for d in range(1, 10)
+    ) == pytest.approx(100.0, abs=1e-9)
+    n = sum(r.n_d for r in rows)
+    for r in rows:
+        p = math.log10(1 + 1 / r.digit)
+        assert r.benford_pct == pytest.approx(p * 100, rel=1e-12)
+        want_z = (r.n_d - n * p) / math.sqrt(n * p * (1 - p))
+        assert r.z_resid == pytest.approx(want_z, rel=1e-12)
+        assert abs(r.observed_pct - 100 * r.n_d / n) <= 5e-4

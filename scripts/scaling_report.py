@@ -27,7 +27,7 @@ FAMILIES = [
                           "above_avg", "scale_", "ab_test",
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
-                          "hll_")),
+                          "hll_", "benford")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",

@@ -127,6 +127,9 @@ WINDOW_OVERFLOW = frozenset(
         "path_trigrams",
         "hll_user_estimate",
         "benford_digits",
+        "entity_golden_record",
+        "rfm_segments",
+        "monthly_revenue_yoy",
     }
 )
 

@@ -116,3 +116,24 @@ def halfup_avg_sql(
         f"(({cc} * {2 * scale} + {nn} * 100) {div} ({nn} * 200))"
         f" / CAST({scale} AS DOUBLE)"
     )
+
+
+def halfup_signed_ratio_sql(
+    num: str, den: str, digits: int = 4, engine: str = "spark"
+) -> str:
+    """`halfup_ratio_sql` for a possibly-NEGATIVE numerator
+    (denominator must stay positive): half-up rounds the MAGNITUDE
+    and re-applies the sign, the BigDecimal HALF_UP convention.
+    The positive-only form is wrong here twice over — truncating
+    division rounds negatives toward zero, and Spark's `div`
+    (truncate) disagrees with DuckDB's `//` (floor) on them — so
+    the sign is factored out before any integer division."""
+    scale = 10**digits
+    div = "div" if engine == "spark" else "//"
+    n = f"CAST(({num}) AS BIGINT)"
+    d = f"CAST(({den}) AS BIGINT)"
+    return (
+        f"((CASE WHEN {n} < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({n}) * {2 * scale} + {d}) {div} ({d} * 2)))"
+        f" / CAST({scale} AS DOUBLE)"
+    )

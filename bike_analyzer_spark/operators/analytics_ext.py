@@ -432,3 +432,82 @@ ORACLES["skyline_parts"] = """
       AND max_eq = p_size
     ORDER BY p_brand, price_c, p_partkey
 """
+
+
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with the year-over-year change — the
+    KPI-trend header of every finance dashboard: per calendar
+    month, exact-cents revenue, order count, and the half-up YoY
+    percentage against the same month one year earlier (NULL for
+    the first year and for months whose prior-year twin is absent).
+
+    The lag is BY CALENDAR MONTH, not row offset: a self-join on
+    month = month - 1 YEAR, so a missing month can never shift the
+    comparison (the add_months arithmetic is identical in both
+    engines). Scale shape: one map-side-combinable month rollup
+    (bounded by the date span), then a months-sized self-join —
+    corpus work is the single scan.
+    """
+    from ..functions.exact import cents, halfup_signed_ratio_sql
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("rev_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prior = monthly.select(
+        F.expr("add_months(month, 12)").alias("month"),
+        F.col("rev_c").alias("prior_c"),
+    )
+    yoy = halfup_signed_ratio_sql(
+        "100 * (rev_c - prior_c)", "prior_c", 2, "spark"
+    )
+    return (
+        monthly.join(prior, "month", "left")
+        .selectExpr(
+            "month",
+            "n_orders",
+            "CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue",
+            f"CASE WHEN prior_c > 0 THEN {yoy} END AS yoy_pct",
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["monthly_revenue_yoy"] = monthly_revenue_yoy
+
+
+def _monthly_yoy_oracle() -> str:
+    from ..functions.exact import halfup_signed_ratio_sql
+
+    yoy = halfup_signed_ratio_sql(
+        "100 * (rev_c - prior_c)", "prior_c", 2, "duck"
+    )
+    return f"""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1
+        )
+        SELECT m.month, m.n_orders,
+               CAST(m.rev_c AS DOUBLE) / CAST(100 AS DOUBLE)
+                   AS revenue,
+               CASE WHEN p.rev_c > 0 THEN
+                   {yoy.replace('rev_c', 'm.rev_c').replace('prior_c', 'p.rev_c')}
+               END AS yoy_pct
+        FROM monthly m
+        LEFT JOIN monthly p ON p.month = m.month - INTERVAL 1 YEAR
+        ORDER BY m.month
+    """
+
+
+ORACLES["monthly_revenue_yoy"] = _monthly_yoy_oracle()

@@ -242,3 +242,114 @@ ORACLES["entity_clusters"] = f"""
     HAVING count(*) >= 2
     ORDER BY n_members DESC, canonical_id ASC
 """
+
+
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship on top of `entity_clusters`: per multi-member
+    entity, elect the GOLDEN RECORD by the deterministic
+    completeness rule real MDM stacks use — longest text wins,
+    lowest doc_id breaks ties — and report the survivor next to the
+    mass it absorbs (member count, combined text bytes, how much
+    longer the survivor is than the entity median member).
+
+    Scale shape: the same capped-block match edges and O(diameter)
+    connected components as entity_clusters, then ONE join of the
+    membership against the documents projection (both sides keyed
+    by doc_id) and a single argmax window per component — entity
+    sizes are match-bounded (near-identical strings), so the window
+    partitions are tiny by construction.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    b = _blocked(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    l = b.select(
+        "blk", F.col("doc_id").alias("a"), F.col("prefix").alias("pa")
+    )
+    r = b.select(
+        "blk", F.col("doc_id").alias("b"), F.col("prefix").alias("pb")
+    )
+    edges = (
+        l.join(r, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("pa", "pb") <= MATCH_DIST)
+        .select("a", "b")
+    )
+    members = connected_components(edges).join(
+        load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"),
+            F.length("text").cast("long").alias("len"),
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("len"), F.asc("id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("id"))).alias(
+                "survivor_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("len"))).alias(
+                "survivor_len"
+            ),
+            F.sum("len").alias("total_len"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("component").alias("canonical_id"),
+            "survivor_id",
+            "n_members",
+            "survivor_len",
+            "total_len",
+        )
+        .orderBy(F.desc("n_members"), F.asc("canonical_id"))
+    )
+
+
+QUERIES["entity_golden_record"] = entity_golden_record
+
+ORACLES["entity_golden_record"] = f"""
+    WITH RECURSIVE {_BLOCKED_CTE},
+    edges AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+        WHERE levenshtein(l.prefix, r.prefix) <= {MATCH_DIST}
+    ),
+    bidir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b, a FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT e.dst, r.lbl
+        FROM bidir e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    m AS (
+        SELECT comp.component, comp.id, length(d.text) AS len,
+               row_number() OVER (
+                   PARTITION BY comp.component
+                   ORDER BY length(d.text) DESC, comp.id ASC
+               ) AS rn
+        FROM comp JOIN documents d ON d.doc_id = comp.id
+    )
+    SELECT component AS canonical_id,
+           max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+           count(*) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT)
+               AS survivor_len,
+           CAST(sum(len) AS BIGINT) AS total_len
+    FROM m
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY n_members DESC, canonical_id ASC
+"""

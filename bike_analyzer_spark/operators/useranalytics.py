@@ -1027,3 +1027,159 @@ ORACLES["cohort_ltv"] = f"""
     FROM cum JOIN sizes USING (cohort_week)
     ORDER BY cohort_week, week_offset
 """
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-lite segmentation: every user is scored Recent/Frequent/
+    Monetary against the CORPUS-MEAN thresholds and lands in one of
+    8 segments (R+/R- x F+/F- x M+/M-), reported with segment size,
+    average purchases, average spend, and share of users — the
+    marketing-warehouse classic.
+
+    Mean splits, not quintiles, by design (the ab_test_chi2
+    discipline): exact equal-frequency quintiles need corpus-wide
+    order statistics of per-user aggregates — a global sort — while
+    the three means are one 1-row broadcast, and every comparison
+    is exact integer cross-multiplication (x * n > sum, no
+    division). Recency compares integer microseconds since each
+    user's last event against the mean of those gaps (lower = more
+    recent = R+, measured from the corpus max timestamp so the
+    definition is reproducible).
+
+    Scale shape: one user-keyed aggregate (map-side combinable),
+    one 1-row broadcast of (n, sums), an 8-group rollup.
+    """
+    from ..functions.exact import cents, halfup_ratio_sql
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+            F.sum(
+                F.expr("CAST(event_type = 'purchase' AS INT)")
+            ).alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        cents(F.col("value")),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("money_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # the recency gap needs the corpus max FIRST: one more pass over
+    # the checkpointed user frame with the broadcast scalars
+    base = per_user.crossJoin(
+        F.broadcast(
+            per_user.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("last_us").alias("now_us"),
+                F.sum("freq").alias("sum_f"),
+                F.sum("money_c").alias("sum_m"),
+            )
+        )
+    ).withColumn("rec_us", F.col("now_us") - F.col("last_us"))
+    seg = base.crossJoin(
+        F.broadcast(base.agg(F.sum("rec_us").alias("sum_r")))
+    ).select(
+        F.concat(
+            F.when(
+                F.col("rec_us") * F.col("n") < F.col("sum_r"), F.lit("R+")
+            ).otherwise(F.lit("R-")),
+            F.when(
+                F.col("freq") * F.col("n") > F.col("sum_f"), F.lit("F+")
+            ).otherwise(F.lit("F-")),
+            F.when(
+                F.col("money_c") * F.col("n") > F.col("sum_m"),
+                F.lit("M+"),
+            ).otherwise(F.lit("M-")),
+        ).alias("segment"),
+        "freq",
+        "money_c",
+        "n",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").alias("sum_f"),
+            F.sum("money_c").alias("sum_m"),
+            F.max("n").alias("n_total"),
+        )
+        .selectExpr(
+            "segment",
+            "n_users",
+            halfup_ratio_sql("sum_f", "n_users", 2, "spark")
+            + " AS avg_purchases",
+            halfup_ratio_sql("sum_m", "100 * n_users", 2, "spark")
+            + " AS avg_spend",
+            halfup_ratio_sql("100 * n_users", "n_total", 2, "spark")
+            + " AS user_share_pct",
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES["rfm_segments"] = rfm_segments
+
+
+def _rfm_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                   CAST(sum(CAST(event_type = 'purchase' AS INT))
+                        AS BIGINT) AS freq,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS money_c
+            FROM events GROUP BY user_id
+        ),
+        t1 AS (
+            SELECT count(*) AS n, max(last_us) AS now_us,
+                   CAST(sum(freq) AS BIGINT) AS sum_f,
+                   CAST(sum(money_c) AS BIGINT) AS sum_m
+            FROM per_user
+        ),
+        base AS (
+            SELECT per_user.*, t1.*,
+                   now_us - last_us AS rec_us
+            FROM per_user, t1
+        ),
+        t2 AS (SELECT CAST(sum(rec_us) AS BIGINT) AS sum_r FROM base),
+        seg AS (
+            SELECT (CASE WHEN rec_us * n < sum_r
+                         THEN 'R+' ELSE 'R-' END)
+                || (CASE WHEN freq * n > sum_f
+                         THEN 'F+' ELSE 'F-' END)
+                || (CASE WHEN money_c * n > sum_m
+                         THEN 'M+' ELSE 'M-' END) AS segment,
+                   freq, money_c, n
+            FROM base, t2
+        ),
+        g AS (
+            SELECT segment, count(*) AS n_users,
+                   CAST(sum(freq) AS BIGINT) AS sum_f,
+                   CAST(sum(money_c) AS BIGINT) AS sum_m,
+                   max(n) AS n_total
+            FROM seg GROUP BY segment
+        )
+        SELECT segment, n_users,
+               {halfup_ratio_sql('sum_f', 'n_users', 2, 'duck')}
+                   AS avg_purchases,
+               {halfup_ratio_sql('sum_m', '100 * n_users', 2, 'duck')}
+                   AS avg_spend,
+               {halfup_ratio_sql('100 * n_users', 'n_total', 2, 'duck')}
+                   AS user_share_pct
+        FROM g
+        ORDER BY segment
+    """
+
+
+ORACLES["rfm_segments"] = _rfm_oracle()

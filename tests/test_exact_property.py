@@ -159,3 +159,47 @@ def test_wide_halfup_agrees_where_narrow_wraps(spark):
     [sh] = spark.range(1).selectExpr(f"{sexpr} AS h").collect()
     [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
     assert sh.h == dh == _want(num, den, 2)
+
+
+signed_ops = st.tuples(
+    st.integers(min_value=-(10**13), max_value=10**13),
+    st.integers(min_value=1, max_value=10**7),
+    st.sampled_from([2, 4]),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(signed_ops)
+def test_duck_signed_halfup_matches_decimal(case):
+    from bike_analyzer_spark.functions.exact import (
+        halfup_signed_ratio_sql,
+    )
+
+    num, den, digits = case
+    con = duckdb.connect()
+    expr = halfup_signed_ratio_sql(str(num), str(den), digits, "duck")
+    [(h,)] = con.execute(f"SELECT {expr}").fetchall()
+    sign = -1 if num < 0 else 1
+    assert h == sign * _want(abs(num), den, digits), (num, den, h)
+
+
+def test_signed_halfup_cross_engine_on_negatives(spark):
+    """The exact divergence the signed form removes: truncating vs
+    flooring integer division disagree on negative numerators, so
+    the unsigned form would silently split the engines there."""
+    con = duckdb.connect()
+    cases = [(-6845694, 1000000, 2), (-1, 3, 2), (-5, 1000, 4),
+             (-999999, 2, 2)]
+    from bike_analyzer_spark.functions.exact import (
+        halfup_signed_ratio_sql,
+    )
+
+    for num, den, digits in cases:
+        sexpr = halfup_signed_ratio_sql(str(num), str(den), digits,
+                                        "spark")
+        dexpr = halfup_signed_ratio_sql(str(num), str(den), digits,
+                                        "duck")
+        [sh] = spark.range(1).selectExpr(f"{sexpr} AS h").collect()
+        [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
+        sign = -1 if num < 0 else 1
+        assert sh.h == dh == sign * _want(abs(num), den, digits)

@@ -116,6 +116,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "hll_user_estimate",
     # 1-row purchase-total frame onto the 9-digit rollup
     "benford_digits",
+    # two chained 1-row corpus-threshold frames over the user frame
+    "rfm_segments",
 }
 
 

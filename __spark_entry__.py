@@ -130,6 +130,8 @@ WINDOW_OVERFLOW = frozenset(
         "entity_golden_record",
         "rfm_segments",
         "monthly_revenue_yoy",
+        "fulfillment_latency",
+        "vocab_zipf_fit",
     }
 )
 
@@ -208,6 +210,22 @@ _text_head, _text_tail = _split(
 _eval_head, _eval_tail = _split(
     evalsuite, ["ann_recall_ivf", "nbq_confusion", "minhash_error_profile"]
 )
+_wx_head, _wx_tail = _split(
+    warehouse_ext,
+    [
+        "event_gap_profile",
+        "purchase_value_rank",
+        "nation_metrics_unpivot",
+        "tpch_promo_revenue",
+        "dormant_customers",
+        "above_avg_orders",
+        "cube_type_hour",
+        "tpch_customer_distribution",
+        "rolling_user_spend",
+        "funnel_reconciliation",
+        "scd2_user_tiers",
+    ],
+)
 
 _MODULES = [
     # ---- r8 window (exactly 50 queries) -------------------------
@@ -231,7 +249,7 @@ _MODULES = [
     # round 7, i.e. already driver-proven post-spread-read — ceded
     # their re-proof slots to the seven NEW r8 wave-3 queries: five
     # tpch shapes + rolling_user_spend + funnel_reconciliation.)
-    warehouse_ext,
+    _wx_head,
     _tpch_head,
     _text_head,  # text_bpe_encode (streak 0); the module's four
     # 4-streak queries ceded their re-proof slots to winfuncs +
@@ -287,6 +305,7 @@ _MODULES = [
     experiment,  # NEW r8 wave 14: chi-square A/B (streak 0, outside)
     assoc,  # NEW r8 wave 14: basket co-occurrence (streak 0, outside)
     _eval_tail,  # NEW r8 wave 15: nbq_gains (streak 0, outside)
+    _wx_tail,  # NEW r8 wave 16: fulfillment_latency (streak 0, outside)
     quality,
     _sampling_tail,
     curate,

@@ -226,3 +226,115 @@ ORACLES["vocab_bigram_pmi"] = f"""
     ORDER BY pmi_unats DESC, c12 DESC, w1 ASC, w2 ASC
     LIMIT {TOP_BIGRAMS}
 """
+
+
+#: micro-unit quantizer for the octave fit's log2 ordinate (the
+#: dsir/lm discipline: ONE transcendental quantization per value)
+_L2Q = "CAST(round(log2(CAST({} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+#: OLS slope / r^2 over the integer octave sums, shared verbatim —
+#: x = octave index (exact int), y = micro-quantized log2(term count)
+_D2 = "CAST({} AS DOUBLE)"
+_SLOPE_NUM = (
+    f"({_D2.format('n')} * {_D2.format('sxy')}"
+    f" - {_D2.format('sx')} * {_D2.format('sy')})"
+)
+_SLOPE_DEN = (
+    f"({_D2.format('n')} * {_D2.format('sxx')}"
+    f" - {_D2.format('sx')} * {_D2.format('sx')})"
+)
+_Y_VAR = (
+    f"({_D2.format('n')} * {_D2.format('syy')}"
+    f" - {_D2.format('sy')} * {_D2.format('sy')})"
+)
+
+
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) exponent of the corpus term distribution,
+    WITHOUT ranking the vocabulary: bucket terms by frequency
+    OCTAVE (k = floor(log2 f) — exact even at octave boundaries,
+    since log2 of a power of two is exact in IEEE doubles), then
+    OLS of log2(#terms in octave) on k. Under Zipf with exponent s
+    the octave counts decay as 2^(-k/s), so s = -1/slope; r^2 says
+    how power-law the corpus really is. The rank-frequency
+    regression every NLP textbook draws needs a corpus-wide total
+    order over the vocabulary — a global sort this engine bans —
+    while the octave histogram is one map-side aggregate to <=32
+    rows at ANY corpus size.
+
+    Exactness: octave term-counts are exact integers; each log2 is
+    quantized ONCE to integer micro-units; the OLS power sums are
+    exact integer sums over <=32 rows; slope/exponent/r^2 are
+    shared-text IEEE expressions over those integers.
+
+    On the synthetic corpus the verdict is honestly "not Zipf": the
+    31-word vocabulary occupies two octaves with POSITIVE slope, so
+    zipf_exponent is NULL (guarded: the exponent only exists for a
+    decaying octave profile) — exactly the readout that tells a
+    pipeline its tokenizer corpus is unnatural."""
+    tf = _term_freqs(spark, sf_dir)
+    oct_ = tf.selectExpr(
+        "CAST(floor(log2(CAST(freq AS DOUBLE))) AS INT) AS k"
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n_terms"))
+    pts = oct_.selectExpr(
+        "CAST(k AS BIGINT) AS x", _L2Q.format("n_terms") + " AS y"
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return sums.selectExpr(
+        "n AS n_octaves",
+        f"CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 THEN"
+        f" {_SLOPE_NUM} / {_SLOPE_DEN} / CAST(1000000 AS DOUBLE)"
+        " END AS slope",
+        f"CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 AND {_SLOPE_NUM} < 0"
+        f" THEN CAST(-1000000 AS DOUBLE) * {_SLOPE_DEN} / {_SLOPE_NUM}"
+        " END AS zipf_exponent",
+        f"CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 AND {_Y_VAR} > 0 THEN"
+        f" {_SLOPE_NUM} * {_SLOPE_NUM} / ({_SLOPE_DEN} * {_Y_VAR})"
+        " END AS r2",
+    )
+
+
+QUERIES["vocab_zipf_fit"] = vocab_zipf_fit
+
+ORACLES["vocab_zipf_fit"] = f"""
+    WITH {_TF_CTE},
+    oct AS (
+        SELECT CAST(floor(log2(CAST(freq AS DOUBLE))) AS INT) AS k,
+               count(*) AS n_terms
+        FROM tf GROUP BY 1
+    ),
+    pts AS (
+        SELECT CAST(k AS BIGINT) AS x,
+               {_L2Q.format('n_terms')} AS y
+        FROM oct
+    ),
+    sums AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_octaves,
+           CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 THEN
+               {_SLOPE_NUM} / {_SLOPE_DEN} / CAST(1000000 AS DOUBLE)
+           END AS slope,
+           CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 AND {_SLOPE_NUM} < 0
+               THEN CAST(-1000000 AS DOUBLE) * {_SLOPE_DEN}
+                    / {_SLOPE_NUM}
+           END AS zipf_exponent,
+           CASE WHEN n > 1 AND {_SLOPE_DEN} > 0 AND {_Y_VAR} > 0 THEN
+               {_SLOPE_NUM} * {_SLOPE_NUM}
+               / ({_SLOPE_DEN} * {_Y_VAR})
+           END AS r2
+    FROM sums
+"""

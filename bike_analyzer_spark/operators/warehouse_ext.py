@@ -736,3 +736,132 @@ ORACLES["nation_metrics_unpivot"] = """
     )
     ORDER BY n_name, metric
 """
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: line count,
+    half-up mean days, EXACT median days, and max — the operations
+    question ("does URGENT actually ship faster?") the TPC-H suite's
+    revenue views never ask.
+
+    EXACT medians, distributively (the robust_outliers discipline):
+    the shuffled state is the (priority, days) HISTOGRAM — latency
+    in whole days is domain-bounded (the testdata's date span;
+    negative gaps occur because the synthetic ship dates are not
+    constrained to follow the order date, so the mean rides the
+    SIGNED half-up),
+    so a reducer holds a few hundred integers per priority at ANY
+    corpus size; both middle order statistics come from cumulative
+    counts with pure-integer ceil-ranks, and the doubled median
+    m = lo + hi stays an integer (displayed as m/2 via one exact
+    divide). The orders join is the co-partitioned big-big equi
+    join on the order key (both sides shuffle once on it).
+    """
+    from pyspark.sql import Window
+
+    days = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate").alias("d"),
+        )
+    )
+    hist = days.groupBy("priority", "d").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("priority").orderBy("d")
+    c = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("priority"))
+    )
+    med = c.groupBy("priority").agg(
+        (
+            F.min(F.when(F.expr("cum >= (n + 1) div 2"), F.col("d")))
+            + F.min(F.when(F.expr("cum >= n div 2 + 1"), F.col("d")))
+        ).alias("m2"),
+        F.max("n").alias("n_lines"),
+    )
+    sums = hist.groupBy("priority").agg(
+        F.sum(F.expr("d * cnt")).alias("sum_d"),
+        F.max("d").cast("long").alias("max_days"),
+    )
+    return (
+        med.join(sums, "priority")
+        .selectExpr(
+            "priority",
+            "n_lines",
+            _hd2("sum_d", "n_lines") + " AS mean_days",
+            "CAST(m2 AS DOUBLE) / CAST(2 AS DOUBLE) AS median_days",
+            "max_days",
+        )
+        .orderBy("priority")
+    )
+
+
+def _hd2(num: str, den: str) -> str:
+    # SIGNED: the synthetic lineitem ship dates are not constrained
+    # to follow the order date, so per-priority day sums can be
+    # negative — the unsigned form both misrounds negatives and
+    # splits the engines (truncate vs floor)
+    from ..functions.exact import halfup_signed_ratio_sql
+
+    return halfup_signed_ratio_sql(num, den, 2, "spark")
+
+
+QUERIES["fulfillment_latency"] = fulfillment_latency
+
+
+def _fulfillment_oracle() -> str:
+    from ..functions.exact import halfup_signed_ratio_sql
+
+    mean = halfup_signed_ratio_sql("sum_d", "n_lines", 2, "duck")
+    return f"""
+        WITH days AS (
+            SELECT o.o_orderpriority AS priority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS d
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        hist AS (
+            SELECT priority, d, count(*) AS cnt
+            FROM days GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT *,
+                   CAST(sum(cnt) OVER (PARTITION BY priority
+                       ORDER BY d) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY priority)
+                       AS BIGINT) AS n
+            FROM hist
+        ),
+        med AS (
+            SELECT priority,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+                   + min(CASE WHEN cum >= n // 2 + 1 THEN d END)
+                       AS m2,
+                   max(n) AS n_lines
+            FROM c GROUP BY priority
+        ),
+        sums AS (
+            SELECT priority,
+                   CAST(sum(d * cnt) AS BIGINT) AS sum_d,
+                   CAST(max(d) AS BIGINT) AS max_days
+            FROM hist GROUP BY priority
+        )
+        SELECT priority, n_lines,
+               {mean} AS mean_days,
+               CAST(m2 AS DOUBLE) / CAST(2 AS DOUBLE) AS median_days,
+               max_days
+        FROM med JOIN sums USING (priority)
+        ORDER BY priority
+    """
+
+
+ORACLES["fulfillment_latency"] = _fulfillment_oracle()

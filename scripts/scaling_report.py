@@ -27,9 +27,9 @@ FAMILIES = [
                           "above_avg", "scale_", "ab_test",
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
-                          "hll_", "benford")),
+                          "hll_", "benford", "rfm")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
-    ("analytics ext", ("set_ops", "rollup", "ntile", "pivot",
+    ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",
                        "purchase_quartiles",
                        "user_value_navigation", "event_grouping_sets",
@@ -44,7 +44,8 @@ FAMILIES = [
                       "fuzzy_", "source_data", "mm_")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_",
-                        "integrity", "skew_report", "time_weighted")),
+                        "integrity", "skew_report", "time_weighted",
+                        "fulfillment")),
 ]
 
 

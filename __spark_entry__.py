@@ -132,6 +132,7 @@ WINDOW_OVERFLOW = frozenset(
         "monthly_revenue_yoy",
         "fulfillment_latency",
         "vocab_zipf_fit",
+        "seasonal_anomalies",
     }
 )
 

@@ -310,3 +310,174 @@ ORACLES = {
         SELECT * FROM shown ORDER BY event_type
     """,
 }
+
+
+# ------------------------------------------- seasonal anomalies
+
+#: STL-lite geometry: centered +/-TREND_HALF hours for the trend
+#: (7 days), 168-hour weekly seasonality, 3-sigma flag, top-N head
+TREND_HALF = 84
+SEASON_HOURS = 168
+ANOM_TOP = 20
+
+#: signed integer HALF-UP quotient (digits=0): magnitude-rounded,
+#: sign re-applied — the only rounding the decomposition performs,
+#: once per stage, deterministically in both engines
+_SHU = (
+    "((CASE WHEN ({n}) < 0 THEN -1 ELSE 1 END)"
+    " * ((abs({n}) * 2 + ({d})) {div} (({d}) * 2)))"
+)
+
+
+def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal anomaly detection on the hourly event-count
+    series: count = trend (+/-7-day centered mean) + weekly
+    seasonal (hour-of-week mean of the detrended series) +
+    residual; the ANOM_TOP hours with the largest |residual| are
+    the ones neither trend nor weekday rhythm explains — the
+    complement of `cusum_changepoint` (level shifts) and
+    `robust_outliers` (static distribution).
+
+    Exactness: counts are integers; the trend is HALF-UP quantized
+    to integer milli-events ONCE per hour (signed integer quotient
+    — no double mean), the detrended series and the seasonal means
+    stay integer (one more signed half-up per hour-of-week), so
+    RESIDUALS ARE EXACT INTEGERS and the only doubles are the final
+    sigma (one shared-text sqrt over integer power sums) and the
+    display divides. The top-N cut orders by an integer.
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    hourly aggregate; everything after runs on the hours frame —
+    bounded by the CALENDAR SPAN, never the corpus (the
+    activity_acf contract) — so the unpartitioned RANGE window is a
+    bounded frame, not a corpus sort.
+    """
+    shu = lambda n, d: _SHU.format(n=n, d=d, div="div")  # noqa: E731
+    hours = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.orderBy("h")
+        .rangeBetween(-TREND_HALF, TREND_HALF)
+    )  # hours-frame window: bounded by the calendar span
+    trended = hours.select(
+        "h",
+        "c",
+        F.sum("c").over(w).alias("ts_"),
+        F.count(F.lit(1)).over(w).alias("tn_"),
+    ).selectExpr(
+        "h",
+        "c",
+        f"{shu('1000 * ts_', 'tn_')} AS trend_m",
+    ).selectExpr(
+        "h", "c", "trend_m", "1000 * c - trend_m AS d_m",
+        f"h % {SEASON_HOURS} AS how",
+    ).localCheckpoint(eager=False)
+    seasonal = trended.groupBy("how").agg(
+        F.expr(f"{shu('sum(d_m)', 'count(1)')}").alias("season_m")
+    )
+    resid = trended.join(F.broadcast(seasonal), "how").selectExpr(
+        "h", "c", "trend_m", "season_m", "how",
+        "d_m - season_m AS resid_m",
+    )
+    sig = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("resid_m").alias("sr"),
+        F.sum(F.expr("resid_m * resid_m")).alias("srr"),
+    )
+    sigma = (
+        "sqrt(CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return (
+        resid.crossJoin(F.broadcast(sig))
+        .selectExpr(
+            f"timestamp_micros(h * {HOUR_US}) AS hour_ts",
+            "how",
+            "c AS n_events",
+            "CAST(trend_m AS DOUBLE) / CAST(1000 AS DOUBLE) AS trend",
+            "CAST(season_m AS DOUBLE) / CAST(1000 AS DOUBLE)"
+            " AS seasonal",
+            "CAST(resid_m AS DOUBLE) / CAST(1000 AS DOUBLE)"
+            " AS residual",
+            f"CASE WHEN {sigma} > 0 THEN"
+            f" CAST(resid_m AS DOUBLE) / {sigma} END AS z",
+            "abs(resid_m) AS _a",
+        )
+        .orderBy(F.desc("_a"), F.asc("hour_ts"))
+        .limit(ANOM_TOP)
+        .drop("_a")
+    )
+
+
+QUERIES["seasonal_anomalies"] = seasonal_anomalies
+
+
+def _seasonal_oracle() -> str:
+    shu = lambda n, d: _SHU.format(n=n, d=d, div="//")  # noqa: E731
+    sigma = (
+        "sqrt(CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return f"""
+        WITH hours AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US} AS h,
+                   count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        trended AS (
+            SELECT h, c,
+                   {shu('1000 * ts_', 'tn_')} AS trend_m,
+                   h % {SEASON_HOURS} AS how
+            FROM (
+                SELECT h, c,
+                       CAST(sum(c) OVER w AS BIGINT) AS ts_,
+                       CAST(count(*) OVER w AS BIGINT) AS tn_
+                FROM hours
+                WINDOW w AS (ORDER BY h RANGE BETWEEN {TREND_HALF}
+                             PRECEDING AND {TREND_HALF} FOLLOWING)
+            )
+        ),
+        d AS (
+            SELECT *, 1000 * c - trend_m AS d_m FROM trended
+        ),
+        seasonal AS (
+            SELECT how,
+                   {shu('CAST(sum(d_m) AS BIGINT)', 'count(*)')}
+                       AS season_m
+            FROM d GROUP BY how
+        ),
+        resid AS (
+            SELECT d.h, d.c, d.trend_m, seasonal.season_m, d.how,
+                   d.d_m - seasonal.season_m AS resid_m
+            FROM d JOIN seasonal USING (how)
+        ),
+        sig AS (
+            SELECT count(*) AS n,
+                   CAST(sum(resid_m) AS BIGINT) AS sr,
+                   CAST(sum(resid_m * resid_m) AS BIGINT) AS srr
+            FROM resid
+        )
+        SELECT make_timestamp(h * {HOUR_US}) AS hour_ts,
+               how,
+               c AS n_events,
+               CAST(trend_m AS DOUBLE) / CAST(1000 AS DOUBLE)
+                   AS trend,
+               CAST(season_m AS DOUBLE) / CAST(1000 AS DOUBLE)
+                   AS seasonal,
+               CAST(resid_m AS DOUBLE) / CAST(1000 AS DOUBLE)
+                   AS residual,
+               CASE WHEN {sigma} > 0 THEN
+                   CAST(resid_m AS DOUBLE) / {sigma} END AS z
+        FROM resid CROSS JOIN sig
+        ORDER BY abs(resid_m) DESC, hour_ts ASC
+        LIMIT {ANOM_TOP}
+    """
+
+
+ORACLES["seasonal_anomalies"] = _seasonal_oracle()

@@ -118,6 +118,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "benford_digits",
     # two chained 1-row corpus-threshold frames over the user frame
     "rfm_segments",
+    # 1-row residual-moments frame onto the bounded hours frame
+    "seasonal_anomalies",
 }
 
 

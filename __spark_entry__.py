@@ -133,6 +133,8 @@ WINDOW_OVERFLOW = frozenset(
         "fulfillment_latency",
         "vocab_zipf_fit",
         "seasonal_anomalies",
+        "metric_correlations",
+        "weekly_conversion_ci",
     }
 )
 

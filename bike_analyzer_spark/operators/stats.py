@@ -415,3 +415,111 @@ def _benford_oracle() -> str:
 
 
 ORACLES["benford_digits"] = _benford_oracle()
+
+
+def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the event types' hourly
+    volumes — the cross-metric panel ("do errors spike when traffic
+    does?") that turns five separate time series into a dependency
+    map. Emits one row per unordered type pair over the DENSE hour
+    grid (a missing (hour, type) cell is a genuine zero, and
+    leaving it out would bias every correlation upward).
+
+    Exactness: the dense grid is the (bounded) hour spine crossed
+    with the type domain, zero-filled; per-pair power sums are
+    exact integer sums, and each correlation is ONE shared-text
+    IEEE expression (the stats_moments discipline — bit-equal
+    everywhere, partition-order-free).
+
+    Scale shape: one corpus aggregate to the (hour, type) table;
+    the spine explode, the dense fill, and the |types|^2-fanout
+    self-join all run on calendar-bounded frames.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("h"),
+        )
+    )
+    dense = (
+        spine.join(ev, ["event_type", "h"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = dense.select(
+        "h", F.col("event_type").alias("t1"), F.col("c").alias("x")
+    )
+    b = dense.select(
+        "h", F.col("event_type").alias("t2"), F.col("c").alias("y")
+    )
+    sums = (
+        a.join(b, "h")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+        )
+    )
+    return sums.selectExpr(
+        "t1", "t2", "n", STAT_EXPRS["corr_vh"] + " AS corr"
+    ).orderBy("t1", "t2")
+
+
+QUERIES["metric_correlations"] = metric_correlations
+
+ORACLES["metric_correlations"] = f"""
+    WITH ev AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (
+        SELECT event_type, CAST(unnest(range(h0, h1 + 1)) AS BIGINT)
+                   AS h
+        FROM types, bounds
+    ),
+    dense AS (
+        SELECT spine.h, spine.event_type,
+               CAST(coalesce(ev.c, 0) AS BIGINT) AS c
+        FROM spine LEFT JOIN ev
+          ON ev.event_type = spine.event_type AND ev.h = spine.h
+    ),
+    sums AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               count(*) AS n,
+               CAST(sum(a.c) AS BIGINT) AS sx,
+               CAST(sum(b.c) AS BIGINT) AS sy,
+               CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+               CAST(sum(b.c * b.c) AS BIGINT) AS syy,
+               CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+        FROM dense a JOIN dense b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT t1, t2, n, {STAT_EXPRS['corr_vh']} AS corr
+    FROM sums
+    ORDER BY t1, t2
+"""

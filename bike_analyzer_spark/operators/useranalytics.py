@@ -1183,3 +1183,100 @@ def _rfm_oracle() -> str:
 
 
 ORACLES["rfm_segments"] = _rfm_oracle()
+
+
+#: 97.5th normal quantile for the 95% Wilson interval, shared text
+WILSON_Z = "1.959963984540054"
+
+
+def weekly_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly conversion rate (purchasing users / active users) with
+    the 95% WILSON score interval — the uncertainty-aware trend
+    line a growth dashboard needs (a raw ratio over a 40-user week
+    looks like a crash; the interval says it's noise). Wilson, not
+    normal-approximation, because weekly cohorts are small and
+    rates sit near the boundary — exactly where the naive interval
+    breaks (goes negative / past 1).
+
+    Exactness: k (converters) and n (active users) are exact
+    distinct counts from ONE two-flag user-week aggregate; the
+    displayed rate is the integer half-up; the interval bounds are
+    shared-text IEEE expressions over (k, n) and the z constant —
+    bit-equal in both engines.
+
+    Scale shape: one dedup aggregate on (user, week) with two
+    conditional flags, one week-sized rollup. No broadcast, no
+    window.
+    """
+    uw = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.expr("CAST(event_type = 'purchase' AS INT)")
+            ).alias("bought")
+        )
+    )
+    per = uw.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bought").alias("k"),
+    )
+    z, z2 = WILSON_Z, f"({WILSON_Z} * {WILSON_Z})"
+    p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    center = f"({p} + {z2} / (2.0 * CAST(n AS DOUBLE)))"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {z2} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    )
+    denom = f"(1.0 + {z2} / CAST(n AS DOUBLE))"
+    return per.selectExpr(
+        "week",
+        "n",
+        "k",
+        halfup_ratio_sql("100 * k", "n", 2, "spark")
+        + " AS conversion_pct",
+        f"({center} - {half}) / {denom} AS wilson_lo",
+        f"({center} + {half}) / {denom} AS wilson_hi",
+    ).orderBy("week")
+
+
+QUERIES["weekly_conversion_ci"] = weekly_conversion_ci
+
+
+def _weekly_ci_oracle() -> str:
+    z, z2 = WILSON_Z, f"({WILSON_Z} * {WILSON_Z})"
+    p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    center = f"({p} + {z2} / (2.0 * CAST(n AS DOUBLE)))"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {z2} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    )
+    denom = f"(1.0 + {z2} / CAST(n AS DOUBLE))"
+    return f"""
+        WITH uw AS (
+            SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS week,
+                   user_id,
+                   max(CAST(event_type = 'purchase' AS INT))
+                       AS bought
+            FROM events GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT week, count(*) AS n,
+                   CAST(sum(bought) AS BIGINT) AS k
+            FROM uw GROUP BY week
+        )
+        SELECT week, n, k,
+               {halfup_ratio_sql('100 * k', 'n', 2, 'duck')}
+                   AS conversion_pct,
+               ({center} - {half}) / {denom} AS wilson_lo,
+               ({center} + {half}) / {denom} AS wilson_hi
+        FROM per
+        ORDER BY week
+    """
+
+
+ORACLES["weekly_conversion_ci"] = _weekly_ci_oracle()

@@ -120,6 +120,8 @@ _BOUNDED_CROSSJOIN_OK = {
     "rfm_segments",
     # 1-row residual-moments frame onto the bounded hours frame
     "seasonal_anomalies",
+    # 1-row hour-bounds frame generating the dense type x hour grid
+    "metric_correlations",
 }
 
 

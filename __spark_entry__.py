@@ -135,6 +135,7 @@ WINDOW_OVERFLOW = frozenset(
         "seasonal_anomalies",
         "metric_correlations",
         "weekly_conversion_ci",
+        "basket_size_profile",
     }
 )
 

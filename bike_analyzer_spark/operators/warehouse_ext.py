@@ -865,3 +865,81 @@ def _fulfillment_oracle() -> str:
 
 
 ORACLES["fulfillment_latency"] = _fulfillment_oracle()
+
+
+def basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-shape profile: the distribution of lineitems per order
+    — per basket size, order count and share, plus the running
+    cumulative share — the "how big is a typical order" histogram a
+    fulfillment planner reads before batching decisions.
+
+    Scale shape: one map-side-combinable count per orderkey, then a
+    second aggregate onto the SIZE DOMAIN (bounded single digits in
+    TPC-H-shaped data — the histogram trick again: downstream state
+    is domain-sized, not order-sized). Shares are exact half-ups;
+    the cumulative runs over the bounded histogram.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import halfup_ratio_sql
+
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hist = per_order.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        Window.orderBy("sz")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # bounded: one row per distinct basket size
+    tot = Window.partitionBy()
+    return (
+        hist.withColumn("cum", F.sum("n_orders").over(w))
+        .withColumn("t", F.sum("n_orders").over(tot))
+        .selectExpr(
+            "sz AS basket_size",
+            "n_orders",
+            halfup_ratio_sql("100 * n_orders", "t", 4, "spark")
+            + " AS share_pct",
+            halfup_ratio_sql("100 * cum", "t", 4, "spark")
+            + " AS cum_share_pct",
+        )
+        .orderBy("basket_size")
+    )
+
+
+QUERIES["basket_size_profile"] = basket_size_profile
+
+
+def _basket_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    return f"""
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS sz
+            FROM lineitem GROUP BY 1
+        ),
+        hist AS (
+            SELECT sz, count(*) AS n_orders FROM per_order GROUP BY 1
+        ),
+        c AS (
+            SELECT *,
+                   CAST(sum(n_orders) OVER (ORDER BY sz
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(n_orders) OVER () AS BIGINT) AS t
+            FROM hist
+        )
+        SELECT sz AS basket_size, n_orders,
+               {halfup_ratio_sql('100 * n_orders', 't', 4, 'duck')}
+                   AS share_pct,
+               {halfup_ratio_sql('100 * cum', 't', 4, 'duck')}
+                   AS cum_share_pct
+        FROM c
+        ORDER BY basket_size
+    """
+
+
+ORACLES["basket_size_profile"] = _basket_oracle()

@@ -27,7 +27,8 @@ FAMILIES = [
                           "above_avg", "scale_", "ab_test",
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
-                          "hll_", "benford", "rfm")),
+                          "hll_", "benford", "rfm", "seasonal", "weekly_",
+                          "metric_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",
@@ -45,7 +46,7 @@ FAMILIES = [
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_",
                         "integrity", "skew_report", "time_weighted",
-                        "fulfillment")),
+                        "fulfillment", "basket")),
 ]
 
 

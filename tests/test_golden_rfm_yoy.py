@@ -123,3 +123,34 @@ def test_monthly_yoy_python_recount(spark):
         + (r.month.month - first.month)
         < 12
     )
+
+
+def test_basket_size_profile_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import warehouse_ext as wx
+
+    assert_matches_oracle(
+        wx.basket_size_profile(spark, SF_DIR_ORACLE),
+        duck,
+        wx.ORACLES["basket_size_profile"],
+        name="basket_size_profile",
+    )
+
+
+def test_basket_profile_identities(spark):
+    from bike_analyzer_spark.operators import warehouse_ext as wx
+
+    rows = sorted(
+        wx.basket_size_profile(spark, SF_DIR_ORACLE).collect(),
+        key=lambda r: r.basket_size,
+    )
+    n_orders = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM"
+        f" '{SF_DIR_ORACLE}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders
+    cums = [r.cum_share_pct for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == 100.0
+    assert sum(r.share_pct for r in rows) == pytest.approx(
+        100.0, abs=0.01 * len(rows)
+    )

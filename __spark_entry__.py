@@ -136,6 +136,7 @@ WINDOW_OVERFLOW = frozenset(
         "metric_correlations",
         "weekly_conversion_ci",
         "basket_size_profile",
+        "web_order_bridge",
     }
 )
 

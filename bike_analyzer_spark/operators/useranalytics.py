@@ -1280,3 +1280,143 @@ def _weekly_ci_oracle() -> str:
 
 
 ORACLES["weekly_conversion_ci"] = _weekly_ci_oracle()
+
+
+def web_order_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE channel bridge: the events stream and the TPC-H
+    order book describe the same customers (user_id == c_custkey,
+    the identity the OD kernel already relies on), so this is the
+    per-nation channel overlap every omnichannel warehouse builds —
+    customers, order-book buyers, web-active users, the overlap,
+    and whether web-active customers place MORE orders (the
+    half-up per-capita comparison).
+
+    The only query in the suite that joins the event stream to the
+    relational star: two distinct-key profiles (events -> distinct
+    user; orders -> per-customer counts) joined onto the customer
+    dim and rolled up to the bounded nation domain.
+
+    Scale shape: the events dedup and the orders rollup are
+    map-side-combinable on their natural keys; the customer dim
+    join shuffles on custkey; the nation rollup is 25 groups; the
+    nation name join is a broadcast.
+    """
+    web = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+        .withColumn("is_web", F.lit(1))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    per = (
+        cust.join(web, "c_custkey", "left")
+        .join(orders, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce("is_web", F.lit(0))).alias("n_web"),
+            F.sum(
+                F.expr("CAST(coalesce(n_orders, 0) > 0 AS INT)")
+            ).alias("n_buyers"),
+            F.sum(
+                F.expr(
+                    "CAST(coalesce(is_web, 0) = 1"
+                    " AND coalesce(n_orders, 0) > 0 AS INT)"
+                )
+            ).alias("n_web_buyers"),
+            F.sum(
+                F.expr("coalesce(is_web, 0) * coalesce(n_orders, 0)")
+            ).alias("web_orders"),
+            F.sum(
+                F.expr(
+                    "(1 - coalesce(is_web, 0)) * coalesce(n_orders, 0)"
+                )
+            ).alias("nonweb_orders"),
+        )
+    )
+    return (
+        per.join(F.broadcast(nation), "c_nationkey")
+        .selectExpr(
+            "nation",
+            "n_customers",
+            "n_web",
+            "n_buyers",
+            "n_web_buyers",
+            halfup_ratio_sql("100 * n_web", "n_customers", 2, "spark")
+            + " AS web_pct",
+            "CASE WHEN n_web > 0 THEN "
+            + halfup_ratio_sql("web_orders", "n_web", 2, "spark")
+            + " END AS orders_per_web_user",
+            "CASE WHEN n_customers - n_web > 0 THEN "
+            + halfup_ratio_sql(
+                "nonweb_orders", "n_customers - n_web", 2, "spark"
+            )
+            + " END AS orders_per_other_user",
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["web_order_bridge"] = web_order_bridge
+
+
+def _bridge_oracle() -> str:
+    return f"""
+        WITH web AS (
+            SELECT DISTINCT user_id AS c_custkey, 1 AS is_web
+            FROM events
+        ),
+        ords AS (
+            SELECT o_custkey AS c_custkey, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        per AS (
+            SELECT c.c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(sum(coalesce(w.is_web, 0)) AS BIGINT)
+                       AS n_web,
+                   CAST(sum(CAST(coalesce(o.n_orders, 0) > 0 AS INT))
+                       AS BIGINT) AS n_buyers,
+                   CAST(sum(CAST(coalesce(w.is_web, 0) = 1
+                       AND coalesce(o.n_orders, 0) > 0 AS INT))
+                       AS BIGINT) AS n_web_buyers,
+                   CAST(sum(coalesce(w.is_web, 0)
+                       * coalesce(o.n_orders, 0)) AS BIGINT)
+                       AS web_orders,
+                   CAST(sum((1 - coalesce(w.is_web, 0))
+                       * coalesce(o.n_orders, 0)) AS BIGINT)
+                       AS nonweb_orders
+            FROM customer c
+            LEFT JOIN web w USING (c_custkey)
+            LEFT JOIN ords o USING (c_custkey)
+            GROUP BY 1
+        )
+        SELECT n.n_name AS nation,
+               per.n_customers, per.n_web, per.n_buyers,
+               per.n_web_buyers,
+               {halfup_ratio_sql('100 * n_web', 'n_customers', 2, 'duck')}
+                   AS web_pct,
+               CASE WHEN n_web > 0 THEN
+                   {halfup_ratio_sql('web_orders', 'n_web', 2, 'duck')}
+               END AS orders_per_web_user,
+               CASE WHEN n_customers - n_web > 0 THEN
+                   {halfup_ratio_sql('nonweb_orders',
+                                     'n_customers - n_web', 2, 'duck')}
+               END AS orders_per_other_user
+        FROM per JOIN nation n ON n.n_nationkey = per.c_nationkey
+        ORDER BY nation
+    """
+
+
+ORACLES["web_order_bridge"] = _bridge_oracle()

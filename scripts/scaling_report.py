@@ -28,7 +28,7 @@ FAMILIES = [
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
                           "hll_", "benford", "rfm", "seasonal", "weekly_",
-                          "metric_")),
+                          "metric_", "web_order")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",

@@ -348,3 +348,36 @@ def test_cohort_ltv_consistent_with_retention(spark):
             assert r.ltv_per_user == pytest.approx(
                 round(r.cum_revenue / r.cohort_size, 4), abs=5e-4
             )
+
+
+def test_web_order_bridge_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    assert_matches_oracle(
+        ua.web_order_bridge(spark, SF_DIR_ORACLE),
+        duck,
+        ua.ORACLES["web_order_bridge"],
+        name="web_order_bridge",
+    )
+
+
+def test_web_order_bridge_identities(spark):
+    import duckdb as dk
+
+    from bike_analyzer_spark.operators import useranalytics as ua
+
+    rows = ua.web_order_bridge(spark, SF_DIR_ORACLE).collect()
+    n_cust, n_web = dk.sql(
+        f"""SELECT (SELECT count(*)
+                FROM '{SF_DIR_ORACLE}/customer.parquet'),
+               (SELECT count(DISTINCT user_id)
+                FROM '{SF_DIR_ORACLE}/events.parquet')"""
+    ).fetchone()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.n_web for r in rows) == n_web
+    for r in rows:
+        assert 0 <= r.n_web_buyers <= min(r.n_web, r.n_buyers)
+        assert r.n_buyers <= r.n_customers
+    # the web cohort is a strict subset somewhere, or the bridge
+    # distinguishes nothing
+    assert any(r.n_web < r.n_customers for r in rows)

@@ -47,11 +47,14 @@ def run_late_audit_to_parquet(
         if batch_df.isEmpty():
             return
         try:
+            # 1-row aggregate over the batches-sized audit store —
+            # the bpetrain/constraints .first() allowance, never a
+            # data-sized materialization
             prior = (
                 spark.read.parquet(out_path)
                 .where(F.col("batch_id") < batch_id)
                 .agg(F.max("max_us").alias("hwm"))
-                .collect()[0]
+                .first()
                 .hwm
             )
         except Exception:  # noqa: BLE001 — first batch: no store yet

@@ -137,6 +137,7 @@ WINDOW_OVERFLOW = frozenset(
         "weekly_conversion_ci",
         "basket_size_profile",
         "web_order_bridge",
+        "hll_grouped_estimate",
     }
 )
 

@@ -552,3 +552,107 @@ ORACLES["hll_user_estimate"] = f"""
                AS err_ppm
     FROM wide
 """
+
+
+def hll_grouped_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: distinct users PER EVENT TYPE from one
+    pass — the shape a 100 TB dashboard actually needs (per-segment
+    reach), proving the sketch composes under GROUP BY: register
+    state is (group x m) rows, the merge is the same max, and the
+    estimate expression is evaluated once per group. The exact
+    per-group distinct count rides alongside with the signed ppm
+    error, so the driver gate checks the whole sketch path per
+    group (same register/rank/summand machinery as
+    `hll_user_estimate` — one definition, two granularities)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        hash64(F.col("user_id").cast("string"), HLL_SALT).alias("h"),
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            F.expr(f"h div {1 << HLL_LOW_BITS}").alias("reg"),
+            F.expr(f"h % {1 << HLL_LOW_BITS}").alias("lo"),
+        )
+        .selectExpr("event_type", "reg", f"{_RHO} AS rho")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_LOW_BITS + 1} - mr)")
+        ).alias("s_filled"),
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        sums.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            f"CAST({HLL_M} AS BIGINT) AS m",
+            "filled",
+            "n_exact",
+            f"s_filled + (CAST({HLL_M} AS BIGINT) - filled)"
+            f" * {1 << (HLL_LOW_BITS + 1)} AS s",
+            f"CAST({HLL_M} AS BIGINT) - filled AS v",
+        )
+        .selectExpr(
+            "event_type",
+            "m",
+            "filled",
+            "n_exact",
+            f"{_EST} AS hll_estimate",
+            f"CAST(round(({_EST} - CAST(n_exact AS DOUBLE))"
+            " / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)"
+            " AS err_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["hll_grouped_estimate"] = hll_grouped_estimate
+
+ORACLES["hll_grouped_estimate"] = f"""
+    WITH h AS (
+        SELECT event_type, {_H_DUCK} AS h FROM events
+    ),
+    rl AS (
+        SELECT event_type, h // {1 << HLL_LOW_BITS} AS reg,
+               h % {1 << HLL_LOW_BITS} AS lo
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, reg, max({_RHO}) AS mr
+        FROM rl GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type, count(*) AS filled,
+               CAST(sum(CAST(1 AS BIGINT)
+                        << ({HLL_LOW_BITS + 1} - mr)) AS BIGINT)
+                   AS s_filled
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    ),
+    wide AS (
+        SELECT sums.event_type, CAST({HLL_M} AS BIGINT) AS m,
+               filled, n_exact,
+               s_filled + (CAST({HLL_M} AS BIGINT) - filled)
+                   * {1 << (HLL_LOW_BITS + 1)} AS s,
+               CAST({HLL_M} AS BIGINT) - filled AS v
+        FROM sums JOIN exact USING (event_type)
+    )
+    SELECT event_type, m, filled, n_exact,
+           {_EST} AS hll_estimate,
+           CAST(round(({_EST} - CAST(n_exact AS DOUBLE))
+               / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)
+               AS err_ppm
+    FROM wide
+    ORDER BY event_type
+"""

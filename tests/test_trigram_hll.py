@@ -97,3 +97,36 @@ def test_hll_vs_oracle(spark, duck):
         scale.ORACLES["hll_user_estimate"],
         name="hll_user_estimate",
     )
+
+
+def test_hll_grouped_vs_oracle(spark, duck):
+    assert_matches_oracle(
+        scale.hll_grouped_estimate(spark, SF_DIR_ORACLE),
+        duck,
+        scale.ORACLES["hll_grouped_estimate"],
+        name="hll_grouped_estimate",
+    )
+
+
+def test_hll_grouped_consistent_with_global(spark):
+    """Per-group exact counts sum-check against raw data and the
+    per-group sketch stays in the global sketch's error regime."""
+    rows = scale.hll_grouped_estimate(spark, SF_DIR_ORACLE).collect()
+    want = dict(
+        duckdb.sql(
+            f"""SELECT event_type, count(DISTINCT user_id)
+            FROM '{SF_DIR_ORACLE}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    assert {r.event_type: r.n_exact for r in rows} == want
+    for r in rows:
+        assert r.filled <= r.m
+        assert abs(r.hll_estimate - r.n_exact) <= max(
+            5 * 1.04 / math.sqrt(r.m) * r.n_exact, 3
+        )
+        assert r.err_ppm == round(
+            (r.hll_estimate - r.n_exact) / r.n_exact * 1e6
+        ) or abs(
+            r.err_ppm
+            - (r.hll_estimate - r.n_exact) / r.n_exact * 1e6
+        ) <= 1

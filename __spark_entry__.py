@@ -65,79 +65,80 @@ from bike_analyzer_spark.operators import (
 )
 
 # Ordering matters: the driver's correctness check records only the
-# FIRST 50 queries in registration order, so the newest / least
-# driver-proven modules go first (round-3 verdict: graph..scale were
-# silently outside the window).  Long-stable two-round-green modules
-# rotate to the back; the local oracle suite (tests/oracle.py) still
-# runs every query regardless of order.  The invariant "every query
-# with <2 consecutive driver-green rounds sits inside the window" is
-# ENFORCED by tests/test_rotation.py, which derives green streaks
-# from the CORRECTNESS_r*.json history.
+# FIRST 50 queries in registration order, so window slots go to the
+# queries with the LEAST driver-graded evidence first.  Round 9
+# re-derived the policy streak-0-first (r8 verdict ask #1): the
+# window is filled in ascending green-streak order — a query that has
+# NEVER been driver-checked (streak 0) outranks a streak-1 query,
+# because the window's purpose is maximizing marginal driver
+# evidence.  tests/test_rotation.py enforces this as a min-priority-
+# prefix invariant over the registration order, deriving streaks from
+# the committed CORRECTNESS_r*.json history.  The local oracle suite
+# (tests/oracle.py) still runs every query regardless of order.
+#
 # Manual rotate-backs (edited-module policy, tests/test_rotation.py):
 # proven queries whose operators changed materially this round, so
 # their historical streaks are not evidence and they re-occupy window
-# slots until re-proven.
-WINDOW_ROTATEBACKS = frozenset(
-    {
-        "tpch_pricing_summary",  # sum_charge → DECIMAL(38,0) accumulate
-        "dedup_minhash_lsh",  # XOR-scrambled minhash family
-        "dedup_incr_near",  # verify stage reuses the store index
-    }
-)
+# slots (priority 0) until re-proven.  Empty this round: the r8
+# rotate-backs (tpch_pricing_summary, dedup_minhash_lsh,
+# dedup_incr_near) all re-proved green in CORRECTNESS_r08; the only
+# operator edit in r9 (od_kcore's threshold derivation) belongs to a
+# streak-0 query already inside the window.
+WINDOW_ROTATEBACKS = frozenset()
 
-# Window overflow (r8): every one of the 50 slots is held by a query
-# that MUST be there (streak <2, or a rotate-back above), so these
-# streak-0 newcomers queue outside until the r9 rotation frees slots.
-# tests/test_rotation.py verifies both facts — overflow may only be
-# declared while the window is provably full of must-stay queries.
+# Window overflow (r9): the 50 slots hold the 46 never-driver-checked
+# queries (the r8 overflow backlog, drained in full) plus 4 streak-1
+# rotate-ins; these streak-1 queries — every one green in
+# CORRECTNESS_r08 — queue outside for their second green at r10.
+# tests/test_rotation.py asserts this set is EXACTLY the unproven
+# (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
-        "domain_entropy",
-        "domain_jsd_pairs",
-        "event_transitions",
-        "activity_acf",
-        "od_reach_hops",
-        "rrf_fusion",
-        "cusum_changepoint",
-        "psi_drift",
-        "robust_outliers",
-        "attribution_last_touch",
-        "source_data_card",
-        "activity_anova",
-        "entity_clusters",
-        "integrity_audit",
-        "ltv_decay",
-        "skew_report",
-        "value_reversals",
-        "od_kcore",
-        "attribution_delay",
-        "ab_test_chi2",
-        "event_cooccurrence",
-        "vocab_bigram_pmi",
-        "od_shortest_path",
-        "dau_wau_stickiness",
-        "ordered_funnel",
-        "time_weighted_avg",
-        "nbq_gains",
-        "holt_forecast",
-        "geo_hotspots",
-        "attribution_position",
-        "cohort_ltv",
-        "skyline_parts",
-        "path_trigrams",
-        "hll_user_estimate",
-        "benford_digits",
-        "entity_golden_record",
-        "rfm_segments",
-        "monthly_revenue_yoy",
-        "fulfillment_latency",
-        "vocab_zipf_fit",
-        "seasonal_anomalies",
-        "metric_correlations",
-        "weekly_conversion_ci",
-        "basket_size_profile",
-        "web_order_bridge",
-        "hll_grouped_estimate",
+        # warehouse_ext (r8-green, re-enter r10)
+        "event_gap_profile",
+        "purchase_value_rank",
+        "nation_metrics_unpivot",
+        "tpch_promo_revenue",
+        "dormant_customers",
+        "above_avg_orders",
+        "cube_type_hour",
+        "tpch_customer_distribution",
+        "rolling_user_spend",
+        "funnel_reconciliation",
+        "scd2_user_tiers",
+        # tpch wave-3/4 shapes (r8-green)
+        "tpch_late_shipment_priority",
+        "tpch_shipmode_priority",
+        "tpch_parts_supplier_variety",
+        "tpch_top_supplier_share",
+        "tpch_sales_opportunity",
+        "tpch_small_quantity_revenue",
+        "tpch_disjunctive_revenue",
+        # tpch_close Q2/Q6/Q8/Q9/Q15/Q20/Q21 (r8-green)
+        "tpch_forecast_revenue",
+        "tpch_min_cost_supplier",
+        "tpch_market_share",
+        "tpch_product_profit",
+        "tpch_top_supplier",
+        "tpch_part_promotion",
+        "tpch_waiting_suppliers",
+        # text / winfuncs / scale / eval / stats / misc (r8-green)
+        "text_bpe_encode",
+        "text_chunk_plan",
+        "purchase_quartiles",
+        "user_value_navigation",
+        "event_grouping_sets",
+        "scale_salted_sums",
+        "scale_grid_quantiles",
+        "ann_recall_ivf",
+        "nbq_confusion",
+        "minhash_error_profile",
+        "stats_moments",
+        "weighted_sample",
+        "hypertable_gapfill",
+        "cohort_retention",
+        "od_triangles",
+        "bm25_topk",
     }
 )
 
@@ -168,17 +169,60 @@ def _split(mod, head_names):
     return head, tail
 
 
-_tpch_head, _tpch_tail = _split(
+_analytics_head, _analytics_tail = _split(
+    analytics_ext,
+    ["value_reversals", "skyline_parts", "monthly_revenue_yoy"],
+)
+_curate_head, _curate_tail = _split(curate, ["source_data_card"])
+_eval_head, _eval_tail = _split(evalsuite, ["nbq_gains"])
+_fuzzy_head, _fuzzy_tail = _split(
+    fuzzy, ["entity_clusters", "entity_golden_record"]
+)
+_graph_head, _graph_tail = _split(
+    graph, ["od_reach_hops", "od_kcore", "od_shortest_path"]
+)
+_graph_ovf = _Slice(graph, ["od_triangles"])
+_graph_proven = _Slice(
+    graph, ["dedup_clusters", "dedup_clusters_lss", "od_pagerank"]
+)
+_hyper_head, _hyper_tail = _split(hypertable, ["time_weighted_avg"])
+_od_head, _od_tail = _split(od, ["geo_hotspots"])
+_profile_head, _profile_tail = _split(
+    profile, ["integrity_audit", "skew_report"]
+)
+_retrieval_head, _retrieval_tail = _split(retrieval, ["rrf_fusion"])
+_scale_head, _scale_tail = _split(
+    scale, ["hll_user_estimate", "hll_grouped_estimate"]
+)
+_scale_ovf = _Slice(scale, ["scale_salted_sums", "scale_grid_quantiles"])
+_scale_proven = _Slice(scale, ["cms_user_counts"])
+_stats_head, _stats_tail = _split(
+    stats, ["robust_outliers", "benford_digits", "metric_correlations"]
+)
+_ua_head, _ua_tail = _split(
+    useranalytics,
+    [
+        "attribution_last_touch",
+        "ltv_decay",
+        "attribution_delay",
+        "dau_wau_stickiness",
+        "ordered_funnel",
+        "attribution_position",
+        "cohort_ltv",
+        "rfm_segments",
+        "weekly_conversion_ci",
+        "web_order_bridge",
+    ],
+)
+_vocab_head, _vocab_tail = _split(
+    vocab, ["vocab_bigram_pmi", "vocab_zipf_fit"]
+)
+_wx_head, _wx_tail = _split(
+    warehouse_ext, ["fulfillment_latency", "basket_size_profile"]
+)
+_tpch_ovf = _Slice(
     tpch,
     [
-        # 1-streak (new in r7) — must stay until 2-streak
-        "tpch_large_volume",
-        "tpch_volume_shipping",
-        # edited r8 (sum_charge now accumulates DECIMAL(38,0) and
-        # displays via the 128-bit half-up) — manual rotate-back per
-        # the edited-module policy in tests/test_rotation.py
-        "tpch_pricing_summary",
-        # NEW in r8 (streak 0): Q4/Q12/Q16/Q11/Q17/Q19/Q22 shapes
         "tpch_late_shipment_priority",
         "tpch_shipmode_priority",
         "tpch_parts_supplier_variety",
@@ -188,156 +232,106 @@ _tpch_head, _tpch_tail = _split(
         "tpch_disjunctive_revenue",
     ],
 )
-_dedup_head, _dedup_tail = _split(
-    dedup,
+_tpch_proven = _Slice(
+    tpch,
     [
-        "dedup_incr_near",
-        # edited r8 (XOR-scrambled minhash family — candidates and
-        # verified pairs change) — manual rotate-back per the
-        # edited-module policy in tests/test_rotation.py
-        "dedup_minhash_lsh",
+        "tpch_pricing_summary",
+        "tpch_shipping_priority",
+        "tpch_regional_revenue",
+        "tpch_returned_items",
+        "tpch_large_volume",
+        "tpch_volume_shipping",
     ],
 )
-_scale_head, _scale_tail = _split(
-    scale, ["scale_salted_sums", "scale_grid_quantiles"]
+_text_ovf = _Slice(text, ["text_bpe_encode", "text_chunk_plan"])
+_text_proven = _Slice(
+    text,
+    ["text_stats", "text_langid", "text_fingerprint", "text_bpe_tokens"],
 )
-_graph_head, _graph_tail = _split(graph, ["od_triangles"])
-_retrieval_head, _retrieval_tail = _split(retrieval, ["bm25_topk"])
-_stats_head, _stats_tail = _split(stats, ["stats_moments"])
-_useranalytics_head, _useranalytics_tail = _split(
-    useranalytics, ["cohort_retention"]
-)
-_semdedup_head, _semdedup_tail = _split(semdedup, ["semdedup_keep"])
-_sim_head, _sim_tail = _split(similarity, ["sim_topk_bruteforce"])
-_sampling_head, _sampling_tail = _split(sampling, ["weighted_sample"])
-_text_head, _text_tail = _split(
-    text, ["text_bpe_encode", "text_chunk_plan"]
-)
-_eval_head, _eval_tail = _split(
-    evalsuite, ["ann_recall_ivf", "nbq_confusion", "minhash_error_profile"]
-)
-_wx_head, _wx_tail = _split(
-    warehouse_ext,
-    [
-        "event_gap_profile",
-        "purchase_value_rank",
-        "nation_metrics_unpivot",
-        "tpch_promo_revenue",
-        "dormant_customers",
-        "above_avg_orders",
-        "cube_type_hour",
-        "tpch_customer_distribution",
-        "rolling_user_spend",
-        "funnel_reconciliation",
-        "scd2_user_tiers",
-    ],
+_sampling_ovf = _Slice(sampling, ["weighted_sample"])
+_sampling_proven = _Slice(
+    sampling, ["split_assign", "split_summary", "stratified_sample"]
 )
 
 _MODULES = [
-    # ---- r8 window (exactly 50 queries) -------------------------
-    # The entire r6 cohort reached 2-streak when the r7 greens
-    # landed, freeing 48 slots. They host: the seven staged
-    # warehouse_ext queries (built+oracle-gated in r7, registered
-    # now), the three NEW r8 queries (text_bpe_encode and the two
-    # scale promotions), the three tpch head queries above, the
-    # r8-edited dedup_incr_near (verify-stage rework), and 34
-    # re-proof slots for the strongest local-only families — mm_*,
-    # sim_* (ivf/pq/lsh/brute), text, quality, sampling, curate,
-    # cms — none of which have been driver-checked since round 5's
-    # spread-read change. Slot arithmetic:
-    #   warehouse_ext 10 + tpch 10 + text 5 + scale 3 + multimodal 4
-    #   + similarity 4 + ivf 2 + pq 2 + quality 4 + sampling 3
-    #   + dedup_incr 1 + od_triangles 1 + bm25 1 = 50
-    # (the late wave-4 additions — Q17/Q19/scd2 — displaced the last
-    # three r7-window holdovers (semdedup_keep, dsir_weights,
-    # curate_keep_list), so NO r8-window query repeats from r7.)
-    # (lm/mixing/packing/scrub — 2-streak with their latest green IN
-    # round 7, i.e. already driver-proven post-spread-read — ceded
-    # their re-proof slots to the seven NEW r8 wave-3 queries: five
-    # tpch shapes + rolling_user_spend + funnel_reconciliation.)
-    _wx_head,
-    _tpch_head,
-    _text_head,  # text_bpe_encode (streak 0); the module's four
-    # 4-streak queries ceded their re-proof slots to winfuncs +
-    # weighted_sample below
-    winfuncs,  # NEW r8 wave 7 (streak 0): ntile / navigation trio /
-    # GROUPING SETS
-    _scale_head,  # (cms_user_counts, 2-streak, ceded its slot to
-    # the rotated-back dedup_minhash_lsh below)
-    _eval_head,  # NEW r8 wave 6 (streak 0): recall/calibration/error
-    # (evalsuite's three slots came from ivf + the similarity head —
-    # ann_recall_ivf's oracle replays BOTH operators' full DuckDB
-    # twins (unrolled Lloyd included) and intersects their outputs,
-    # so those pipelines stay driver-gated through the eval query.
-    # pq (2-streak, driver-proven r5+r6) ceded its pair of slots to
-    # warehouse_ext's nation_metrics_unpivot + window headroom.)
-    _stats_head,  # NEW r8 wave 10 (streak 0): exact-moment stddev/corr/OLS
-    funcsuite,  # NEW r8 wave 9 (streak 0): array/datetime/rank/string
-    # suites. Wave-9/10 slot arithmetic: quality's four 2-streak
-    # queries (incl. the decontam_overlap re-proof — r7-green post
-    # spread-read, module untouched in r8) + sampling's three
-    # 2-streak queries (split_assign / split_summary /
-    # stratified_sample, driver-green r6+r7) ceded seven slots to
-    # funcsuite (4), stats_moments, hypertable_gapfill, and
-    # cohort_retention.
-    _sampling_head,  # weighted_sample (streak 0)
-    gapfill,  # NEW r8 wave 9 (streak 0): time_bucket_gapfill shape
-    _useranalytics_head,  # NEW r8 wave 9 (streak 0): cohort retention
-    _dedup_head,
-    _graph_head,  # NEW r8: od_triangles (streak 0)
-    _retrieval_head,  # NEW r8: bm25_topk (streak 0)
-    tpch_close,  # NEW r8 wave 5 (streak 0): Q2/Q6/Q8/Q9/Q15/Q20/Q21
-    # (tpch_close's seven slots came from multimodal (4) and the
-    # similarity tail (3) — all streak ≥3, none in the r7 window,
-    # and every one re-verified this session by the full local
-    # sf0.01+sf0.1 Spark-vs-DuckDB sweep, so the NEW TPC-H shapes
-    # take the driver slots instead of a third re-proof pass.)
-    # ---- outside the window (every query ≥2 consecutive driver
-    # greens, modules untouched this round) -----------------------
+    # ---- r9 window (exactly 50 queries, streak-0-first) ---------
+    # The full 46-query r8 WINDOW_OVERFLOW backlog — every query
+    # that has NEVER appeared in a driver CORRECTNESS artifact —
+    # drains into the window in one round, plus funcsuite's four
+    # streak-1 suites as rotate-ins for their second green. Slot
+    # arithmetic: useranalytics 10 + sequences 5 + graph 3 + stats 3
+    # + drift 3 + analytics_ext 3 + divergence 2 + fuzzy 2 +
+    # profile 2 + scale(hll) 2 + vocab 2 + warehouse_ext 2 + assoc 1
+    # + curate 1 + evalsuite 1 + experiment 1 + hypertable 1 + od 1
+    # + retrieval 1 = 46, + funcsuite 4 = 50.
+    _ua_head,  # attribution / LTV / RFM / funnels / stickiness / CI
+    sequences,  # transitions, ACF, ANOVA, Holt, trigrams
+    _graph_head,  # BFS reach, k-core, Bellman-Ford shortest path
+    _stats_head,  # robust MAD outliers, Benford, correlations
+    drift,  # CUSUM changepoint, PSI, seasonal anomalies
+    _analytics_head,  # reversals, skyline, YoY
+    divergence,  # per-source entropy, pairwise JSD
+    _fuzzy_head,  # entity resolution clusters + golden record
+    _profile_head,  # integrity audit, skew report
+    _scale_head,  # HLL per-user + grouped reach estimates
+    _vocab_head,  # bigram PMI, Zipf fit
+    _wx_head,  # fulfillment latency, basket size profile
+    assoc,  # event co-occurrence lift
+    _curate_head,  # source data card
+    _eval_head,  # nbq_gains calibration
+    experiment,  # chi-square A/B
+    _hyper_head,  # TWAP time-weighted average
+    _od_head,  # Getis-Ord geo hotspots
+    _retrieval_head,  # RRF hybrid fusion
+    funcsuite,  # rotate-in (streak 1, r8-green): second green at r9
+    # ---- outside the window: the 41 streak-1 queries ------------
+    # ALL r8-green, queued in WINDOW_OVERFLOW to re-enter at r10
+    # for their second green.
+    _wx_tail,
+    _tpch_ovf,
+    tpch_close,
+    winfuncs,
+    _text_ovf,
+    _scale_ovf,
+    _eval_tail,
+    _stats_tail,
+    _sampling_ovf,
+    gapfill,
+    _ua_tail,
+    _graph_ovf,
+    _retrieval_tail,
+    # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
-    _sim_head,
-    _sim_tail,
+    similarity,
     ivf,
     pq,
-    _scale_tail,
-    _text_tail,
-    divergence,  # NEW r8 wave 11 (streak 0, outside: the window is
-    # full with streak-0/1 queries; enters on r9 rotation)
-    sequences,  # NEW r8 wave 12 (streak 0, outside — same reason)
-    _retrieval_tail,  # NEW r8 wave 12: rrf_fusion (streak 0, outside)
-    drift,  # NEW r8 wave 12: cusum/psi (streak 0, outside)
-    _stats_tail,  # NEW r8 wave 13: robust MAD outliers (streak 0, outside)
-    _useranalytics_tail,  # NEW r8 wave 13: attribution (streak 0, outside)
-    experiment,  # NEW r8 wave 14: chi-square A/B (streak 0, outside)
-    assoc,  # NEW r8 wave 14: basket co-occurrence (streak 0, outside)
-    _eval_tail,  # NEW r8 wave 15: nbq_gains (streak 0, outside)
-    _wx_tail,  # NEW r8 wave 16: fulfillment_latency (streak 0, outside)
+    dedup,
     quality,
-    _sampling_tail,
-    curate,
-    _semdedup_head,
+    _sampling_proven,
+    _curate_tail,
+    semdedup,
     importance,
     lm,
     mixing,
     packing,
     scrub,
-    _tpch_tail,
+    _tpch_proven,
     classifier,
     layout,
     substring,
-    vocab,
-    fuzzy,
-    profile,
+    _vocab_tail,
+    _fuzzy_tail,
+    _profile_tail,
     rangejoin,
-    hypertable,
+    _hyper_tail,
     asof,
-    od,
+    _od_tail,
     windows,
     readers,
-    analytics_ext,
-    _semdedup_tail,
-    _graph_tail,
-    _dedup_tail,
+    _analytics_tail,
+    _graph_proven,
+    _scale_proven,
+    _text_proven,
     kpi,
 ]
 

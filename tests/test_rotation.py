@@ -4,10 +4,20 @@ The driver records only the FIRST 50 queries of ``queries()`` in
 CORRECTNESS_r{N}.json. Round 3 proved how easily new operators drift
 outside that window silently (10 queries shipped un-driver-verified
 while README claimed otherwise); round 4 fixed it with a manual
-reorder. This test automates the policy so it can't drift again:
+reorder, rounds 5-8 ran a "streak<2 must be inside" rule. That rule
+deadlocked once the corpus outgrew the window (round 8: 46 streak-0
+queries queued outside while streak-1 queries held slots — the
+backlog could only drain ~2 slots per round). Round 9 re-derived the
+policy streak-0-first:
 
-    every query lacking 2 consecutive driver-green rounds MUST appear
-    within the first 50 of the registration order.
+    the window must be a minimum-priority prefix of the registration
+    order, where priority = min(green_streak, 2) and a declared
+    edited-module rotate-back has priority 0. Concretely: no query
+    outside the window may have a strictly LOWER priority than any
+    query inside it. A never-driver-checked query (streak 0) always
+    outranks a streak-1 query, which always outranks a proven
+    (streak ≥2) query, because the window's purpose is maximizing
+    marginal driver evidence.
 
 Green streaks are derived straight from the committed
 CORRECTNESS_r*.json history — present+green extends the streak,
@@ -101,54 +111,69 @@ def _green_streaks() -> dict[str, int]:
     return streak
 
 
-def test_unproven_queries_inside_driver_window():
+def _priorities() -> "tuple[list[str], dict[str, int]]":
     import __spark_entry__ as entry_mod
 
-    order = list(entry_mod.queries())
-    streaks = _green_streaks()
-    stragglers = [
-        q
-        for i, q in enumerate(order)
-        if i >= DRIVER_WINDOW and streaks.get(q, 0) < 2
-    ]
-    overflow = getattr(entry_mod, "WINDOW_OVERFLOW", frozenset())
-    assert set(stragglers) <= overflow, (
-        f"queries with <2 consecutive driver-green rounds are outside the "
-        f"driver's first-{DRIVER_WINDOW} correctness window — reorder "
-        f"_MODULES in __spark_entry__.py: "
-        f"{sorted(set(stragglers) - overflow)}"
-    )
-
-
-def test_overflow_only_when_window_is_full():
-    """WINDOW_OVERFLOW is the pressure valve for a genuinely
-    oversubscribed window, never a loophole: it may be non-empty only
-    while EVERY window slot holds a query that must be there (streak
-    <2, or a declared edited-module rotate-back), and declared names
-    must actually be registered, outside, and unproven."""
-    import __spark_entry__ as entry_mod
-
-    overflow = getattr(entry_mod, "WINDOW_OVERFLOW", frozenset())
-    if not overflow:
-        return
     order = list(entry_mod.queries())
     streaks = _green_streaks()
     rotatebacks = getattr(entry_mod, "WINDOW_ROTATEBACKS", frozenset())
-    soft = [
-        q
-        for q in order[:DRIVER_WINDOW]
-        if streaks.get(q, 0) >= 2 and q not in rotatebacks
-    ]
-    assert not soft, (
-        f"window slots held by proven, un-edited queries while overflow "
-        f"is declared — rotate these out and pull the overflow in: {soft}"
+    prio = {
+        q: 0 if q in rotatebacks else min(streaks.get(q, 0), 2)
+        for q in order
+    }
+    return order, prio
+
+
+def test_window_is_min_priority_prefix():
+    """Streak-0-first: no query outside the window may outrank (have
+    a strictly lower priority than) any query inside it. Ties may
+    cross the boundary — when streak-1 queries outnumber the slots
+    left after all streak-0 queries are seated, SOME streak-1 queries
+    legitimately wait outside (in WINDOW_OVERFLOW, below)."""
+    order, prio = _priorities()
+    inside, outside = order[:DRIVER_WINDOW], order[DRIVER_WINDOW:]
+    if not outside:
+        return
+    worst_in = max(prio[q] for q in inside)
+    best_out = min(prio[q] for q in outside)
+    offenders_in = sorted(q for q in inside if prio[q] == worst_in)
+    offenders_out = sorted(q for q in outside if prio[q] == best_out)
+    assert worst_in <= best_out, (
+        f"window slots held by priority-{worst_in} queries "
+        f"({offenders_in[:8]}...) while priority-{best_out} queries sit "
+        f"outside ({offenders_out[:8]}...) — reorder _MODULES in "
+        f"__spark_entry__.py: lower streak goes first"
     )
-    outside = set(order[DRIVER_WINDOW:])
-    for q in overflow:
-        assert q in outside, f"overflow query {q} not registered outside"
-        assert streaks.get(q, 0) < 2, (
-            f"{q} is already proven — drop it from WINDOW_OVERFLOW"
-        )
+
+
+def test_overflow_is_exactly_the_unproven_outside():
+    """WINDOW_OVERFLOW is not a loophole but a ledger: it must list
+    EXACTLY the queries outside the window that still lack 2
+    consecutive driver greens (priority < 2). An omission hides an
+    unproven query; a stale entry claims pressure that isn't there."""
+    import __spark_entry__ as entry_mod
+
+    order, prio = _priorities()
+    declared = set(getattr(entry_mod, "WINDOW_OVERFLOW", frozenset()))
+    actual = {q for q in order[DRIVER_WINDOW:] if prio[q] < 2}
+    missing = sorted(actual - declared)
+    stale = sorted(declared - actual)
+    assert declared == actual, (
+        f"WINDOW_OVERFLOW out of sync — missing (unproven outside, "
+        f"undeclared): {missing}; stale (declared but proven or inside): "
+        f"{stale}"
+    )
+
+
+def test_rotatebacks_are_registered_and_stay_unproven_only_one_round():
+    """A rotate-back names a real query; once the post-edit green
+    history reaches 2 consecutive rounds the entry must be removed
+    (otherwise it pins a window slot forever)."""
+    import __spark_entry__ as entry_mod
+
+    order = list(entry_mod.queries())
+    for q in getattr(entry_mod, "WINDOW_ROTATEBACKS", frozenset()):
+        assert q in order, f"rotate-back {q} is not a registered query"
 
 
 def test_round_files_sort_numerically():

@@ -39,6 +39,16 @@ LANG_ORDER = ["", "en", "pt", "pt-BR"]
 DEFAULT_AUTO_DISCOVERY_URL = "https://poa.publicbikesystem.net/ube/gbfs/v1/"
 
 
+def _utc_naive(epoch_s: int) -> _dt.datetime:
+    """Epoch seconds -> naive UTC datetime (Spark TimestampType rows
+    are session-zone-naive; the sessions here pin UTC). The tz-aware
+    route replaces the deprecated ``datetime.utcfromtimestamp``
+    (removal slated post-3.12) with identical output."""
+    return _dt.datetime.fromtimestamp(epoch_s, tz=_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
 def discover_feeds(auto: dict[str, Any]) -> list[dict[str, Any]]:
     """Extract the feed list, tolerating flat and per-language shapes
     (reference etl_gbfs.py:44-55)."""
@@ -95,7 +105,7 @@ def station_rows(si: dict[str, Any]) -> list[tuple]:
             st.get("external_id"),
             st.get("short_name"),
             st.get("region_id"),
-            _dt.datetime.utcfromtimestamp(last_updated)
+            _utc_naive(last_updated)
             if last_updated is not None
             else None,
         )
@@ -125,7 +135,7 @@ def status_rows(
             _maybe_bool(st.get("is_installed")),
             _maybe_bool(st.get("is_renting")),
             _maybe_bool(st.get("is_returning")),
-            _dt.datetime.utcfromtimestamp(st["last_reported"])
+            _utc_naive(st["last_reported"])
             if st.get("last_reported") is not None
             else None,
             scraped_at,
@@ -162,9 +172,7 @@ def payload_rows(payload: dict[str, Any], feed: str) -> list[tuple]:
     if feed == "station_information":
         return station_rows(payload)
     lu = payload.get("last_updated")
-    scraped = (
-        _dt.datetime.utcfromtimestamp(lu) if lu is not None else None
-    )
+    scraped = _utc_naive(lu) if lu is not None else None
     return status_rows(payload, scraped)
 
 

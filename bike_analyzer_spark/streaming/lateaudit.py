@@ -24,6 +24,7 @@ late against an empty history.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,7 +58,13 @@ def run_late_audit_to_parquet(
                 .first()
                 .hwm
             )
-        except Exception:  # noqa: BLE001 — first batch: no store yet
+        except AnalysisException:
+            # First batch only: the store path does not exist yet, so
+            # nothing can be late against an empty history. Any OTHER
+            # read failure (corrupt store, IO, permissions) must fail
+            # the batch loudly — swallowing it would land an audit row
+            # with prior_hwm_us=NULL / n_late=0 and silently
+            # under-report lateness.
             prior = None
         stats = batch_df.select(
             F.expr("unix_micros(ts)").alias("us")

@@ -74,7 +74,7 @@ def test_station_status_scan_matches_driver_path(spark, landing):
     )
     want = []
     for p in payloads:
-        scraped = dt.datetime.utcfromtimestamp(p["last_updated"])
+        scraped = dt.datetime.fromtimestamp(p["last_updated"], tz=dt.timezone.utc).replace(tzinfo=None)
         want += [
             tuple(r) for r in gbfs.status_df(spark, p, scraped).collect()
         ]
@@ -155,7 +155,7 @@ def test_streaming_reader_tails_new_snapshots_incrementally(
         r
         for r in second
         if r.last_updated
-        == dt.datetime.utcfromtimestamp(p3["last_updated"])
+        == dt.datetime.fromtimestamp(p3["last_updated"], tz=dt.timezone.utc).replace(tzinfo=None)
     ]
     assert len(new_rows) == 2
 

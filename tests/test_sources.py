@@ -60,7 +60,7 @@ def test_stations_df_types(spark):
     assert rows["s1"].rental_methods == ["KEY", "PHONE"]
     assert rows["s1"].is_virtual_station is False
     assert rows["s2"].capacity is None
-    assert rows["s1"].last_updated == dt.datetime.utcfromtimestamp(1756998511)
+    assert rows["s1"].last_updated == dt.datetime.fromtimestamp(1756998511, tz=dt.timezone.utc).replace(tzinfo=None)
 
 def test_status_df_vehicles_struct(spark):
     ts = dt.datetime(2025, 9, 4, 15, 8, 40)

@@ -787,16 +787,20 @@ def od_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = _deg(edges)
     from pyspark.sql import Window
 
+    # k = exact integer p{KCORE_PCT} order statistic, computed over
+    # the degree HISTOGRAM (bounded by distinct degree values), never
+    # a per-vertex global window: the vertex at ceil-rank R in
+    # (dg, id) order has the minimum dg whose cumulative histogram
+    # count reaches R, so the two forms are identical — but the
+    # histogram survives a user-keyed graph where a vertex-global
+    # total order would single-partition the vertex set (the
+    # stats.py robust_outliers / profile.py idiom).
+    hist = deg0.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = hist.agg(F.sum("cnt").alias("tot"))
     kval = (
-        deg0.withColumn(
-            "cum", F.sum(F.lit(1)).over(Window.orderBy("dg", "id"))
-        )
-        .withColumn(
-            "kk", F.sum(F.lit(1)).over(Window.partitionBy(F.lit(1)))
-        )
-        .where(
-            F.expr(f"cum >= ({KCORE_PCT} * kk + 99) div 100")
-        )
+        hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("dg")))
+        .crossJoin(F.broadcast(tot))
+        .where(F.expr(f"cum >= ({KCORE_PCT} * tot + 99) div 100"))
         .agg(F.min("dg").alias("k"))
     ).localCheckpoint(eager=False)
 

@@ -139,6 +139,12 @@ WINDOW_OVERFLOW = frozenset(
         "cohort_retention",
         "od_triangles",
         "bm25_topk",
+        # funcsuite (r8-green) ceded its four rotate-in slots to the
+        # four NEW r9 queries (streak 0 outranks streak 1)
+        "f_array_ops",
+        "f_datetime_ops",
+        "f_rank_ties",
+        "f_string_ops",
     }
 )
 
@@ -173,7 +179,10 @@ _analytics_head, _analytics_tail = _split(
     analytics_ext,
     ["value_reversals", "skyline_parts", "monthly_revenue_yoy"],
 )
-_curate_head, _curate_tail = _split(curate, ["source_data_card"])
+_curate_head, _curate_tail = _split(
+    curate, ["source_data_card", "corpus_build_card"]
+)
+_quality_head, _quality_tail = _split(quality, ["ngram_novelty"])
 _eval_head, _eval_tail = _split(evalsuite, ["nbq_gains"])
 _fuzzy_head, _fuzzy_tail = _split(
     fuzzy, ["entity_clusters", "entity_golden_record"]
@@ -188,7 +197,7 @@ _graph_proven = _Slice(
 _hyper_head, _hyper_tail = _split(hypertable, ["time_weighted_avg"])
 _od_head, _od_tail = _split(od, ["geo_hotspots"])
 _profile_head, _profile_tail = _split(
-    profile, ["integrity_audit", "skew_report"]
+    profile, ["integrity_audit", "skew_report", "event_disorder_profile"]
 )
 _retrieval_head, _retrieval_tail = _split(retrieval, ["rrf_fusion"])
 _scale_head, _scale_tail = _split(
@@ -218,7 +227,8 @@ _vocab_head, _vocab_tail = _split(
     vocab, ["vocab_bigram_pmi", "vocab_zipf_fit"]
 )
 _wx_head, _wx_tail = _split(
-    warehouse_ext, ["fulfillment_latency", "basket_size_profile"]
+    warehouse_ext,
+    ["fulfillment_latency", "basket_size_profile", "revenue_pareto"],
 )
 _tpch_ovf = _Slice(
     tpch,
@@ -257,13 +267,15 @@ _MODULES = [
     # ---- r9 window (exactly 50 queries, streak-0-first) ---------
     # The full 46-query r8 WINDOW_OVERFLOW backlog — every query
     # that has NEVER appeared in a driver CORRECTNESS artifact —
-    # drains into the window in one round, plus funcsuite's four
-    # streak-1 suites as rotate-ins for their second green. Slot
-    # arithmetic: useranalytics 10 + sequences 5 + graph 3 + stats 3
-    # + drift 3 + analytics_ext 3 + divergence 2 + fuzzy 2 +
-    # profile 2 + scale(hll) 2 + vocab 2 + warehouse_ext 2 + assoc 1
-    # + curate 1 + evalsuite 1 + experiment 1 + hypertable 1 + od 1
-    # + retrieval 1 = 46, + funcsuite 4 = 50.
+    # drains into the window in one round, plus the four queries NEW
+    # in r9 (corpus_build_card, ngram_novelty, revenue_pareto,
+    # event_disorder_profile — streak 0 outranks the streak-1
+    # rotate-in candidates). Slot arithmetic: useranalytics 10 +
+    # sequences 5 + graph 3 + stats 3 + drift 3 + analytics_ext 3 +
+    # profile 3 (+disorder) + warehouse_ext 3 (+pareto) + divergence
+    # 2 + fuzzy 2 + scale(hll) 2 + vocab 2 + curate 2 (+build card)
+    # + quality 1 (novelty) + assoc 1 + evalsuite 1 + experiment 1 +
+    # hypertable 1 + od 1 + retrieval 1 = 50.
     _ua_head,  # attribution / LTV / RFM / funnels / stickiness / CI
     sequences,  # transitions, ACF, ANOVA, Holt, trigrams
     _graph_head,  # BFS reach, k-core, Bellman-Ford shortest path
@@ -283,14 +295,15 @@ _MODULES = [
     _hyper_head,  # TWAP time-weighted average
     _od_head,  # Getis-Ord geo hotspots
     _retrieval_head,  # RRF hybrid fusion
-    funcsuite,  # rotate-in (streak 1, r8-green): second green at r9
-    # ---- outside the window: the 41 streak-1 queries ------------
+    _quality_head,  # NEW r9: first-occurrence n-gram novelty
+    # ---- outside the window: the 45 streak-1 queries ------------
     # ALL r8-green, queued in WINDOW_OVERFLOW to re-enter at r10
     # for their second green.
     _wx_tail,
     _tpch_ovf,
     tpch_close,
     winfuncs,
+    funcsuite,
     _text_ovf,
     _scale_ovf,
     _eval_tail,
@@ -306,7 +319,7 @@ _MODULES = [
     ivf,
     pq,
     dedup,
-    quality,
+    _quality_tail,
     _sampling_proven,
     _curate_tail,
     semdedup,

@@ -273,3 +273,166 @@ def _data_card_oracle() -> str:
 
 
 ORACLES["source_data_card"] = _data_card_oracle()
+
+
+def corpus_build_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end CORPUS BUILD card — the per-stage funnel of
+    `pipeline.run_corpus_build` (scrub → quality gates → exact dedup
+    keep-first → train/val split) as one deterministic, oracle-gated
+    driver query: stage, rows in, rows out, and the docs each stage
+    touched. The pipeline itself reads its audit numbers from
+    observed metrics inside the shard write (pipeline.py:94-110);
+    this query recomputes the SAME funnel declaratively so the
+    driver's DuckDB gate covers the composed stage arithmetic, not
+    just each stage in isolation.
+
+    Stage semantics mirror pipeline.curated_docs exactly: the
+    quality gates run over the SCRUBBED text, dedup keeps the
+    smallest doc_id per md5(clean_text) among gate survivors, the
+    split hashes the keeper's doc_id with the pipeline salt.
+
+    Scale shape: ONE corpus scan (scrub + gates fuse into the scan
+    projection), one hash aggregate on the text digest (the same
+    exchange the dedup stage itself pays), then a 1-row global
+    aggregate unpivoted via stack() — no driver materialization, no
+    second corpus pass."""
+    from ..pipeline import TRAIN_PCT as _PIPE_PCT
+    from ..pipeline import _SPLIT_SALT as _PIPE_SALT
+    from .quality import rule_flags
+    from .scrub import scrub_flags
+
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = (
+        scrub_flags(docs)
+        .withColumn(
+            "pii",
+            (
+                F.col("n_urls") + F.col("n_emails") + F.col("n_phones")
+                > 0
+            ).cast("long"),
+        )
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+    )
+    flagged = rule_flags(scrubbed).select(
+        "doc_id",
+        "pii",
+        F.col("keep").cast("long").alias("keepi"),
+        F.md5(F.encode("text", "UTF-8")).alias("h"),
+    )
+    # one exchange: group by content hash (keep is a pure function of
+    # the text, so it is constant within a group)
+    groups = flagged.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_grp"),
+        F.sum("pii").alias("n_pii_grp"),
+        F.sum("keepi").alias("n_keep_grp"),
+        F.min(F.when(F.col("keepi") == 1, F.col("doc_id"))).alias(
+            "keeper"
+        ),
+    )
+    train_flag = (
+        hash64(F.col("keeper").cast("string"), _PIPE_SALT) % 100
+        < _PIPE_PCT
+    )
+    agg = groups.agg(
+        F.sum("n_grp").alias("n_raw"),
+        F.sum("n_pii_grp").alias("n_pii"),
+        F.sum("n_keep_grp").alias("n_gated"),
+        F.count("keeper").alias("n_dedup"),
+        F.sum(F.when(train_flag, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            '1_scrub_pii',    n_raw,   n_raw,             n_pii,
+            '2_quality_gate', n_raw,   n_gated,           n_raw - n_gated,
+            '3_exact_dedup',  n_gated, n_dedup,           n_gated - n_dedup,
+            '4_split_train',  n_dedup, n_train,           n_train,
+            '5_split_val',    n_dedup, n_dedup - n_train, n_dedup - n_train
+        ) AS (stage, rows_in, rows_out, docs_affected)"""
+    ).orderBy("stage")
+
+
+QUERIES["corpus_build_card"] = corpus_build_card
+
+
+def _build_card_oracle() -> str:
+    from ..pipeline import TRAIN_PCT as _PIPE_PCT
+    from ..pipeline import _SPLIT_SALT as _PIPE_SALT
+    from .quality import KEEP_EXPR, _max_token_count_duck
+    from .scrub import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+        URL_RE,
+        URL_TOKEN,
+    )
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text, '{URL_RE}', '{URL_TOKEN}', 'g'),
+                             '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                             '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text,
+                   CASE WHEN len(regexp_extract_all(text, '{URL_RE}'))
+                           + len(regexp_extract_all(text, '{EMAIL_RE}'))
+                           + len(regexp_extract_all(text, '{PHONE_RE}'))
+                           > 0 THEN 1 ELSE 0 END AS pii
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, pii, text, {_TOKS} AS toks FROM s
+        ),
+        m AS (
+            SELECT doc_id, pii, text,
+                   len(toks) AS n_tok,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       / len(toks) AS mean_len,
+                   length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+                       / length(text) AS sym_ratio,
+                   len(list_filter(toks,
+                       x -> x IN ({_sql_list(STOPWORDS)}))) AS stop_hits,
+                   {_max_token_count_duck("toks")} / len(toks)
+                       AS top_ratio
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id, pii, md5(text) AS h,
+                   CASE WHEN {KEEP_EXPR} THEN 1 ELSE 0 END AS keepi
+            FROM m
+        ),
+        g AS (
+            SELECT h, count(*) AS n_grp, sum(pii) AS n_pii_grp,
+                   sum(keepi) AS n_keep_grp,
+                   min(CASE WHEN keepi = 1 THEN doc_id END) AS keeper
+            FROM f GROUP BY h
+        ),
+        a AS (
+            SELECT CAST(sum(n_grp) AS BIGINT) AS n_raw,
+                   CAST(sum(n_pii_grp) AS BIGINT) AS n_pii,
+                   CAST(sum(n_keep_grp) AS BIGINT) AS n_gated,
+                   CAST(count(keeper) AS BIGINT) AS n_dedup,
+                   CAST(sum(CASE WHEN
+                       {hash64_duck("CAST(keeper AS VARCHAR)",
+                                    repr(_PIPE_SALT))} % 100 < {_PIPE_PCT}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+            FROM g
+        )
+        SELECT '1_scrub_pii' AS stage, n_raw AS rows_in,
+               n_raw AS rows_out, n_pii AS docs_affected FROM a
+        UNION ALL SELECT '2_quality_gate', n_raw, n_gated,
+               n_raw - n_gated FROM a
+        UNION ALL SELECT '3_exact_dedup', n_gated, n_dedup,
+               n_gated - n_dedup FROM a
+        UNION ALL SELECT '4_split_train', n_dedup, n_train,
+               n_train FROM a
+        UNION ALL SELECT '5_split_val', n_dedup, n_dedup - n_train,
+               n_dedup - n_train FROM a
+        ORDER BY stage
+    """
+
+
+ORACLES["corpus_build_card"] = _build_card_oracle()

@@ -364,3 +364,94 @@ def _skew_oracle() -> str:
 
 
 ORACLES["skew_report"] = _skew_oracle()
+
+
+#: allowed delivery delay before an event counts LATE — mirrors the
+#: 30-minute watermark the streaming surfaces configure
+#: (streaming/lateaudit.py LATE_DELAY_US)
+DISORDER_DELAY_US = 30 * 60 * 1_000_000
+
+
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch out-of-orderness audit over the events table — the
+    BATCH twin of the streaming delivery-lag audit
+    (streaming/lateaudit.py): per event type, how many events arrive
+    (event_id = ingest sequence) with an event time OLDER than
+    something already seen on the same user's stream, how many exceed
+    the 30-minute watermark the streaming surfaces configure (i.e.
+    would be DROPPED by the watermarked operators), and the worst
+    backward jump. This is the query that answers "is a 30-minute
+    watermark actually generous enough for this source?" BEFORE the
+    stream silently discards data.
+
+    Scale shape: one scan, one per-user window (uniform key, ordered
+    by the arrival sequence, running max of event time), one bounded
+    aggregate by event type. Exact integer microseconds end to end —
+    no doubles anywhere.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lagged = ev.withColumn("hwm", F.max("us").over(w))
+    flags = lagged.select(
+        "event_type",
+        (F.col("us") < F.col("hwm")).cast("long").alias("ooo"),
+        (F.col("us") < F.col("hwm") - F.lit(DISORDER_DELAY_US))
+        .cast("long")
+        .alias("late"),
+        F.greatest(F.lit(0).cast("long"), F.col("hwm") - F.col("us")).alias(
+            "lag_us"
+        ),
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum("ooo"), F.lit(0).cast("long")).alias(
+                "n_out_of_order"
+            ),
+            F.coalesce(F.sum("late"), F.lit(0).cast("long")).alias(
+                "n_late_30m"
+            ),
+            F.max("lag_us").alias("max_lag_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_disorder_profile"] = event_disorder_profile
+
+ORACLES["event_disorder_profile"] = f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    l AS (
+        SELECT event_type, us,
+               max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm
+        FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN us < hwm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(sum(CASE WHEN us < hwm - {DISORDER_DELAY_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m,
+           CAST(max(greatest(CAST(0 AS BIGINT), hwm - us)) AS BIGINT)
+               AS max_lag_us
+    FROM l
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -366,3 +366,104 @@ ORACLES = {
         ORDER BY doc_id, rk
     """,
 }
+
+
+#: novelty shingle width — wider than the decontam trigram so the
+#: signal rewards genuinely new phrasing, not reshuffled stopwords
+NOVELTY_NGRAM = 4
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram NOVELTY per document — the curation
+    signal dataset builders use to rank near-the-margin documents:
+    what fraction of a doc's distinct 4-gram shingles appear in NO
+    earlier document (doc_id order = ingest order)? Low novelty means
+    the doc is mostly recombined boilerplate even when no single
+    near-duplicate exists (the case MinHash/SimHash can't flag).
+
+    Scale shape: explode per-doc DISTINCT shingles (one narrow pass),
+    ONE aggregate keyed by shingle taking min(doc_id) — the same
+    exchange class as decontam/minhash shingling — then two
+    doc-keyed aggregates (total shingles, first-owned shingles)
+    joined on doc_id. The shingle→owner table never joins back
+    against the exploded corpus, so the expensive shingle-keyed
+    shuffle happens exactly once.
+    """
+    from ..functions.exact import halfup_ratio_sql
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .filter(F.size("toks") >= NOVELTY_NGRAM)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_exprs("toks", n=NOVELTY_NGRAM))
+        ).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    tot = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    nov = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        tot.join(
+            nov.withColumnRenamed("first_doc", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias(
+                "n_novel"
+            ),
+            F.expr(
+                halfup_ratio_sql(
+                    "100 * coalesce(n_novel, 0)", "n_shingles", 4, "spark"
+                )
+            ).alias("novelty_pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["ngram_novelty"] = ngram_novelty
+
+
+def _novelty_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        e AS (
+            SELECT DISTINCT doc_id,
+                   unnest({shingles_duck("toks", NOVELTY_NGRAM)}) AS sh
+            FROM t WHERE len(toks) >= {NOVELTY_NGRAM}
+        ),
+        fst AS (
+            SELECT sh, min(doc_id) AS first_doc FROM e GROUP BY sh
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM e GROUP BY doc_id
+        ),
+        nov AS (
+            SELECT first_doc AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_novel
+            FROM fst GROUP BY first_doc
+        )
+        SELECT t.doc_id, t.n_shingles,
+               COALESCE(n.n_novel, 0) AS n_novel,
+               {halfup_ratio_sql("100 * COALESCE(n.n_novel, 0)",
+                                 "t.n_shingles", 4, "duck")}
+                   AS novelty_pct
+        FROM tot t LEFT JOIN nov n USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+
+ORACLES["ngram_novelty"] = _novelty_oracle()

@@ -943,3 +943,141 @@ def _basket_oracle() -> str:
 
 
 ORACLES["basket_size_profile"] = _basket_oracle()
+
+
+#: Pareto coverage threshold: the smallest top-revenue customer set
+#: covering >= PARETO_PCT of the nation's revenue
+PARETO_PCT = 80
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue CONCENTRATION (the 80/20 audit): how many
+    top customers does it take to cover 80 % of each nation's
+    lineitem revenue, and what share of the customer base is that?
+    The classic whale-dependence metric a marketplace watches per
+    region.
+
+    Exactness: revenue rides the integer rev_u unit (cents x
+    percent); the "covers 80 %" cut is the integer cross-product
+    5*(cum - rev) < 4*total (a customer is needed iff the revenue
+    BEFORE it is still under the threshold), so no double ever
+    decides membership. Covered-share displays through the 128-bit
+    half-up (100*covered*2e4 exceeds BIGINT at warehouse scale).
+
+    Scale shape: fact scan -> orderkey join (AQE-sized) -> one
+    customer-keyed aggregate; the cumulative window partitions by
+    NATION over CUSTOMER-level rows (bounded groups per nation,
+    uniform shuffle), never a global total order. Nation totals ride
+    a second tiny aggregate joined back by nation key.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "rev_u",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("int")),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").alias("rev"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "rev")
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("rev"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # cum/tot accumulate customer revenues per nation: DECIMAL(38,0)
+    # — a nation's revenue total wraps BIGINT around sf20k, the same
+    # wall the Q1 sum_charge widening documents
+    cum = per_cust.withColumn(
+        "cum", F.sum(F.col("rev").cast("decimal(38,0)")).over(w)
+    )
+    tot = per_cust.groupBy("n_name").agg(
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    # a customer is needed iff the revenue BEFORE it still sits
+    # under the threshold: 5*(cum - rev) < 4*tot  <=>
+    # (cum - rev) < PARETO_PCT% * tot, all in 128-bit integers
+    top = cum.join(tot, "n_name").filter(
+        F.lit(100 - PARETO_PCT) * (F.col("cum") - F.col("rev"))
+        * F.lit(5)
+        < F.lit(PARETO_PCT) * F.col("tot")
+    )
+    needed = top.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("covered"),
+        F.max("n_customers").alias("n_customers"),
+        F.max("tot").alias("tot"),
+    )
+    return needed.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("n_top").cast("bigint").alias("n_top80"),
+        _halfup("100 * n_top", "n_customers", 4).alias("top80_cust_pct"),
+        _halfup_wide("100 * covered", "tot", 4).alias(
+            "covered_rev_pct"
+        ),
+    ).orderBy("nation")
+
+
+QUERIES["revenue_pareto"] = revenue_pareto
+
+
+def _pareto_oracle() -> str:
+    return f"""
+        WITH per_cust AS (
+            SELECT n.n_name, c.c_custkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS INT)))
+                       AS rev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, c.c_custkey
+        ),
+        cum AS (
+            SELECT n_name, c_custkey, CAST(rev AS BIGINT) AS rev,
+                   CAST(sum(rev) OVER (PARTITION BY n_name
+                       ORDER BY rev DESC, c_custkey
+                       ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+                   CAST(sum(rev) OVER (PARTITION BY n_name)
+                       AS HUGEINT) AS tot,
+                   CAST(count(*) OVER (PARTITION BY n_name)
+                       AS BIGINT) AS n_customers
+            FROM per_cust
+        ),
+        top AS (
+            SELECT * FROM cum
+            WHERE 5 * (cum - rev) < 4 * tot
+        )
+        SELECT n_name AS nation,
+               CAST(max(n_customers) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_top80,
+               {halfup_ratio_sql('100 * count(*)', 'max(n_customers)',
+                                 4, 'duck')} AS top80_cust_pct,
+               {halfup_ratio_wide_sql('100 * CAST(sum(rev) AS HUGEINT)',
+                                      'max(tot)', 4, 'duck')}
+                   AS covered_rev_pct
+        FROM top
+        GROUP BY n_name
+        ORDER BY nation
+    """
+
+
+ORACLES["revenue_pareto"] = _pareto_oracle()

@@ -132,3 +132,57 @@ def test_data_card_consistent_with_standalone_operators(spark):
         assert round(r.exact_dup_pct * ndocs[s]) == 100 * (
             ndocs[s] - len(uniq[s])
         )
+
+
+def test_corpus_build_card_vs_oracle(spark, duck):
+    df = curate.corpus_build_card(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df,
+        duck,
+        curate.ORACLES["corpus_build_card"],
+        name="corpus_build_card",
+    )
+
+
+def test_corpus_build_card_matches_pipeline_audit(spark, tmp_path):
+    """The card recomputes the funnel `pipeline.run_corpus_build`
+    reports from its observed metrics — the two must agree on every
+    shared number (docs in, kept after gates+dedup, train/val)."""
+    from bike_analyzer_spark import pipeline
+
+    audit = pipeline.run_corpus_build(
+        spark, SF_DIR_ORACLE, str(tmp_path / "corpus"), n_shards=2
+    )
+    card = {
+        r.stage: r
+        for r in curate.corpus_build_card(spark, SF_DIR_ORACLE).collect()
+    }
+    assert card["2_quality_gate"].rows_in == audit["docs_in"]
+    assert card["3_exact_dedup"].rows_out == audit["docs_kept"]
+    assert card["4_split_train"].rows_out == audit["train_rows"]
+    assert card["5_split_val"].rows_out == audit["val_rows"]
+
+
+def test_corpus_build_card_funnel_is_monotone(spark):
+    rows = {
+        r.stage: r
+        for r in curate.corpus_build_card(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(rows) == {
+        "1_scrub_pii",
+        "2_quality_gate",
+        "3_exact_dedup",
+        "4_split_train",
+        "5_split_val",
+    }
+    for r in rows.values():
+        assert 0 <= r.rows_out <= r.rows_in
+        assert r.docs_affected >= 0
+    # stages chain: each stage's input is the previous stage's output
+    assert rows["2_quality_gate"].rows_in == rows["1_scrub_pii"].rows_out
+    assert rows["3_exact_dedup"].rows_in == rows["2_quality_gate"].rows_out
+    assert rows["4_split_train"].rows_in == rows["3_exact_dedup"].rows_out
+    assert (
+        rows["4_split_train"].rows_out + rows["5_split_val"].rows_out
+        == rows["3_exact_dedup"].rows_out
+    )

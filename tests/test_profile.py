@@ -130,3 +130,25 @@ def test_skew_report_matches_pure_python(spark):
         assert r.p50_rows == float(statistics.median(per_key))
         k = len(per_key)
         assert r.p99_rows == per_key[-(-99 * k // 100) - 1]
+
+
+def test_event_disorder_vs_oracle(spark, duck):
+    df = prof.event_disorder_profile(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df,
+        duck,
+        prof.ORACLES["event_disorder_profile"],
+        name="event_disorder_profile",
+    )
+
+
+def test_event_disorder_invariants(spark):
+    rows = prof.event_disorder_profile(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # late-beyond-watermark events are a subset of out-of-order
+        # events, which are a subset of all events
+        assert 0 <= r.n_late_30m <= r.n_out_of_order <= r.n_events
+        assert r.max_lag_us >= 0
+        if r.n_out_of_order == 0:
+            assert r.max_lag_us == 0

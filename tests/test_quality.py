@@ -118,3 +118,46 @@ def test_tfidf_ranking_contract(spark):
             assert r.term not in quality.STOPWORDS
             want = round(r.tf * math.log(n_docs / df_count[r.term]), 4)
             assert abs(r.score - want) < 1e-9
+
+
+def test_ngram_novelty_vs_oracle(spark, duck):
+    df = quality.ngram_novelty(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, quality.ORACLES["ngram_novelty"], name="ngram_novelty"
+    )
+
+
+def test_ngram_novelty_invariants(spark):
+    rows = quality.ngram_novelty(spark, SF_DIR_ORACLE).collect()
+    assert rows, "novelty profile must cover the corpus"
+    by_id = sorted(rows, key=lambda r: r.doc_id)
+    # the earliest doc owns every one of its shingles by definition
+    first = by_id[0]
+    assert first.n_novel == first.n_shingles
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty_pct <= 100.0
+    # every shingle has exactly one owner: novel counts sum to the
+    # global distinct-shingle count
+    import pyspark.sql.functions as F
+    from bike_analyzer_spark.functions.textfns import (
+        shingle_exprs,
+        tokens,
+    )
+    from bike_analyzer_spark.sources.catalog import load
+
+    docs = (
+        load(spark, SF_DIR_ORACLE, "documents")
+        .withColumn("toks", tokens("text"))
+        .filter(F.size("toks") >= quality.NOVELTY_NGRAM)
+    )
+    n_distinct = (
+        docs.select(
+            F.explode(
+                shingle_exprs("toks", n=quality.NOVELTY_NGRAM)
+            ).alias("sh")
+        )
+        .agg(F.countDistinct("sh"))
+        .first()[0]
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct

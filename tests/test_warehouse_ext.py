@@ -133,3 +133,24 @@ def test_unpivot_is_expand_after_rollup(spark):
     # both aggregates sit BELOW the Expand in the tree dump (Expand
     # printed first = closest to the root)
     assert plan.index("Expand") < plan.index("HashAggregate")
+
+
+def test_revenue_pareto_vs_oracle(spark, duck):
+    df = warehouse_ext.revenue_pareto(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df,
+        duck,
+        warehouse_ext.ORACLES["revenue_pareto"],
+        name="revenue_pareto",
+    )
+
+
+def test_revenue_pareto_invariants(spark):
+    rows = warehouse_ext.revenue_pareto(spark, SF_DIR_ORACLE).collect()
+    assert rows, "every nation with revenue gets a row"
+    for r in rows:
+        # the minimal covering set is non-empty, within the base, and
+        # actually covers the threshold share
+        assert 1 <= r.n_top80 <= r.n_customers
+        assert r.covered_rev_pct >= warehouse_ext.PARETO_PCT
+        assert 0.0 < r.top80_cust_pct <= 100.0

@@ -49,16 +49,14 @@ def events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
-def conversion_join(
-    events: DataFrame, horizon_min: int = CONVERSION_HORIZON_MIN
-) -> DataFrame:
-    """view→purchase conversions within `horizon_min` minutes, per
-    user. Works identically on a batch frame and a streaming frame —
-    withWatermark is a no-op on batch — so batch IS the oracle for
-    the streaming run (tests/test_stream_join.py).
-
-    Returns (user_id, view_id, purchase_id, view_ts, purchase_ts,
-    secs_to_convert)."""
+def _funnel_sides(events: DataFrame, horizon_min: int):
+    """The two watermarked sides and the coupled event-time range
+    condition every funnel-join variant shares. The range condition
+    (purchase_ts within [view_ts, view_ts + horizon]) is what lets
+    StreamingSymmetricHashJoin bound BOTH buffers — and for the
+    outer variants it fixes the proof point at which a null row may
+    emit (left: watermark > view_ts + horizon; right: watermark >
+    purchase_ts)."""
     views = (
         events.filter(F.col("event_type") == "view")
         .withWatermark("ts", LATE_LIMIT)
@@ -85,18 +83,29 @@ def conversion_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
         )
     )
-    return (
-        views.join(purchases, cond, "inner")
-        .select(
-            "user_id",
-            "view_id",
-            "purchase_id",
-            "view_ts",
-            "purchase_ts",
-            (
-                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
-            ).alias("us_to_convert"),
-        )
+    return views, purchases, cond
+
+
+def conversion_join(
+    events: DataFrame, horizon_min: int = CONVERSION_HORIZON_MIN
+) -> DataFrame:
+    """view→purchase conversions within `horizon_min` minutes, per
+    user. Works identically on a batch frame and a streaming frame —
+    withWatermark is a no-op on batch — so batch IS the oracle for
+    the streaming run (tests/test_stream_join.py).
+
+    Returns (user_id, view_id, purchase_id, view_ts, purchase_ts,
+    secs_to_convert)."""
+    views, purchases, cond = _funnel_sides(events, horizon_min)
+    return views.join(purchases, cond, "inner").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("us_to_convert"),
     )
 
 
@@ -118,45 +127,75 @@ def conversion_join_outer(
     never need a null-sentinel convention. Works identically on a
     batch frame (a plain left join — the parity oracle), where every
     unmatched view appears because batch has no open horizon."""
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .withWatermark("ts", LATE_LIMIT)
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
+    views, purchases, cond = _funnel_sides(events, horizon_min)
+    return views.join(purchases, cond, "left_outer").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("us_to_convert"),
+        F.col("purchase_id").isNotNull().alias("converted"),
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", LATE_LIMIT)
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
+
+
+def conversion_join_right_outer(
+    events: DataFrame, horizon_min: int = CONVERSION_HORIZON_MIN
+) -> DataFrame:
+    """RIGHT-OUTER variant — the attribution audit's shape: every
+    PURCHASE emits, attributed to a qualifying view or not (an
+    unattributed purchase is organic/dark traffic, the number a
+    marketing team reconciles spend against). An unmatched purchase's
+    null-left row emits once the watermark passes purchase_ts — by
+    the range condition any qualifying view satisfies view_ts >=
+    purchase_ts - horizon AND view_ts <= purchase_ts, so a view that
+    could still arrive is younger than the purchase itself; once the
+    watermark passes purchase_ts nothing admissible remains.
+
+    user_id comes from whichever side exists (they are equal on
+    matches by the join condition). Batch frame = plain right join,
+    the parity oracle (round-8 verdict ask #5)."""
+    views, purchases, cond = _funnel_sides(events, horizon_min)
+    return views.join(purchases, cond, "right_outer").select(
+        F.coalesce("user_id", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("us_to_convert"),
+        F.col("view_id").isNotNull().alias("attributed"),
     )
-    cond = (
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
-        )
-    )
-    return (
-        views.join(purchases, cond, "left_outer")
-        .select(
-            "user_id",
-            "view_id",
-            "purchase_id",
-            "view_ts",
-            "purchase_ts",
-            (
-                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
-            ).alias("us_to_convert"),
-            F.col("purchase_id").isNotNull().alias("converted"),
-        )
+
+
+def conversion_join_full_outer(
+    events: DataFrame, horizon_min: int = CONVERSION_HORIZON_MIN
+) -> DataFrame:
+    """FULL-OUTER variant — one stream carrying the complete funnel
+    ledger: matches, views that never converted (converted=false),
+    and purchases no view explains (attributed=false). Null rows on
+    each side ride that side's eviction proof point (left: view_ts +
+    horizon; right: purchase_ts — see the left/right variants), so
+    state stays watermark-bounded exactly as in the inner join.
+
+    Completes the stream-stream join matrix (inner / left / right /
+    full — round-8 verdict ask #5). Batch frame = plain full join,
+    the parity oracle."""
+    views, purchases, cond = _funnel_sides(events, horizon_min)
+    return views.join(purchases, cond, "full_outer").select(
+        F.coalesce("user_id", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("us_to_convert"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+        F.col("view_id").isNotNull().alias("attributed"),
     )
 
 
@@ -167,8 +206,19 @@ def run_outer_conversions_to_memory(
     append mode — matches emit per micro-batch, null-right rows emit
     at watermark eviction). Returns the finished query handle so
     tests can read the final watermark from its progress."""
+    return run_join_variant_to_memory(
+        spark, landing_dir, name, conversion_join_outer
+    )
+
+
+def run_join_variant_to_memory(
+    spark: SparkSession, landing_dir: str, name: str, join_fn
+):
+    """Drain the landed shards through any funnel-join variant
+    (availableNow; append mode). Returns the finished query handle so
+    tests can read the final watermark from its progress."""
     q = (
-        conversion_join_outer(events_stream(spark, landing_dir))
+        join_fn(events_stream(spark, landing_dir))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")

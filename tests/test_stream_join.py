@@ -219,3 +219,138 @@ def test_outer_join_matches_batch_and_emits_nulls_at_watermark(
     assert not (not_yet & s_nulls), (
         "null rows emitted for views whose horizon is still open"
     )
+
+
+def test_right_outer_join_matches_batch_and_emits_nulls_at_watermark(
+    spark, landed_events
+):
+    """Right-outer stream-stream join (round 9): matched rows equal
+    the batch right-join's matches; an unattributed purchase's
+    null-left row emits only once the watermark passes purchase_ts
+    (past that, any qualifying view would itself be late-beyond-
+    watermark), and purchases still inside the open window must not
+    have null rows yet."""
+    from datetime import datetime, timedelta
+
+    batch = joins.conversion_join_right_outer(
+        load(spark, SF_DIR_SMOKE, "events")
+    ).collect()
+    b_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in batch
+        if r.attributed
+    }
+    b_null_purchases = {
+        r.purchase_id: r.purchase_ts for r in batch if not r.attributed
+    }
+    assert b_matched and b_null_purchases  # non-degenerate fixture
+
+    q = joins.run_join_variant_to_memory(
+        spark, landed_events, "conv_router_test",
+        joins.conversion_join_right_outer,
+    )
+    out = spark.table("conv_router_test").collect()
+    s_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in out
+        if r.attributed
+    }
+    s_nulls = {r.purchase_id for r in out if not r.attributed}
+    assert s_matched == b_matched
+    assert s_nulls <= set(b_null_purchases)  # no invented orphans
+    for r in out:
+        if not r.attributed:
+            assert r.view_id is None
+            assert r.view_ts is None
+            assert r.us_to_convert is None
+            assert r.user_id is not None  # carried from the purchase
+
+    wm_s = q.recentProgress[-1]["eventTime"]["watermark"]
+    wm = datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+    margin = timedelta(seconds=1)
+    due = {
+        pid
+        for pid, ts in b_null_purchases.items()
+        if ts < wm - margin
+    }
+    not_yet = {
+        pid
+        for pid, ts in b_null_purchases.items()
+        if ts > wm + margin
+    }
+    assert due, "fixture left no purchase past the watermark"
+    assert due <= s_nulls
+    assert not (not_yet & s_nulls), (
+        "null rows emitted for purchases whose window is still open"
+    )
+
+
+def test_full_outer_join_matches_batch_ledger(spark, landed_events):
+    """Full-outer stream-stream join (round 9) completes the matrix:
+    matches equal batch exactly; every emitted one-sided row is a
+    genuine batch orphan of the right kind; every orphan whose proof
+    point (view horizon close / purchase timestamp) passed the final
+    watermark has emitted."""
+    from datetime import datetime, timedelta
+
+    batch = joins.conversion_join_full_outer(
+        load(spark, SF_DIR_SMOKE, "events")
+    ).collect()
+    b_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in batch
+        if r.converted and r.attributed
+    }
+    b_view_orphans = {
+        r.view_id: r.view_ts for r in batch if not r.converted
+    }
+    b_purch_orphans = {
+        r.purchase_id: r.purchase_ts for r in batch if not r.attributed
+    }
+    assert b_matched and b_view_orphans and b_purch_orphans
+
+    # the ledger reconciles: batch full-outer rows = matches + both
+    # orphan sets, and the totals cover every view and purchase
+    ev = load(spark, SF_DIR_SMOKE, "events")
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(batch) == len(b_matched) + len(b_view_orphans) + len(
+        b_purch_orphans
+    )
+    assert len({r.view_id for r in batch if r.view_id is not None}) == n_views
+    assert (
+        len({r.purchase_id for r in batch if r.purchase_id is not None})
+        == n_purch
+    )
+
+    q = joins.run_join_variant_to_memory(
+        spark, landed_events, "conv_full_test",
+        joins.conversion_join_full_outer,
+    )
+    out = spark.table("conv_full_test").collect()
+    s_matched = {
+        (r.user_id, r.view_id, r.purchase_id, r.us_to_convert)
+        for r in out
+        if r.converted and r.attributed
+    }
+    s_view_orphans = {r.view_id for r in out if not r.converted}
+    s_purch_orphans = {r.purchase_id for r in out if not r.attributed}
+    assert s_matched == b_matched
+    assert s_view_orphans <= set(b_view_orphans)
+    assert s_purch_orphans <= set(b_purch_orphans)
+
+    wm_s = q.recentProgress[-1]["eventTime"]["watermark"]
+    wm = datetime.strptime(wm_s, "%Y-%m-%dT%H:%M:%S.%fZ")
+    horizon = timedelta(minutes=joins.CONVERSION_HORIZON_MIN)
+    margin = timedelta(seconds=1)
+    due_views = {
+        vid
+        for vid, ts in b_view_orphans.items()
+        if ts + horizon < wm - margin
+    }
+    due_purch = {
+        pid for pid, ts in b_purch_orphans.items() if ts < wm - margin
+    }
+    assert due_views and due_purch, "vacuous watermark pin"
+    assert due_views <= s_view_orphans
+    assert due_purch <= s_purch_orphans

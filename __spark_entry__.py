@@ -145,6 +145,12 @@ WINDOW_OVERFLOW = frozenset(
         "f_datetime_ops",
         "f_rank_ties",
         "f_string_ops",
+        # NEW in r9 wave 2 (streak 0): the window is already full of
+        # streak-0 queries, so these tie-break outside and enter at
+        # the r10 rotation
+        "winsorized_stats",
+        "markov_eval",
+        "hll_overlap_estimate",
     }
 )
 
@@ -208,6 +214,17 @@ _scale_proven = _Slice(scale, ["cms_user_counts"])
 _stats_head, _stats_tail = _split(
     stats, ["robust_outliers", "benford_digits", "metric_correlations"]
 )
+_sequences_head, _sequences_tail = _split(
+    sequences,
+    [
+        "event_transitions",
+        "activity_acf",
+        "activity_anova",
+        "holt_forecast",
+        "path_trigrams",
+    ],
+)
+_scale_new = _Slice(scale, ["hll_overlap_estimate"])
 _ua_head, _ua_tail = _split(
     useranalytics,
     [
@@ -277,7 +294,7 @@ _MODULES = [
     # + quality 1 (novelty) + assoc 1 + evalsuite 1 + experiment 1 +
     # hypertable 1 + od 1 + retrieval 1 = 50.
     _ua_head,  # attribution / LTV / RFM / funnels / stickiness / CI
-    sequences,  # transitions, ACF, ANOVA, Holt, trigrams
+    _sequences_head,  # transitions, ACF, ANOVA, Holt, trigrams
     _graph_head,  # BFS reach, k-core, Bellman-Ford shortest path
     _stats_head,  # robust MAD outliers, Benford, correlations
     drift,  # CUSUM changepoint, PSI, seasonal anomalies
@@ -313,6 +330,8 @@ _MODULES = [
     _ua_tail,
     _graph_ovf,
     _retrieval_tail,
+    _sequences_tail,  # NEW r9 wave 2: markov_eval (streak 0, outside)
+    _scale_new,  # NEW r9 wave 2: hll_overlap_estimate (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

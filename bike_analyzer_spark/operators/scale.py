@@ -656,3 +656,178 @@ ORACLES["hll_grouped_estimate"] = f"""
     FROM wide
     ORDER BY event_type
 """
+
+
+#: the two audiences whose reach overlap the sketch estimates
+OVERLAP_A, OVERLAP_B = "view", "purchase"
+
+
+def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE-OVERLAP estimate by HLL inclusion-exclusion — the
+    set-operation story sketches exist for: |A∩B| ≈ est(A) + est(B)
+    − est(A∪B), where est(A∪B) comes from MERGING the two register
+    tables (per-register max) without touching the raw data again.
+    This is the computation behind "how many viewers also purchased"
+    on a 100 TB event log where neither audience's distinct set fits
+    anywhere — three sketch-sized states answer it.
+
+    Exactness discipline: registers and merges are exact integers
+    (same _RHO/_EST machinery as hll_user_estimate); the three
+    estimates and the final inclusion-exclusion arithmetic are the
+    same shared-text double expressions in both engines, so the
+    driver hash stays bit-equal. The exact overlap (count of users
+    in BOTH audiences) rides alongside with a signed ppm error.
+
+    Scale shape: one scan -> (audience, register) max-agg (≤ 2m
+    rows) -> register merge (≤ m rows) -> three 1-row aggregates;
+    the exact twin is one user-keyed aggregate.
+    """
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(OVERLAP_A, OVERLAP_B)
+    )
+    hashed = ev.select(
+        F.col("event_type").alias("aud"),
+        hash64(F.col("user_id").cast("string"), HLL_SALT).alias("h"),
+    )
+    regs = (
+        hashed.select(
+            "aud",
+            F.expr(f"h div {1 << HLL_LOW_BITS}").alias("reg"),
+            F.expr(f"h % {1 << HLL_LOW_BITS}").alias("lo"),
+        )
+        .selectExpr("aud", "reg", f"{_RHO} AS rho")
+        .groupBy("aud", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    union_regs = (
+        regs.groupBy("reg")
+        .agg(F.max("mr").alias("mr"))
+        .select(F.lit("union").alias("aud"), "reg", "mr")
+    )
+    all3 = regs.select("aud", "reg", "mr").unionByName(union_regs)
+    sums = all3.groupBy("aud").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_LOW_BITS + 1} - mr)")
+        ).alias("s_filled"),
+    )
+    est = sums.selectExpr(
+        "aud",
+        f"CAST({HLL_M} AS BIGINT) AS m",
+        "filled",
+        f"s_filled + (CAST({HLL_M} AS BIGINT) - filled)"
+        f" * {1 << (HLL_LOW_BITS + 1)} AS s",
+        f"CAST({HLL_M} AS BIGINT) - filled AS v",
+    ).selectExpr("aud", f"{_EST} AS est")
+    one = est.agg(
+        F.max(F.when(F.col("aud") == OVERLAP_A, F.col("est"))).alias(
+            "est_a"
+        ),
+        F.max(F.when(F.col("aud") == OVERLAP_B, F.col("est"))).alias(
+            "est_b"
+        ),
+        F.max(F.when(F.col("aud") == "union", F.col("est"))).alias(
+            "est_union"
+        ),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == OVERLAP_A).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("event_type") == OVERLAP_B).cast("int")).alias(
+                "in_b"
+            ),
+        )
+        .agg(
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("n_exact_overlap")
+        )
+    )
+    return one.crossJoin(F.broadcast(exact)).selectExpr(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_a + est_b - est_union AS overlap_estimate",
+        "n_exact_overlap",
+        "CASE WHEN n_exact_overlap > 0 THEN"
+        " CAST(round((est_a + est_b - est_union"
+        " - CAST(n_exact_overlap AS DOUBLE))"
+        " / CAST(n_exact_overlap AS DOUBLE) * 1000000) AS BIGINT)"
+        " END AS err_ppm",
+    )
+
+
+QUERIES["hll_overlap_estimate"] = hll_overlap_estimate
+
+ORACLES["hll_overlap_estimate"] = f"""
+    WITH ev AS (
+        SELECT event_type, user_id FROM events
+        WHERE event_type IN ('{OVERLAP_A}', '{OVERLAP_B}')
+    ),
+    h AS (
+        SELECT event_type AS aud, {_H_DUCK} AS h FROM ev
+    ),
+    rl AS (
+        SELECT aud, h // {1 << HLL_LOW_BITS} AS reg,
+               h % {1 << HLL_LOW_BITS} AS lo
+        FROM h
+    ),
+    regs AS (
+        SELECT aud, reg, max({_RHO}) AS mr FROM rl GROUP BY 1, 2
+    ),
+    all3 AS (
+        SELECT aud, reg, mr FROM regs
+        UNION ALL
+        SELECT 'union' AS aud, reg, max(mr) AS mr
+        FROM regs GROUP BY reg
+    ),
+    sums AS (
+        SELECT aud, count(*) AS filled,
+               CAST(sum(CAST(1 AS BIGINT)
+                        << ({HLL_LOW_BITS + 1} - mr)) AS BIGINT)
+                   AS s_filled
+        FROM all3 GROUP BY aud
+    ),
+    wide AS (
+        SELECT aud, CAST({HLL_M} AS BIGINT) AS m, filled,
+               s_filled + (CAST({HLL_M} AS BIGINT) - filled)
+                   * {1 << (HLL_LOW_BITS + 1)} AS s,
+               CAST({HLL_M} AS BIGINT) - filled AS v
+        FROM sums
+    ),
+    est AS (
+        SELECT aud, {_EST} AS est FROM wide
+    ),
+    one AS (
+        SELECT max(CASE WHEN aud = '{OVERLAP_A}' THEN est END) AS est_a,
+               max(CASE WHEN aud = '{OVERLAP_B}' THEN est END) AS est_b,
+               max(CASE WHEN aud = 'union' THEN est END) AS est_union
+        FROM est
+    ),
+    flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = '{OVERLAP_A}'
+                   THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = '{OVERLAP_B}'
+                   THEN 1 ELSE 0 END) AS in_b
+        FROM ev GROUP BY user_id
+    ),
+    exact AS (
+        SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_overlap
+        FROM flags
+    )
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS overlap_estimate,
+           n_exact_overlap,
+           CASE WHEN n_exact_overlap > 0 THEN
+               CAST(round((est_a + est_b - est_union
+                   - CAST(n_exact_overlap AS DOUBLE))
+                   / CAST(n_exact_overlap AS DOUBLE) * 1000000)
+                   AS BIGINT)
+           END AS err_ppm
+    FROM one CROSS JOIN exact
+"""

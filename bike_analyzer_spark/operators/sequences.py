@@ -651,3 +651,149 @@ def _path_trigrams_oracle() -> str:
 
 
 ORACLES["path_trigrams"] = _path_trigrams_oracle()
+
+
+def markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL-HOLDOUT evaluation of the first-order Markov
+    next-event model — the eval-harness shape every pipeline model
+    needs and `event_transitions` alone doesn't give: train the
+    argmax-next-type predictor on the FIRST HALF of the time range,
+    score it on transitions whose source event falls in the second
+    half. Answers "does yesterday's transition matrix predict
+    tomorrow?" — the drift question, with an exact integer split
+    point (midpoint of unix_micros bounds) so both engines carve
+    identical halves.
+
+    Determinism: argmax ties break on lexicographic to_type; a
+    transition belongs to train/test by its SOURCE event's
+    timestamp, so transitions straddling the split are train (the
+    model may legitimately see them — their source is history).
+
+    Scale shape: one per-user lag window (uniform key) builds
+    transitions once; train aggregate is |types|^2-sized, the argmax
+    window runs over that bounded table; the test aggregate joins
+    the bounded predictor table broadcast-side.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+            F.lag("us").over(w).alias("from_us"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+    )
+    train = (
+        seq.where(F.col("from_us") <= F.col("mid_us"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wa = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), "to_type"
+    )
+    pred = (
+        train.withColumn("rk", F.row_number().over(wa))
+        .where("rk = 1")
+        .select(
+            "from_type",
+            F.col("to_type").alias("predicted_next"),
+        )
+    )
+    n_train = train.groupBy("from_type").agg(
+        F.sum("n").alias("n_train")
+    )
+    test = seq.where(F.col("from_us") > F.col("mid_us"))
+    scored = (
+        test.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("to_type") == F.col("predicted_next")).cast(
+                    "long"
+                )
+            ).alias("n_hits"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(n_train), "from_type")
+        .selectExpr(
+            "from_type",
+            "n_train",
+            "predicted_next",
+            "n_test",
+            "n_hits",
+            f"{halfup_ratio_sql('100 * n_hits', 'n_test', 4, 'spark')}"
+            " AS hit_pct",
+        )
+        .orderBy("from_type")
+    )
+
+
+QUERIES["markov_eval"] = markov_eval
+
+ORACLES["markov_eval"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    bounds AS (
+        SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev
+    ),
+    seq AS (
+        SELECT event_type AS to_type,
+               lag(event_type) OVER w AS from_type,
+               lag(us) OVER w AS from_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tr AS (
+        SELECT to_type, from_type, from_us
+        FROM seq WHERE from_type IS NOT NULL
+    ),
+    train AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE from_us <= (SELECT mid_us FROM bounds)
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM (
+            SELECT from_type, to_type,
+                   row_number() OVER (PARTITION BY from_type
+                       ORDER BY n DESC, to_type) AS rk
+            FROM train
+        ) WHERE rk = 1
+    ),
+    n_train AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS n_train
+        FROM train GROUP BY from_type
+    ),
+    scored AS (
+        SELECT t.from_type, p.predicted_next,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN t.to_type = p.predicted_next
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM tr t JOIN pred p ON t.from_type = p.from_type
+        WHERE t.from_us > (SELECT mid_us FROM bounds)
+        GROUP BY 1, 2
+    )
+    SELECT s.from_type, n.n_train, s.predicted_next, s.n_test,
+           s.n_hits,
+           {halfup_ratio_sql('100 * s.n_hits', 's.n_test', 4, 'duck')}
+               AS hit_pct
+    FROM scored s JOIN n_train n ON s.from_type = n.from_type
+    ORDER BY s.from_type
+"""

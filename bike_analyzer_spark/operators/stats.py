@@ -523,3 +523,125 @@ ORACLES["metric_correlations"] = f"""
     FROM sums
     ORDER BY t1, t2
 """
+
+
+#: winsorization tail share, percent each side
+WINSOR_PCT = 5
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type WINSORIZED mean — the robust location estimate that
+    keeps every observation but clamps the tails (vs the median's
+    total order and the trimmed mean's data loss): values below the
+    p{WINSOR_PCT} cut rise to it, values above p{100 - WINSOR_PCT}
+    fall to it, then a plain mean. The de-facto aggregation for
+    heavy-tailed metrics (payment values, latencies) where a handful
+    of outliers otherwise own the average.
+
+    Exactness: the cuts are ceil-rank order statistics over the
+    VALUE HISTOGRAM (integer cents, cumulative counts over distinct
+    values — the robust_outliers idiom, never a per-row global
+    sort); the clamped sum accumulates DECIMAL(38,0) (cents x 100-TB
+    row counts pass BIGINT around sf30k) and displays through the
+    128-bit half-up. The only doubles are the /100 display of the
+    integer cut values.
+
+    Scale shape: one scan -> (type, cent-value) histogram -> window
+    over DISTINCT values per type -> bounded per-type aggregate.
+    """
+    from ..functions.exact import halfup_ratio_wide_sql
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hist = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    c = hist.withColumn("cum", F.sum("cnt").over(wv)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    lo_rank = f"({WINSOR_PCT} * n + 99) div 100"
+    hi_rank = f"({100 - WINSOR_PCT} * n + 99) div 100"
+    cuts = c.groupBy("event_type").agg(
+        F.expr(f"min(CASE WHEN cum >= {lo_rank} THEN v END)").alias("lo"),
+        F.expr(f"min(CASE WHEN cum >= {hi_rank} THEN v END)").alias("hi"),
+        F.max("n").alias("n"),
+    )
+    ws = (
+        hist.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.greatest("lo", F.least(F.col("v"), F.col("hi")))
+                    * F.col("cnt")
+                ).cast("decimal(38,0)")
+            ).alias("wsum"),
+            F.max("n").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return ws.selectExpr(
+        "event_type",
+        "n",
+        "CAST(lo AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_cut",
+        "CAST(hi AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_cut",
+        f"{halfup_ratio_wide_sql('wsum', '100 * n', 4, 'spark')}"
+        " AS winsorized_mean",
+    ).orderBy("event_type")
+
+
+QUERIES["winsorized_stats"] = winsorized_stats
+
+
+def _winsorized_oracle() -> str:
+    from ..functions.exact import halfup_ratio_wide_sql
+
+    lo_rank = f"({WINSOR_PCT} * n + 99) // 100"
+    hi_rank = f"({100 - WINSOR_PCT} * n + 99) // 100"
+    return f"""
+        WITH hist AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, v, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type
+                       ORDER BY v) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n
+            FROM hist
+        ),
+        cuts AS (
+            SELECT event_type,
+                   min(CASE WHEN cum >= {lo_rank} THEN v END) AS lo,
+                   min(CASE WHEN cum >= {hi_rank} THEN v END) AS hi,
+                   max(n) AS n
+            FROM c GROUP BY event_type
+        ),
+        ws AS (
+            SELECT h.event_type,
+                   CAST(sum(CAST(greatest(lo, least(h.v, hi)) AS HUGEINT)
+                       * h.cnt) AS HUGEINT) AS wsum,
+                   max(n) AS n, max(lo) AS lo, max(hi) AS hi
+            FROM hist h JOIN cuts USING (event_type)
+            GROUP BY h.event_type
+        )
+        SELECT event_type, n,
+               CAST(lo AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_cut,
+               CAST(hi AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_cut,
+               {halfup_ratio_wide_sql('wsum', '100 * n', 4, 'duck')}
+                   AS winsorized_mean
+        FROM ws
+        ORDER BY event_type
+    """
+
+
+ORACLES["winsorized_stats"] = _winsorized_oracle()

@@ -148,3 +148,58 @@ def test_anova_matches_pure_python(spark):
             r.eta_sq, ss_between / ss_total, abs_tol=1e-6
         )
         assert -1e-9 <= r.eta_sq <= 1 + 1e-9
+
+
+def test_markov_eval_vs_oracle(spark, duck):
+    assert_matches_oracle(
+        sequences.markov_eval(spark, SF_DIR_ORACLE),
+        duck,
+        sequences.ORACLES["markov_eval"],
+        name="markov_eval",
+    )
+
+
+def test_markov_eval_matches_scalar_replay(spark):
+    """Train argmax on first-half transitions, score second-half, in
+    plain Python over the raw event stream — per-type counts, the
+    predicted class, and hits must match exactly."""
+    from bike_analyzer_spark.sources.catalog import load
+
+    rows = (
+        load(spark, SF_DIR_ORACLE, "events")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us",
+                    "event_id")
+        .collect()
+    )
+    mid = (min(r.us for r in rows) + max(r.us for r in rows)) // 2
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    train, test = Counter(), []
+    for seq in by_user.values():
+        seq.sort(key=lambda r: (r.us, r.event_id))
+        for a, b in zip(seq, seq[1:]):
+            if a.us <= mid:
+                train[(a.event_type, b.event_type)] += 1
+            else:
+                test.append((a.event_type, b.event_type))
+    pred = {}
+    for (f, t), n in train.items():
+        cur = pred.get(f)
+        if cur is None or n > cur[0] or (n == cur[0] and t < cur[1]):
+            pred[f] = (n, t)
+    got = {
+        r.from_type: r
+        for r in sequences.markov_eval(spark, SF_DIR_ORACLE).collect()
+    }
+    n_train = Counter()
+    for (f, _), n in train.items():
+        n_train[f] += n
+    for f, r in got.items():
+        assert r.predicted_next == pred[f][1]
+        assert r.n_train == n_train[f]
+        want_test = [1 for (a, b) in test if a == f]
+        want_hits = [1 for (a, b) in test if a == f and b == pred[f][1]]
+        assert r.n_test == len(want_test)
+        assert r.n_hits == len(want_hits)
+        assert 0 <= r.hit_pct <= 100

@@ -159,3 +159,46 @@ def test_benford_digits_identities(spark):
         want_z = (r.n_d - n * p) / math.sqrt(n * p * (1 - p))
         assert r.z_resid == pytest.approx(want_z, rel=1e-12)
         assert abs(r.observed_pct - 100 * r.n_d / n) <= 5e-4
+
+
+def test_winsorized_vs_oracle(spark, duck):
+    df = stats.winsorized_stats(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, stats.ORACLES["winsorized_stats"], name="winsorized_stats"
+    )
+
+
+def test_winsorized_matches_scalar_replay(spark):
+    """Per type: clamp to the ceil-rank p5/p95 cents cuts computed in
+    plain Python over the raw values, then mean — must equal the
+    engine's histogram-path output exactly."""
+    raw = (
+        load(spark, SF_DIR_ORACLE, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    got = {
+        r.event_type: r
+        for r in stats.winsorized_stats(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(got) == set(by_type)
+    p = stats.WINSOR_PCT
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(p * n + 99) // 100 - 1]
+        hi = vals[((100 - p) * n + 99) // 100 - 1]
+        assert got[t].n == n
+        assert got[t].lo_cut == lo / 100
+        assert got[t].hi_cut == hi / 100
+        wsum = sum(min(max(v, lo), hi) for v in vals)
+        # the halfup_ratio_wide recurrence, scalar-side
+        den = 100 * n
+        expected = ((wsum * 2 * 10**4 + den) // (2 * den)) / 10**4
+        assert got[t].winsorized_mean == expected
+        # clamping bounds: winsorized mean sits inside the cuts
+        assert got[t].lo_cut <= got[t].winsorized_mean <= got[t].hi_cut

@@ -130,3 +130,33 @@ def test_hll_grouped_consistent_with_global(spark):
             r.err_ppm
             - (r.hll_estimate - r.n_exact) / r.n_exact * 1e6
         ) <= 1
+
+
+def test_hll_overlap_vs_oracle(spark, duck):
+    from bike_analyzer_spark.operators import scale
+
+    assert_matches_oracle(
+        scale.hll_overlap_estimate(spark, SF_DIR_ORACLE),
+        duck,
+        scale.ORACLES["hll_overlap_estimate"],
+        name="hll_overlap_estimate",
+    )
+
+
+def test_hll_overlap_inclusion_exclusion_identities(spark):
+    """The merged-union estimate obeys sketch algebra: est(A∪B) is at
+    least each side's estimate (register max can only grow) and the
+    inclusion-exclusion overlap approximates the exact intersection
+    within the m=256 error regime (generous 25% + small-count slack,
+    like the point-estimate pins)."""
+    from bike_analyzer_spark.operators import scale
+
+    r = scale.hll_overlap_estimate(spark, SF_DIR_ORACLE).collect()[0]
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    assert r.overlap_estimate == pytest.approx(
+        r.est_a + r.est_b - r.est_union, abs=1e-9
+    )
+    assert r.n_exact_overlap > 0, "fixture audiences never overlap"
+    assert abs(r.overlap_estimate - r.n_exact_overlap) <= max(
+        0.25 * r.n_exact_overlap, 120
+    )

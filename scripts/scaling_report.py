@@ -28,7 +28,8 @@ FAMILIES = [
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
                           "hll_", "benford", "rfm", "seasonal", "weekly_",
-                          "metric_", "web_order")),
+                          "metric_", "web_order", "winsorized",
+                          "markov_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",
@@ -42,11 +43,13 @@ FAMILIES = [
                              "domain_")),
     ("pipeline ops", ("split_", "stratified", "weighted_sample", "mix_",
                       "pack_", "scrub_", "curate", "cms_", "approx",
-                      "fuzzy_", "source_data", "mm_")),
+                      "fuzzy_", "source_data", "mm_", "corpus_build",
+                      "ngram_novelty")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_",
                         "integrity", "skew_report", "time_weighted",
-                        "fulfillment", "basket")),
+                        "fulfillment", "basket", "revenue_pareto",
+                        "event_disorder")),
 ]
 
 

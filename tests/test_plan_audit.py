@@ -55,6 +55,10 @@ _BOUNDED_CROSSJOIN_OK = {
     "span_dedup_stats",
     "span_top_shared",
     "od_pagerank",
+    # 1-row broadcast scalars: the temporal split midpoint / the
+    # exact-overlap count (r9)
+    "markov_eval",
+    "hll_overlap_estimate",
     # 1-row min/max bounds frames for grid math
     "zorder_layout_stats",
     "asof_hourly_stats",

@@ -71,4 +71,9 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     )
+    # strict-mode sweep hook: SPARK_GRAFT_ANSI=1 turns any silent
+    # overflow / bad-cast dependence into a hard error; the full
+    # corpus is verified green under it (scripts/full_sim.py)
+    if os.environ.get("SPARK_GRAFT_ANSI"):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark

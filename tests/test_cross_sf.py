@@ -6,9 +6,14 @@ import pytest
 
 from bike_analyzer_spark.operators import (
     classifier,
+    curate,
     graph,
+    profile,
+    quality,
     retrieval,
     scale,
+    sequences,
+    stats,
     warehouse_ext,
     dedup,
     fuzzy,
@@ -71,6 +76,17 @@ CASES = [
     (warehouse_ext, "scd2_user_tiers"),
     (warehouse_ext, "rolling_user_spend"),
     (warehouse_ext, "funnel_reconciliation"),
+    # round-9 additions: every constant here derives from corpus
+    # size (split midpoints, rank cuts, Pareto thresholds, funnel
+    # counts, novelty ownership) — exactly the class a third SF
+    # catches
+    (curate, "corpus_build_card"),
+    (quality, "ngram_novelty"),
+    (warehouse_ext, "revenue_pareto"),
+    (profile, "event_disorder_profile"),
+    (stats, "winsorized_stats"),
+    (sequences, "markov_eval"),
+    (scale, "hll_overlap_estimate"),
 ]
 
 @pytest.fixture(scope="module")

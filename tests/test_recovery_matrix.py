@@ -275,6 +275,20 @@ SURFACES = {
             )
         ),
     ),
+    "dedup_within_watermark": (
+        "status",
+        _append_runner(
+            lambda spark, ldir: ingest.dedup_stream(
+                ingest.status_stream(spark, ldir)
+            )
+        ),
+    ),
+    "upsert_keep_latest": (
+        "status",
+        lambda spark, ldir, out, ckpt: ingest.foreach_batch_upsert(
+            spark, ingest.status_stream(spark, ldir), out, ckpt
+        ),
+    ),
     "lag_delta": (
         "status",
         _append_runner(

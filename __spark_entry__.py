@@ -151,6 +151,8 @@ WINDOW_OVERFLOW = frozenset(
         "winsorized_stats",
         "markov_eval",
         "hll_overlap_estimate",
+        # NEW in r9 wave 3 (streak 0): same tie-break, enter at r10
+        "type_affinity_cosine",
     }
 )
 
@@ -225,6 +227,7 @@ _sequences_head, _sequences_tail = _split(
     ],
 )
 _scale_new = _Slice(scale, ["hll_overlap_estimate"])
+_assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
 _ua_head, _ua_tail = _split(
     useranalytics,
     [
@@ -305,7 +308,7 @@ _MODULES = [
     _scale_head,  # HLL per-user + grouped reach estimates
     _vocab_head,  # bigram PMI, Zipf fit
     _wx_head,  # fulfillment latency, basket size profile
-    assoc,  # event co-occurrence lift
+    _assoc_head,  # event co-occurrence lift
     _curate_head,  # source data card
     _eval_head,  # nbq_gains calibration
     experiment,  # chi-square A/B
@@ -332,6 +335,7 @@ _MODULES = [
     _retrieval_tail,
     _sequences_tail,  # NEW r9 wave 2: markov_eval (streak 0, outside)
     _scale_new,  # NEW r9 wave 2: hll_overlap_estimate (streak 0, outside)
+    _assoc_tail,  # NEW r9 wave 3: type_affinity_cosine (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

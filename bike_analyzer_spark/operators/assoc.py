@@ -120,7 +120,96 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"event_cooccurrence": event_cooccurrence}
+#: cosine over exact integer sums — ONE shared-text IEEE expression
+#: (sqrt of a double is correctly rounded in both engines, so
+#: identical integer inputs give bit-identical doubles)
+_COS = (
+    "CAST(dot AS DOUBLE)"
+    " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+)
+
+_AFFINITY_FINAL = [
+    "item_x",
+    "item_y",
+    "n_users_both",
+    "dot",
+    "sxx",
+    "syy",
+    f"{_COS} AS cosine",
+]
+
+
+def type_affinity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine affinity between event types over per-user
+    activity vectors — the co-visitation similarity a recommender's
+    candidate generator starts from (each type is a vector indexed by
+    user, components = that user's event count of the type).
+
+    Cross-engine exactness: all three quadratic forms (dot = Σ
+    u_x·u_y, ‖x‖² = Σ u_x², ‖y‖² = Σ u_y²) are EXACT integer sums of
+    per-user integer counts, so they are partition-order invariant;
+    cosine is ONE shared-text double expression over them (stats.py's
+    power-sum discipline). Overflow headroom: per-user per-type
+    counts c satisfy Σc² ≤ (Σc)·max(c); at ~10⁴ events/user·type the
+    norm sums stay under 2⁶³ through ~10¹¹ users — far past 100 TB
+    (and the DuckDB twin errors loudly on bigint overflow, so the
+    oracle is the canary).
+
+    Scale shape: one map-side-combinable groupBy(user, type) collapses
+    the corpus to the user-vector frame (≤ |types| rows per user);
+    norms are a domain-sized rollup of that frame; the dot products
+    self-join it on user_id with per-key fanout bounded by |types|²
+    (a constant — no hot key can exist), then collapse to the
+    |types|²/2-row report. One lazy checkpoint shares the vector
+    frame across both consumers; nothing downstream of the first
+    aggregate is corpus-sized.
+    """
+    vecs = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    norms = vecs.groupBy("event_type").agg(
+        F.expr("sum(c * c)").alias("nrm")
+    )
+    left = vecs.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("item_x"),
+        F.col("c").alias("cx"),
+    )
+    right = vecs.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("item_y"),
+        F.col("c").alias("cy"),
+    )
+    pairs = (
+        left.join(right, "u")
+        .where(F.col("item_x") < F.col("item_y"))
+        .groupBy("item_x", "item_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_both"),
+            F.expr("sum(cx * cy)").alias("dot"),
+        )
+    )
+    nx = norms.select(
+        F.col("event_type").alias("item_x"), F.col("nrm").alias("sxx")
+    )
+    ny = norms.select(
+        F.col("event_type").alias("item_y"), F.col("nrm").alias("syy")
+    )
+    return (
+        pairs.join(F.broadcast(nx), "item_x")
+        .join(F.broadcast(ny), "item_y")
+        .selectExpr(*_AFFINITY_FINAL)
+        .orderBy("item_x", "item_y")
+    )
+
+
+QUERIES = {
+    "event_cooccurrence": event_cooccurrence,
+    "type_affinity_cosine": type_affinity_cosine,
+}
 
 ORACLES = {
     "event_cooccurrence": f"""
@@ -155,6 +244,36 @@ ORACLES = {
             JOIN ic cx ON cx.event_type = p.item_x
             JOIN ic cy ON cy.event_type = p.item_y
             CROSS JOIN n
+        )
+        ORDER BY item_x, item_y
+    """,
+    "type_affinity_cosine": f"""
+        WITH vecs AS (
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT event_type, CAST(sum(c * c) AS BIGINT) AS nrm
+            FROM vecs GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS item_x, b.event_type AS item_y,
+                   CAST(count(*) AS BIGINT) AS n_users_both,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            FROM vecs a
+            JOIN vecs b
+              ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT {', '.join(_AFFINITY_FINAL)}
+        FROM (
+            SELECT p.item_x, p.item_y, p.n_users_both, p.dot,
+                   nx.nrm AS sxx, ny.nrm AS syy
+            FROM pairs p
+            JOIN norms nx ON nx.event_type = p.item_x
+            JOIN norms ny ON ny.event_type = p.item_y
         )
         ORDER BY item_x, item_y
     """,

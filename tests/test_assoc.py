@@ -36,3 +36,42 @@ def test_support_identities_and_pmi(spark):
     # baskets must differentiate behavior: if every pair had lift 1
     # the basket key is degenerate and the math is untested
     assert any(abs(r.lift - 1.0) > 1e-3 for r in rows)
+
+
+def test_type_affinity_vs_oracle(spark, duck):
+    assert_matches_oracle(
+        assoc.type_affinity_cosine(spark, SF_DIR_ORACLE),
+        duck,
+        assoc.ORACLES["type_affinity_cosine"],
+        name="type_affinity_cosine",
+    )
+
+
+def test_type_affinity_python_recount(spark):
+    """Rebuild every pair's quadratic forms from the raw events in
+    pure Python and require exact integer equality (cosine then
+    follows from the shared expression), plus Cauchy-Schwarz."""
+    from collections import Counter
+
+    from bike_analyzer_spark.sources.catalog import load
+
+    ev = load(spark, SF_DIR_ORACLE, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    counts = Counter((r.user_id, r.event_type) for r in ev)
+    by_type: dict[str, dict[int, int]] = {}
+    for (u, t), c in counts.items():
+        by_type.setdefault(t, {})[u] = c
+
+    rows = assoc.type_affinity_cosine(spark, SF_DIR_ORACLE).collect()
+    assert rows, "fixture must produce at least one type pair"
+    for r in rows:
+        vx, vy = by_type[r.item_x], by_type[r.item_y]
+        both = set(vx) & set(vy)
+        assert r.n_users_both == len(both)
+        assert r.dot == sum(vx[u] * vy[u] for u in both)
+        assert r.sxx == sum(c * c for c in vx.values())
+        assert r.syy == sum(c * c for c in vy.values())
+        expected = r.dot / math.sqrt(r.sxx * r.syy)
+        assert r.cosine == expected  # same IEEE expression, bit-equal
+        assert 0.0 <= r.cosine <= 1.0  # Cauchy-Schwarz, non-neg counts

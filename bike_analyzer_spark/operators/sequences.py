@@ -797,3 +797,234 @@ ORACLES["markov_eval"] = f"""
     FROM scored s JOIN n_train n ON s.from_type = n.from_type
     ORDER BY s.from_type
 """
+
+
+# -------------------------------------------- cross-correlation
+
+#: CCF lags emitted (0..K): does series Y follow series X k hours later?
+CCF_LAGS = 6
+
+#: the two hourly series crossed — X leads, Y follows
+CCF_X_TYPE = "view"
+CCF_Y_TYPE = "purchase"
+
+
+def _ccf_cols(engine: str) -> str:
+    """The shared-text CCF expression over exact integer columns
+    (nk, p, sx, sxx, sy, syy): Pearson r of the lag-k overlap
+    window, numerator and both variance terms lifted to 128-bit
+    integers (the activity_acf widening — bigint wraps at corpus
+    sizes the 38-digit decimals shrug off), then ONE IEEE divide /
+    sqrt on identically-ordered doubles."""
+    wide = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+    num = f"(CAST(nk AS {wide}) * p - CAST(sx AS {wide}) * sy)"
+    vx = f"(CAST(nk AS {wide}) * sxx - CAST(sx AS {wide}) * sx)"
+    vy = f"(CAST(nk AS {wide}) * syy - CAST(sy AS {wide}) * sy)"
+    return (
+        f"CAST({num} AS DOUBLE) / nullif(sqrt(CAST({vx} AS DOUBLE)"
+        f" * CAST({vy} AS DOUBLE)), CAST(0 AS DOUBLE))"
+    )
+
+
+def activity_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly '{X}' and '{Y}'
+    event-count series: for each lag k = 0..K, the Pearson r between
+    x_t and y_(t+k) over the dense corpus hour span — "does purchase
+    volume follow view volume k hours later?", the lead-lag
+    instrument behind campaign attribution and capacity planning.
+
+    The dense series is never materialized (activity_acf's
+    analytic-zeros contract): P_k = Σ x_t·y_(t+k) touches only
+    observed-hour pairs via an equi join on the shifted hour key,
+    and each lag's overlap-window sums derive from the global sums
+    minus boundary folds — the x-side loses its last k hours (tail
+    fold), the y-side its first k (head fold), each an
+    explode(sequence) over the <=K boundary rows. All sums are
+    exact integers (partition-order invariant); the final r is one
+    shared-text IEEE expression over 128-bit-lifted terms.
+
+    Scale shape: TWO filtered map-side-combinable hourly aggregates
+    are the only corpus-sized work; every downstream frame is
+    span-hours- or K-sized. No global window, no dense grid.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hour = F.expr(f"unix_micros(ts) div {HOUR_US}")
+
+    def series(t: str):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(hour.alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+
+    xs, ys = series(CCF_X_TYPE), series(CCF_Y_TYPE)
+    bounds = (
+        ev.agg(
+            F.expr(f"min(unix_micros(ts) div {HOUR_US})").alias("h0"),
+            F.expr(f"max(unix_micros(ts) div {HOUR_US})").alias("h1"),
+        )
+        .withColumn("n", F.col("h1") - F.col("h0") + F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    tot_x = xs.agg(
+        F.sum("c").alias("sxa"), F.expr("sum(c * c)").alias("qxa")
+    )
+    tot_y = ys.agg(
+        F.sum("c").alias("sya"), F.expr("sum(c * c)").alias("qya")
+    )
+    # P_k: y rows exploded into their K+1 shift sources, equi-joined
+    # back onto the x series (observed pairs only)
+    shifted = ys.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CCF_LAGS))).alias("k"),
+        (F.col("h")).alias("ht"),
+        F.col("c").alias("cy"),
+    ).withColumn("h", F.col("ht") - F.col("k"))
+    p = (
+        shifted.join(xs.select("h", F.col("c").alias("cx")), "h")
+        .groupBy("k")
+        .agg(F.expr("sum(cx * cy)").alias("p"))
+    )
+    b1 = bounds.select("h0", "h1")
+    # tail fold of x: hour at offset e from the end leaves the
+    # overlap window for every k > e (filter BEFORE sequence —
+    # sequence(a, b) with a > b descends instead of emitting empty)
+    tx = (
+        xs.crossJoin(F.broadcast(b1))
+        .withColumn("e", F.col("h1") - F.col("h"))
+        .where(F.col("e") < CCF_LAGS)
+        .select(
+            F.explode(
+                F.sequence(F.col("e") + 1, F.lit(CCF_LAGS))
+            ).alias("k"),
+            "c",
+        )
+        .groupBy("k")
+        .agg(F.sum("c").alias("txs"), F.expr("sum(c * c)").alias("txx"))
+    )
+    # head fold of y: offset d from the start exits for every k > d
+    hy = (
+        ys.crossJoin(F.broadcast(b1))
+        .withColumn("d", F.col("h") - F.col("h0"))
+        .where(F.col("d") < CCF_LAGS)
+        .select(
+            F.explode(
+                F.sequence(F.col("d") + 1, F.lit(CCF_LAGS))
+            ).alias("k"),
+            "c",
+        )
+        .groupBy("k")
+        .agg(F.sum("c").alias("hys"), F.expr("sum(c * c)").alias("hyy"))
+    )
+    ks = bounds.crossJoin(F.broadcast(tot_x)).crossJoin(
+        F.broadcast(tot_y)
+    ).select(
+        F.explode(F.sequence(F.lit(0), F.lit(CCF_LAGS))).alias("k"),
+        "n",
+        "sxa",
+        "qxa",
+        "sya",
+        "qya",
+    )
+    return (
+        ks.join(p, "k", "left")
+        .join(tx, "k", "left")
+        .join(hy, "k", "left")
+        .fillna({"p": 0, "txs": 0, "txx": 0, "hys": 0, "hyy": 0})
+        .selectExpr(
+            "k",
+            "n - k AS nk",
+            "p",
+            "sxa - txs AS sx",
+            "qxa - txx AS sxx",
+            "sya - hys AS sy",
+            "qya - hyy AS syy",
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS lag_hours",
+            "CAST(nk AS BIGINT) AS n_pairs",
+            "CAST(p AS BIGINT) AS dot",
+            f"{_ccf_cols('spark')} AS ccf",
+        )
+        .orderBy("lag_hours")
+    )
+
+
+QUERIES["activity_ccf"] = activity_ccf
+
+ORACLES["activity_ccf"] = f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) // {HOUR_US} AS h, event_type
+        FROM events WHERE ts IS NOT NULL
+    ),
+    xs AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS c FROM ev
+        WHERE event_type = '{CCF_X_TYPE}' GROUP BY h
+    ),
+    ys AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS c FROM ev
+        WHERE event_type = '{CCF_Y_TYPE}' GROUP BY h
+    ),
+    bounds AS (
+        SELECT min(h) AS h0, max(h) AS h1,
+               max(h) - min(h) + 1 AS n
+        FROM ev
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM xs) AS sxa,
+               (SELECT CAST(sum(c * c) AS BIGINT) FROM xs) AS qxa,
+               (SELECT CAST(sum(c) AS BIGINT) FROM ys) AS sya,
+               (SELECT CAST(sum(c * c) AS BIGINT) FROM ys) AS qya
+    ),
+    ks AS (
+        SELECT unnest(range(0, {CCF_LAGS} + 1)) AS k
+    ),
+    p AS (
+        SELECT s.k, CAST(sum(x.c * y.c) AS BIGINT) AS p
+        FROM ks s
+        JOIN ys y ON true
+        JOIN xs x ON x.h = y.h - s.k
+        GROUP BY s.k
+    ),
+    tx AS (
+        SELECT k, CAST(sum(c) AS BIGINT) AS txs,
+               CAST(sum(c * c) AS BIGINT) AS txx
+        FROM (
+            SELECT unnest(range(b.h1 - x.h + 1, {CCF_LAGS} + 1)) AS k,
+                   x.c
+            FROM xs x CROSS JOIN bounds b
+            WHERE b.h1 - x.h < {CCF_LAGS}
+        ) GROUP BY k
+    ),
+    hy AS (
+        SELECT k, CAST(sum(c) AS BIGINT) AS hys,
+               CAST(sum(c * c) AS BIGINT) AS hyy
+        FROM (
+            SELECT unnest(range(y.h - b.h0 + 1, {CCF_LAGS} + 1)) AS k,
+                   y.c
+            FROM ys y CROSS JOIN bounds b
+            WHERE y.h - b.h0 < {CCF_LAGS}
+        ) GROUP BY k
+    ),
+    asm AS (
+        SELECT s.k,
+               b.n - s.k AS nk,
+               COALESCE(p.p, 0) AS p,
+               t.sxa - COALESCE(tx.txs, 0) AS sx,
+               t.qxa - COALESCE(tx.txx, 0) AS sxx,
+               t.sya - COALESCE(hy.hys, 0) AS sy,
+               t.qya - COALESCE(hy.hyy, 0) AS syy
+        FROM ks s
+        CROSS JOIN bounds b
+        CROSS JOIN tot t
+        LEFT JOIN p ON p.k = s.k
+        LEFT JOIN tx ON tx.k = s.k
+        LEFT JOIN hy ON hy.k = s.k
+    )
+    SELECT k AS lag_hours,
+           CAST(nk AS BIGINT) AS n_pairs,
+           CAST(p AS BIGINT) AS dot,
+           {_ccf_cols('duck')} AS ccf
+    FROM asm
+    ORDER BY lag_hours
+"""

@@ -203,3 +203,52 @@ def test_markov_eval_matches_scalar_replay(spark):
         assert r.n_test == len(want_test)
         assert r.n_hits == len(want_hits)
         assert 0 <= r.hit_pct <= 100
+
+
+def _dense_series_for(spark, sf_dir, event_type):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(f"event_type = '{event_type}'")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS t")
+        .selectExpr(f"unix_micros(t) div {sequences.HOUR_US} AS h")
+        .collect()
+    )
+    b = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS t")
+        .selectExpr(
+            f"min(unix_micros(t) div {sequences.HOUR_US}) AS h0",
+            f"max(unix_micros(t) div {sequences.HOUR_US}) AS h1",
+        )
+        .collect()[0]
+    )
+    hours = Counter(r.h for r in rows)
+    return [hours.get(h, 0) for h in range(b.h0, b.h1 + 1)]
+
+
+def test_ccf_matches_pure_python(spark):
+    """The boundary-fold integer form equals the float textbook
+    Pearson r of (x_t, y_{t+k}) over the lag-k overlap window of the
+    dense zero-filled series pair."""
+    x = _dense_series_for(spark, SF_DIR_SMOKE, sequences.CCF_X_TYPE)
+    y = _dense_series_for(spark, SF_DIR_SMOKE, sequences.CCF_Y_TYPE)
+    assert len(x) == len(y)
+    n = len(x)
+    got = sequences.activity_ccf(spark, SF_DIR_SMOKE).collect()
+    assert [r.lag_hours for r in got] == list(
+        range(0, sequences.CCF_LAGS + 1)
+    )
+    for r in got:
+        k = r.lag_hours
+        xs, ys = x[: n - k] if k else x, y[k:]
+        nk = n - k
+        assert r.n_pairs == nk
+        assert r.dot == sum(a * b for a, b in zip(xs, ys))
+        mx, my = sum(xs) / nk, sum(ys) / nk
+        num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in xs)
+            * sum((b - my) ** 2 for b in ys)
+        )
+        assert math.isclose(r.ccf, num / den, abs_tol=1e-9)
+        assert -1.0 - 1e-12 <= r.ccf <= 1.0 + 1e-12

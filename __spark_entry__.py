@@ -154,6 +154,7 @@ WINDOW_OVERFLOW = frozenset(
         # NEW in r9 wave 3 (streak 0): same tie-break, enter at r10
         "type_affinity_cosine",
         "activity_ccf",
+        "retention_survival",
     }
 )
 

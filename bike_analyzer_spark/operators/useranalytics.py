@@ -1420,3 +1420,197 @@ def _bridge_oracle() -> str:
 
 
 ORACLES["web_order_bridge"] = _bridge_oracle()
+
+
+# -------------------------------------------- survival analysis
+
+#: per-user observation window: a user who has not purchased within
+#: this many days of their first event is right-CENSORED at the
+#: window edge (or at the corpus end, whichever comes first)
+SURVIVAL_WINDOW_DAYS = 5
+
+#: Kaplan-Meier state scale (parts per million)
+SURVIVAL_PPM = 1_000_000
+
+
+def retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: days from a user's
+    first event to their first PURCHASE, right-censored at the
+    SURVIVAL_WINDOW_DAYS observation edge (or the corpus end for
+    late joiners) — the survival instrument ordered_funnel can't
+    give: a user still inside their window has unobserved
+    conversion, and counting them as non-converters biases the
+    conversion-rate estimate; KM re-weights the risk set instead.
+    Per observed exit day t: the at-risk count (exit time >= t),
+    conversions and censorings at exactly t, and
+    S(t) = prod_{s<=t, d_s>0} (n_s-d_s)/n_s (probability of
+    remaining unconverted past t).
+
+    Exactness: the product recurrence runs in integer ppm — s <-
+    halfup(s*(n-d)/n) via (2*s*(n-d) + n) div (2*n), non-negative
+    operands so Spark `div` and DuckDB `//` agree — bit-identical at
+    every step in both engines (the holt_forecast integer-state
+    discipline). Headroom: 2*s*(n-d) <= 2e6 * n_users, inside bigint
+    through ~4.6e12 users; DuckDB errors loudly past that.
+
+    Scale shape: ONE map-side-combinable groupBy(user) collapses the
+    corpus to per-user (first event, first purchase) bounds;
+    everything after is EXIT-DAY-DOMAIN sized (bounded by the
+    observation window, never by user count): the exit histogram,
+    its suffix-sum risk window (ordered over the <=W+1 distinct exit
+    days — the stats.py histogram order-statistic idiom, never a
+    per-entity global window), and the sequential KM fold over that
+    bounded array inside one whole-stage aggregate() expression (no
+    UDF, no driver loop).
+    """
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("purchase_day"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    horizon = per_user.agg(
+        F.max(F.greatest("first_day", "purchase_day")).alias("max_day")
+    )
+    exits = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .selectExpr(
+            "datediff(purchase_day, first_day) AS pd",
+            f"least({SURVIVAL_WINDOW_DAYS},"
+            " datediff(max_day, first_day)) AS ow",
+        )
+        .selectExpr(
+            "CASE WHEN pd IS NOT NULL AND pd <= ow THEN pd"
+            " ELSE ow END AS t",
+            "CAST(pd IS NOT NULL AND pd <= ow AS INT) AS converted",
+        )
+        .groupBy("t")
+        .agg(
+            F.expr("sum(converted)").alias("d"),
+            F.expr("sum(1 - converted)").alias("c"),
+        )
+    )
+    # at-risk = suffix sum over the bounded exit-day histogram
+    risk = exits.withColumn(
+        "n",
+        F.expr(
+            "sum(d + c) OVER (ORDER BY t DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    stype = "struct<t:int,n:bigint,d:bigint,c:bigint,s:bigint>"
+    s_prev = (
+        f"if(size(acc) = 0, CAST({SURVIVAL_PPM} AS BIGINT),"
+        " element_at(acc, -1).s)"
+    )
+    s_new = (
+        f"CASE WHEN x.d > 0 THEN"
+        f" (2 * ({s_prev}) * (x.n - x.d) + x.n) div (2 * x.n)"
+        f" ELSE ({s_prev}) END"
+    )
+    fold = f"""
+        aggregate(
+            sort_array(collect_list(struct(t, n, d, c))),
+            CAST(array() AS array<{stype}>),
+            (acc, x) -> concat(acc, array(named_struct(
+                't', x.t, 'n', x.n, 'd', x.d, 'c', x.c,
+                's', CAST({s_new} AS BIGINT)))))
+    """
+    return (
+        risk.agg(F.expr(fold).alias("rows"))
+        .select(F.explode("rows").alias("r"))
+        .selectExpr(
+            "CAST(r.t AS BIGINT) AS t_days",
+            "r.n AS n_risk",
+            "r.d AS n_converted",
+            "r.c AS n_censored",
+            "r.s AS survival_ppm",
+            f"CAST(r.s AS DOUBLE) / CAST({SURVIVAL_PPM} AS DOUBLE)"
+            " AS survival",
+        )
+        .orderBy("t_days")
+    )
+
+
+QUERIES["retention_survival"] = retention_survival
+
+
+def _survival_oracle() -> str:
+    s_new = (
+        "CASE WHEN ser.d > 0 THEN"
+        " (2 * r.s * (ser.n - ser.d) + ser.n) // (2 * ser.n)"
+        " ELSE r.s END"
+    ).replace("ser.", "((SELECT s FROM ordered)[r.i + 1]).")
+    return f"""
+        WITH RECURSIVE per_user AS (
+            SELECT user_id,
+                   min(CAST(ts AS DATE)) AS first_day,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ts AS DATE) END) AS purchase_day
+            FROM events GROUP BY user_id
+        ),
+        horizon AS (
+            SELECT max(greatest(first_day,
+                       coalesce(purchase_day, first_day))) AS max_day
+            FROM per_user
+        ),
+        marked AS (
+            SELECT datediff('day', first_day, purchase_day) AS pd,
+                   least({SURVIVAL_WINDOW_DAYS},
+                         datediff('day', first_day,
+                                  (SELECT max_day FROM horizon)))
+                       AS ow
+            FROM per_user
+        ),
+        exits AS (
+            SELECT CASE WHEN pd IS NOT NULL AND pd <= ow THEN pd
+                        ELSE ow END AS t,
+                   CAST(sum(CASE WHEN pd IS NOT NULL AND pd <= ow
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(sum(CASE WHEN pd IS NOT NULL AND pd <= ow
+                        THEN 0 ELSE 1 END) AS BIGINT) AS c
+            FROM marked GROUP BY 1
+        ),
+        risk AS (
+            SELECT t, d, c,
+                   CAST(sum(d + c) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n
+            FROM exits
+        ),
+        ordered AS (
+            SELECT list(struct_pack(t := t, n := n, d := d, c := c)
+                        ORDER BY t) AS s,
+                   count(*) AS cnt
+            FROM risk
+        ),
+        rec(i, s) AS (
+            SELECT 0, CAST({SURVIVAL_PPM} AS BIGINT)
+            UNION ALL
+            SELECT r.i + 1, CAST({s_new} AS BIGINT)
+            FROM rec r
+            WHERE r.i < (SELECT cnt FROM ordered)
+        )
+        SELECT CAST(row.t AS BIGINT) AS t_days,
+               row.n AS n_risk,
+               row.d AS n_converted,
+               row.c AS n_censored,
+               rec.s AS survival_ppm,
+               CAST(rec.s AS DOUBLE)
+                   / CAST({SURVIVAL_PPM} AS DOUBLE) AS survival
+        FROM rec
+        JOIN LATERAL (
+            SELECT (SELECT s FROM ordered)[rec.i] AS row
+        ) ON rec.i >= 1
+        ORDER BY t_days
+    """
+
+
+ORACLES["retention_survival"] = _survival_oracle()

@@ -381,3 +381,73 @@ def test_web_order_bridge_identities(spark):
     # the web cohort is a strict subset somewhere, or the bridge
     # distinguishes nothing
     assert any(r.n_web < r.n_customers for r in rows)
+
+
+def test_retention_survival_vs_oracle(spark, duck):
+    assert_matches_oracle(
+        useranalytics.retention_survival(spark, SF_DIR_ORACLE),
+        duck,
+        useranalytics.ORACLES["retention_survival"],
+        name="retention_survival",
+    )
+
+
+def test_retention_survival_python_replay(spark):
+    """Replay the whole Kaplan-Meier estimator — per-user exit
+    marking, risk suffix sums, and the integer-ppm product
+    recurrence — in plain Python from the raw events."""
+    from collections import defaultdict
+    from datetime import date
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(ts AS DATE) AS day", "event_type"
+        )
+        .collect()
+    )
+    first: dict[int, date] = {}
+    fpurchase: dict[int, date] = {}
+    for r in rows:
+        if r.user_id not in first or r.day < first[r.user_id]:
+            first[r.user_id] = r.day
+        if r.event_type == "purchase" and (
+            r.user_id not in fpurchase or r.day < fpurchase[r.user_id]
+        ):
+            fpurchase[r.user_id] = r.day
+    max_day = max(
+        max(first.values()), max(fpurchase.values(), default=date.min)
+    )
+    W = useranalytics.SURVIVAL_WINDOW_DAYS
+    exits: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for u, f in first.items():
+        pd = (fpurchase[u] - f).days if u in fpurchase else None
+        ow = min(W, (max_day - f).days)
+        if pd is not None and pd <= ow:
+            exits[pd][0] += 1
+        else:
+            exits[ow][1] += 1
+    got = useranalytics.retention_survival(spark, SF_DIR_ORACLE).collect()
+    assert [r.t_days for r in got] == sorted(exits)
+    s = useranalytics.SURVIVAL_PPM
+    n_after = 0
+    for r in reversed(got):
+        n_after += exits[r.t_days][0] + exits[r.t_days][1]
+        assert r.n_risk == n_after
+    prev = s
+    for r in got:
+        d, c = exits[r.t_days]
+        assert (r.n_converted, r.n_censored) == (d, c)
+        if d > 0:
+            prev = (2 * prev * (r.n_risk - d) + r.n_risk) // (
+                2 * r.n_risk
+            )
+        assert r.survival_ppm == prev
+        assert r.survival == prev / s
+    # both exit kinds must occur or the censoring branch is untested
+    assert sum(v[0] for v in exits.values()) > 0
+    assert sum(v[1] for v in exits.values()) > 0
+    # survival is non-increasing, within (0, 1]
+    vals = [r.survival_ppm for r in got]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert 0 < vals[-1] <= s

@@ -155,6 +155,7 @@ WINDOW_OVERFLOW = frozenset(
         "type_affinity_cosine",
         "activity_ccf",
         "retention_survival",
+        "od_link_prediction",
     }
 )
 
@@ -230,6 +231,7 @@ _sequences_head, _sequences_tail = _split(
 )
 _scale_new = _Slice(scale, ["hll_overlap_estimate"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
+_graph_new = _Slice(graph, ["od_link_prediction"])
 _ua_head, _ua_tail = _split(
     useranalytics,
     [
@@ -338,6 +340,7 @@ _MODULES = [
     _sequences_tail,  # NEW r9 wave 2: markov_eval (streak 0, outside)
     _scale_new,  # NEW r9 wave 2: hll_overlap_estimate (streak 0, outside)
     _assoc_tail,  # NEW r9 wave 3: type_affinity_cosine (streak 0, outside)
+    _graph_new,  # NEW r9 wave 3: od_link_prediction (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

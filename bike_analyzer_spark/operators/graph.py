@@ -1075,3 +1075,204 @@ def _od_shortest_path_oracle() -> str:
 
 
 ORACLES["od_shortest_path"] = _od_shortest_path_oracle()
+
+
+# -------------------------------------------- link prediction
+
+#: per-node neighbor-list cap for the wedge join (top edges by
+#: weight): bounds every node's wedge fan-out at CAP^2 regardless of
+#: hub in-degree skew — the fuzzy.py block-cap discipline
+LP_NEIGHBOR_CAP = 16
+
+#: Adamic-Adar quantization: one micro-unit round of 1e6/ln(deg_w)
+#: per NODE (deg_w is an exact integer, so both engines evaluate the
+#: identical IEEE divide/ln — the bm25 idf discipline)
+LP_UNIT = 1_000_000
+
+#: ranked head emitted
+LP_TOPK = 20
+
+_AA_CONTRIB = (
+    f"CAST(round(CAST({LP_UNIT} AS DOUBLE)"
+    " / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+)
+
+
+def od_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction over the
+    strong-flow backbone (`od_reach_hops`'s graph, undirected): the
+    top-LP_TOPK station pairs that are NOT connected yet share the
+    most (rarity-weighted) neighbors — "which route should exist
+    next?", the candidate generator behind network-expansion
+    planning and the standard missing-link benchmark.
+
+    AA(a,b) = sum over common neighbors w of 1/ln(deg(w)) — a hub
+    neighbor says little (everyone routes through it), a low-degree
+    shared neighbor is strong evidence. deg(w) >= 2 for any common
+    neighbor by construction, so ln never vanishes. The per-node
+    contribution is quantized ONCE to integer LP_UNIT-ths; pair
+    scores are exact integer sums of those quanta (partition-order
+    invariant), ranked on (aa, cn, pair) — fully deterministic.
+
+    Scale shape: backbone out-degree is BACKBONE_TOPK by
+    construction, but undirected degree is unbounded under hub skew
+    (in-edges), so adjacency lists are capped at the top-
+    LP_NEIGHBOR_CAP neighbors by (weight, neighbor) — a per-key
+    window over keys with bounded fan-in cost, after which every
+    node's wedge fan-out is <= CAP^2 (the capped-block discipline of
+    fuzzy.py — never all-pairs). The wedge self-join shuffles the
+    capped adjacency on its node key; existing edges leave via one
+    broadcast-sized anti join; TakeOrderedAndProject bounds the head.
+    """
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("o").orderBy(F.desc("flow"), F.asc("d"))
+    )
+    bb = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= BACKBONE_TOPK)
+        .select("o", "d", "flow")
+    )
+    und = (
+        bb.select(
+            F.least("o", "d").alias("u"),
+            F.greatest("o", "d").alias("v"),
+            "flow",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("flow").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr"), "w"
+    ).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
+    )
+    capped = (
+        adj.withColumn("rk", rk)
+        .filter(F.col("rk") <= LP_NEIGHBOR_CAP)
+        .select("node", "nbr")
+        .localCheckpoint(eager=False)
+    )
+    # deg-1 nodes cannot be a COMMON neighbor (no wedge exists), and
+    # dropping them keeps ln(deg) away from ln(1) = 0 in both engines
+    deg = (
+        capped.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= 2)
+    )
+    contrib = capped.join(deg, "node").selectExpr(
+        "node", "nbr", f"{_AA_CONTRIB} AS aa_w"
+    )
+    left = contrib.select("node", F.col("nbr").alias("s1"), "aa_w")
+    right = contrib.select("node", F.col("nbr").alias("s2"))
+    pairs = (
+        left.join(right, "node")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("aa_w").alias("aa_unats"),
+        )
+    )
+    return (
+        pairs.join(
+            und.select(F.col("u").alias("s1"), F.col("v").alias("s2")),
+            ["s1", "s2"],
+            "left_anti",
+        )
+        .selectExpr(
+            "s1 AS station_a",
+            "s2 AS station_b",
+            "common_neighbors",
+            "aa_unats",
+            f"CAST(aa_unats AS DOUBLE) / CAST({LP_UNIT} AS DOUBLE)"
+            " AS aa_score",
+        )
+        .orderBy(
+            F.desc("aa_unats"),
+            F.desc("common_neighbors"),
+            "station_a",
+            "station_b",
+        )
+        .limit(LP_TOPK)
+    )
+
+
+QUERIES["od_link_prediction"] = od_link_prediction
+
+
+def _od_link_prediction_oracle() -> str:
+    from .od import FLOWS_CTE_SQL
+
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        bb AS MATERIALIZED (
+            SELECT o, d, flow FROM (
+                SELECT o, d, flow, row_number() OVER (
+                    PARTITION BY o ORDER BY flow DESC, d
+                ) AS rn
+                FROM flows WHERE o <> d
+            ) WHERE rn <= {BACKBONE_TOPK}
+        ),
+        und AS MATERIALIZED (
+            SELECT least(o, d) AS u, greatest(o, d) AS v,
+                   max(flow) AS w
+            FROM bb GROUP BY 1, 2
+        ),
+        adj AS (
+            SELECT u AS node, v AS nbr, w FROM und
+            UNION ALL
+            SELECT v AS node, u AS nbr, w FROM und
+        ),
+        capped AS MATERIALIZED (
+            SELECT node, nbr FROM (
+                SELECT node, nbr, row_number() OVER (
+                    PARTITION BY node ORDER BY w DESC, nbr
+                ) AS rk
+                FROM adj
+            ) WHERE rk <= {LP_NEIGHBOR_CAP}
+        ),
+        degt AS (
+            -- deg-1 nodes cannot be a common neighbor; dropping them
+            -- keeps ln(deg) away from ln(1) = 0
+            SELECT node, count(*) AS deg FROM capped GROUP BY node
+            HAVING count(*) >= 2
+        ),
+        contrib AS (
+            SELECT c.node, c.nbr, {_AA_CONTRIB} AS aa_w
+            FROM capped c JOIN degt USING (node)
+        ),
+        pairs AS (
+            SELECT a.nbr AS s1, b.nbr AS s2,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   CAST(sum(a.aa_w) AS BIGINT) AS aa_unats
+            FROM contrib a
+            JOIN contrib b ON a.node = b.node AND a.nbr < b.nbr
+            GROUP BY 1, 2
+        )
+        SELECT s1 AS station_a, s2 AS station_b,
+               common_neighbors, aa_unats,
+               CAST(aa_unats AS DOUBLE)
+                   / CAST({LP_UNIT} AS DOUBLE) AS aa_score
+        FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und e
+            WHERE e.u = p.s1 AND e.v = p.s2
+        )
+        ORDER BY aa_unats DESC, common_neighbors DESC,
+                 station_a, station_b
+        LIMIT {LP_TOPK}
+    """
+
+
+ORACLES["od_link_prediction"] = _od_link_prediction_oracle()

@@ -261,3 +261,64 @@ def test_od_kcore_matches_peeling_reimpl(spark):
     }
     assert got == {n: (len(s), k) for n, s in cur.items()}
     assert got  # non-degenerate at the oracle SF
+
+
+def test_link_prediction_matches_pure_python(spark):
+    """Replay the whole AA pipeline (backbone, undirected dedup,
+    capped adjacency, wedge counting, edge exclusion, ranking) in
+    plain Python over the operator's own flow frame."""
+    import math
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators.od import infer_flows
+    from tests.conftest import SF_DIR_SMOKE
+
+    flows = [
+        (r.o, r.d, r.flow)
+        for r in infer_flows(spark, SF_DIR_SMOKE, minutes=10).collect()
+        if r.o != r.d
+    ]
+    by_o = defaultdict(list)
+    for o, d, f in flows:
+        by_o[o].append((-f, d))
+    und: dict[tuple[int, int], int] = {}
+    for o, lst in by_o.items():
+        for nf, d in sorted(lst)[: graph.BACKBONE_TOPK]:
+            k = (min(o, d), max(o, d))
+            und[k] = max(und.get(k, 0), -nf)
+    adj = defaultdict(list)
+    for (u, v), w in und.items():
+        adj[u].append((-w, v))
+        adj[v].append((-w, u))
+    capped = {
+        n: [d for _, d in sorted(lst)[: graph.LP_NEIGHBOR_CAP]]
+        for n, lst in adj.items()
+    }
+    scores = defaultdict(lambda: [0, 0])
+    for n, nbrs in capped.items():
+        if len(nbrs) < 2:
+            continue
+        aa = round(graph.LP_UNIT / math.log(len(nbrs)))
+        for i, a in enumerate(sorted(nbrs)):
+            for b in sorted(nbrs)[i + 1 :]:
+                scores[(a, b)][0] += 1
+                scores[(a, b)][1] += aa
+    cand = sorted(
+        (
+            (-aa, -cn, a, b)
+            for (a, b), (cn, aa) in scores.items()
+            if (a, b) not in und
+        )
+    )[: graph.LP_TOPK]
+    got = graph.od_link_prediction(spark, SF_DIR_SMOKE).collect()
+    assert [
+        (r.station_a, r.station_b, r.common_neighbors, r.aa_unats)
+        for r in got
+    ] == [(a, b, -cn, -aa) for (aa, cn, a, b) in cand]
+    assert got, "fixture must yield candidate pairs"
+    for r in got:
+        assert r.aa_score == r.aa_unats / graph.LP_UNIT
+        # a common neighbor has degree >= 2: each quantum <= 1e6/ln 2
+        assert r.aa_unats <= r.common_neighbors * round(
+            graph.LP_UNIT / math.log(2)
+        )

@@ -69,6 +69,10 @@ _BOUNDED_CROSSJOIN_OK = {
     "domain_entropy",
     # 1-row series-bounds frame joined onto the hourly series
     "activity_acf",
+    # 1-row bounds + two 1-row series-total frames onto the K+1 lags
+    "activity_ccf",
+    # the 1-row corpus-horizon frame broadcast onto the per-user frame
+    "retention_survival",
     # 1-row corpus-moments frame onto the <=24-row group stats
     "activity_anova",
     # bm25's 1-row stats frame + the 1-row dense query vector

@@ -33,6 +33,7 @@ from bike_analyzer_spark.operators import (
     hypertable,
     importance,
     ivf,
+    ivfpq,
     kpi,
     layout,
     lm,
@@ -156,6 +157,7 @@ WINDOW_OVERFLOW = frozenset(
         "activity_ccf",
         "retention_survival",
         "od_link_prediction",
+        "sim_ivfpq_topk",
     }
 )
 
@@ -341,10 +343,12 @@ _MODULES = [
     _scale_new,  # NEW r9 wave 2: hll_overlap_estimate (streak 0, outside)
     _assoc_tail,  # NEW r9 wave 3: type_affinity_cosine (streak 0, outside)
     _graph_new,  # NEW r9 wave 3: od_link_prediction (streak 0, outside)
+    ivfpq,  # NEW r9 wave 4: composed IVF-PQ ANN (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,
     ivf,
+    ivfpq,
     pq,
     dedup,
     _quality_tail,

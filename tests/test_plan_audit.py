@@ -37,6 +37,9 @@ _BOUNDED_CROSSJOIN_OK = {
     "semdedup_summary",
     "sim_pq_encode",
     "sim_pq_topk",
+    # the same two 1-row broadcasts its parents carry: the centroid
+    # row (ivf) + the codebook row (pq)
+    "sim_ivfpq_topk",
     "dsir_weights",
     "dsir_select",
     "lm_doc_bits",

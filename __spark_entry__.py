@@ -158,6 +158,7 @@ WINDOW_OVERFLOW = frozenset(
         "retention_survival",
         "od_link_prediction",
         "sim_ivfpq_topk",
+        "text_readability",
     }
 )
 
@@ -280,6 +281,7 @@ _tpch_proven = _Slice(
     ],
 )
 _text_ovf = _Slice(text, ["text_bpe_encode", "text_chunk_plan"])
+_text_new = _Slice(text, ["text_readability"])
 _text_proven = _Slice(
     text,
     ["text_stats", "text_langid", "text_fingerprint", "text_bpe_tokens"],
@@ -344,6 +346,7 @@ _MODULES = [
     _assoc_tail,  # NEW r9 wave 3: type_affinity_cosine (streak 0, outside)
     _graph_new,  # NEW r9 wave 3: od_link_prediction (streak 0, outside)
     ivfpq,  # NEW r9 wave 4: composed IVF-PQ ANN (streak 0, outside)
+    _text_new,  # NEW r9 wave 4: FORCAST readability (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

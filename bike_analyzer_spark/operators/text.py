@@ -435,3 +435,108 @@ ORACLES["text_chunk_plan"] = f"""
     FROM p
     ORDER BY doc_id
 """
+
+
+# -------------------------------------------- readability (FORCAST)
+
+#: vowel-group run — the standard syllable-count heuristic ('y' as a
+#: vowel); one [aeiouy]+ match = one spoken syllable
+_SYL_RE = "[aeiouy]+"
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile via the FORCAST grade — the one
+    standard readability formula that needs NO sentence boundaries
+    (designed for forms/technical prose; this corpus has zero
+    sentence punctuation, so Flesch/SMOG are degenerate here by
+    construction): grade = 20 - 15 * monosyllabic_words / words.
+    Syllables are vowel-group runs ([aeiouy]+), the classic heuristic.
+
+    Per source: document/word/syllable totals, syllables-per-word,
+    the share of complex (>=3-syllable) words, and the FORCAST grade
+    computed over the SOURCE-level integer totals — exact rational
+    arithmetic, no mean-of-per-doc-ratios drift. Every count is an
+    exact integer (partition-order invariant); the three displays are
+    half-up ratios of those integers (`functions/exact`).
+
+    Scale shape: one narrow projection computes the per-doc integer
+    counts inside whole-stage codegen (regexp over the token array —
+    no explode, no UDF), then ONE map-side-combinable groupBy(source)
+    collapses to the |sources|-row report.
+    """
+    from ..functions.exact import halfup_ratio_sql, halfup_signed_ratio_sql
+
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    syl = f"size(regexp_extract_all(lower(t), '{_SYL_RE}', 0))"
+    per_doc = docs.selectExpr(
+        "source",
+        "CAST(size(toks) AS BIGINT) AS w",
+        f"aggregate(transform(toks, t -> {syl}),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS y",
+        f"CAST(size(filter(toks, t -> {syl} = 1)) AS BIGINT) AS mono",
+        f"CAST(size(filter(toks, t -> {syl} >= 3)) AS BIGINT) AS poly",
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("y").alias("n_syllables"),
+        F.sum("mono").alias("n_mono"),
+        F.sum("poly").alias("n_complex"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_syllables",
+        f"{halfup_ratio_sql('n_syllables', 'n_words', 4, 'spark')}"
+        " AS syll_per_word",
+        f"{halfup_ratio_sql('100 * n_complex', 'n_words', 2, 'spark')}"
+        " AS complex_pct",
+        f"{halfup_signed_ratio_sql('20000 * n_words - 15000 * n_mono', 'n_words', 0, 'spark')}"
+        " / CAST(1000 AS DOUBLE) AS forcast_grade",
+    ).orderBy("source")
+
+
+QUERIES["text_readability"] = text_readability
+
+
+def _readability_oracle() -> str:
+    from ..functions.exact import halfup_ratio_sql, halfup_signed_ratio_sql
+
+    syl = f"len(regexp_extract_all(lower(__T__), '{_SYL_RE}'))"
+    return f"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(toks) AS BIGINT) AS w,
+                   CAST(list_sum(list_transform(toks,
+                        t -> {syl.replace('__T__', 't')})) AS BIGINT) AS y,
+                   CAST(len(list_filter(toks,
+                        t -> {syl.replace('__T__', 't')} = 1))
+                        AS BIGINT) AS mono,
+                   CAST(len(list_filter(toks,
+                        t -> {syl.replace('__T__', 't')} >= 3))
+                        AS BIGINT) AS poly
+            FROM (SELECT source, {_TOKS} AS toks FROM documents)
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(y) AS BIGINT) AS n_syllables,
+                   CAST(sum(mono) AS BIGINT) AS n_mono,
+                   CAST(sum(poly) AS BIGINT) AS n_complex
+            FROM per_doc GROUP BY source
+        )
+        SELECT source, n_docs, n_words, n_syllables,
+               {halfup_ratio_sql('n_syllables', 'n_words', 4, 'duck')}
+                   AS syll_per_word,
+               {halfup_ratio_sql('100 * n_complex', 'n_words', 2, 'duck')}
+                   AS complex_pct,
+               {halfup_signed_ratio_sql('20000 * n_words - 15000 * n_mono', 'n_words', 0, 'duck')}
+                   / CAST(1000 AS DOUBLE) AS forcast_grade
+        FROM agg
+        ORDER BY source
+    """
+
+
+ORACLES["text_readability"] = _readability_oracle()

@@ -132,3 +132,51 @@ def test_chunk_plan_matches_scalar_reimplementation(spark):
         while starts[-1] + text.CHUNK_TOKENS < len(toks):
             starts.append(starts[-1] + text.CHUNK_STRIDE)
         assert got[row["doc_id"]] == (len(toks), len(starts))
+
+
+def test_readability_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        text.text_readability(spark, SF_DIR_ORACLE),
+        duck,
+        text.ORACLES["text_readability"],
+        name="text_readability",
+    )
+
+
+def test_readability_matches_pure_python(spark):
+    """Recount words / vowel-group syllables / FORCAST inputs per
+    source in plain Python and pin the exact integers plus the
+    half-up displays."""
+    import re as _re
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        toks = r.text.strip().split()
+        syls = [
+            len(_re.findall(r"[aeiouy]+", t.lower())) for t in toks
+        ]
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += sum(syls)
+        a[3] += sum(1 for s in syls if s == 1)
+        a[4] += sum(1 for s in syls if s >= 3)
+    got = text.text_readability(spark, SF_DIR_ORACLE).collect()
+    assert {r.source for r in got} == set(agg)
+    for r in got:
+        n_docs, w, y, mono, poly = agg[r.source]
+        assert (r.n_docs, r.n_words, r.n_syllables) == (n_docs, w, y)
+        assert r.syll_per_word == ((y * 20000 + w) // (2 * w)) / 1e4
+        assert r.complex_pct == ((100 * poly * 200 + w) // (2 * w)) / 1e2
+        num = 20000 * w - 15000 * mono
+        sign = -1 if num < 0 else 1
+        assert r.forcast_grade == sign * ((abs(num) * 2 + w) // (2 * w)) / 1e3
+        # FORCAST is bounded: grade in [5, 20] since 0 <= mono <= w
+        assert 5.0 <= r.forcast_grade <= 20.0

@@ -159,6 +159,7 @@ WINDOW_OVERFLOW = frozenset(
         "od_link_prediction",
         "sim_ivfpq_topk",
         "text_readability",
+        "f_map_ops",
     }
 )
 

@@ -265,3 +265,68 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+#: probe key for the map-extraction forms
+MAP_PROBE = "table"
+
+
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type function family over each document's token-count
+    map (token -> occurrences): construction (map_from_entries over
+    a distinct-key entry array), cardinality, safe extraction
+    (try_element_at — ANSI-strict-safe where element_at throws on a
+    missing key), predicate filtering (map_filter), value projection
+    (map_values + aggregate fold), and containment (map_contains_key).
+    The map never leaves the row — one codegen projection, no explode,
+    no shuffle before the final doc_id sort.
+
+    The DuckDB twin computes the SAME integers from the token list
+    directly (list_distinct/list_filter): the oracle gates the
+    RESULTS; the map surface under test is Spark's. Per-row cost is
+    O(distinct x tokens) membership counting — bounded by the
+    document token count, the same contract as f_array_ops' fold."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens("text")
+    )
+    tc = (
+        "map_from_entries(transform(array_distinct(toks),"
+        " t -> struct(t AS key, CAST(size(filter(toks, x -> x = t))"
+        " AS BIGINT) AS value)))"
+    )
+    return docs.selectExpr("doc_id", f"{tc} AS tc").selectExpr(
+        "doc_id",
+        "CAST(cardinality(tc) AS BIGINT) AS n_distinct_tokens",
+        f"coalesce(try_element_at(tc, '{MAP_PROBE}'), CAST(0 AS BIGINT))"
+        " AS probe_count",
+        f"map_contains_key(tc, '{MAP_PROBE}') AS has_probe",
+        "CAST(cardinality(map_filter(tc, (k, v) -> v >= 2))"
+        " AS BIGINT) AS n_repeated",
+        "CAST(array_max(map_values(tc)) AS BIGINT) AS max_count",
+        "aggregate(map_values(tc), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x) AS n_tokens",
+    ).orderBy("doc_id")
+
+
+QUERIES["f_map_ops"] = f_map_ops
+
+ORACLES["f_map_ops"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks, list_distinct(toks) AS dt FROM t
+    )
+    SELECT doc_id,
+           CAST(len(dt) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(toks, x -> x = '{MAP_PROBE}'))
+                AS BIGINT) AS probe_count,
+           list_contains(toks, '{MAP_PROBE}') AS has_probe,
+           CAST(len(list_filter(dt,
+                t -> len(list_filter(toks, x -> x = t)) >= 2))
+                AS BIGINT) AS n_repeated,
+           CAST(list_max(list_transform(dt,
+                t -> len(list_filter(toks, x -> x = t))))
+                AS BIGINT) AS max_count,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM c
+    ORDER BY doc_id
+"""

@@ -50,3 +50,46 @@ def test_datetime_grid_is_bounded(spark):
     for r in rows:
         assert 1 <= r["quarter"] <= 4
         assert 1 <= r["dow_iso"] <= 7
+
+
+def test_map_ops_identities(spark):
+    """Pure-Python recount of the token-count map identities: the
+    map's value fold equals the token total, repeated + singleton
+    counts partition the distinct set, probe extraction matches a
+    plain count."""
+    from collections import Counter
+
+    from bike_analyzer_spark.operators import funcsuite as fs
+
+    docs = {
+        r.doc_id: Counter(r.text.strip().split())
+        for r in spark.read.parquet(
+            f"{SF_DIR_ORACLE}/documents.parquet"
+        ).collect()
+    }
+    got = fs.f_map_ops(spark, SF_DIR_ORACLE).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        c = docs[r.doc_id]
+        assert r.n_distinct_tokens == len(c)
+        assert r.probe_count == c.get(fs.MAP_PROBE, 0)
+        assert r.has_probe == (fs.MAP_PROBE in c)
+        assert r.n_repeated == sum(1 for v in c.values() if v >= 2)
+        assert r.max_count == max(c.values())
+        assert r.n_tokens == sum(c.values())
+
+
+def test_map_ops_stay_in_codegen(spark):
+    """The map never leaves the row: no Generate (explode), no
+    shuffle join — one projection then the output sort."""
+    from bike_analyzer_spark.operators import funcsuite as fs
+
+    plan = (
+        fs.f_map_ops(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan

@@ -160,6 +160,7 @@ WINDOW_OVERFLOW = frozenset(
         "sim_ivfpq_topk",
         "text_readability",
         "f_map_ops",
+        "geo_dbscan_clusters",
     }
 )
 

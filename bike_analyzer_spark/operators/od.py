@@ -715,3 +715,185 @@ def _geo_hotspots_oracle() -> str:
 
 
 ORACLES["geo_hotspots"] = _geo_hotspots_oracle()
+
+
+# -------------------------------------------- grid-density clustering
+
+#: 8-neighborhood (the Gi* offsets minus the cell itself)
+_NBR8 = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+
+
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering of OD traffic (the grid-DBSCAN
+    variant): 10x10 MACRO-cells of the pseudo-coordinate lattice (hotspots' grid coarsened 10x so contiguity exists at every SF) whose activity
+    is strictly ABOVE the non-empty-cell mean are dense; dense cells
+    that touch in the 8-neighborhood merge into clusters (connected
+    components); a dense cell with no dense neighbor is a singleton
+    cluster. Where `geo_hotspots` ranks individual cells,
+    this returns the CONTIGUOUS high-traffic regions — the shapes a
+    rebalancing plan actually allocates crews to.
+
+    The density bar is corpus-scaled (x·n > t, exact integer
+    cross-multiplication — a fixed count degenerates as SF grows,
+    the ab_test_chi2/od_kcore discipline). Everything is exact
+    integers; no score arithmetic exists at all.
+
+    Scale shape: flows roll up to the <=100x100 cell lattice (the
+    corpus-sized work is the persisted flows kernel); density,
+    adjacency (a bounded x8 explode + one equi join on the cell
+    key), and the CC loop all run on the LATTICE-sized frame —
+    min-label propagation over <=10^4 vertices with single-digit
+    diameter. The report is cluster-count-sized.
+    """
+    from .graph import connected_components
+
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    act = (
+        flows.select(F.col("o").alias("k"), "flow")
+        .unionAll(flows.select(F.col("d").alias("k"), "flow"))
+        .groupBy("k")
+        .agg(F.sum("flow").alias("a"))
+    )
+    cells = (
+        act.select(
+            ((F.col("k") % 100) / 10).cast("int").alias("i"),
+            (((F.col("k") * 7) % 100) / 10).cast("int").alias("j"),
+            "a",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("a").alias("x"), F.count(F.lit(1)).alias("n_stations")
+        )
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.expr("x * n > t"))
+        .selectExpr(
+            "i", "j", "x", "n_stations",
+            "CAST(i * 10 + j AS BIGINT) AS cell",
+        )
+        .localCheckpoint(eager=False)
+    )
+    offs = "array(" + ",".join(
+        f"named_struct('di', {di}, 'dj', {dj})" for di, dj in _NBR8
+    ) + ")"
+    shifted = dense.select(
+        "cell", F.explode(F.expr(offs)).alias("o"), "i", "j"
+    ).select(
+        (F.col("i") + F.col("o.di")).alias("ti"),
+        (F.col("j") + F.col("o.dj")).alias("tj"),
+        F.col("cell").alias("a"),
+    )
+    edges = (
+        shifted.join(
+            dense.select(
+                F.col("i").alias("ti"),
+                F.col("j").alias("tj"),
+                F.col("cell").alias("b"),
+            ),
+            ["ti", "tj"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    comp = connected_components(edges)
+    labeled = dense.join(
+        comp.withColumnRenamed("id", "cell"), "cell", "left"
+    ).withColumn(
+        "cluster", F.coalesce("component", "cell")
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_stations").alias("n_stations"),
+            F.sum("x").alias("total_activity"),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+            F.min("j").alias("min_j"),
+            F.max("j").alias("max_j"),
+        )
+        .selectExpr(
+            "cluster AS cluster_id",
+            "n_cells",
+            "n_stations",
+            "total_activity",
+            "min_i", "max_i", "min_j", "max_j",
+            "n_cells = 1 AS is_singleton",
+        )
+        .orderBy(F.desc("total_activity"), "cluster_id")
+    )
+
+
+QUERIES["geo_dbscan_clusters"] = geo_dbscan_clusters
+
+
+def _geo_dbscan_oracle() -> str:
+    offs_rows = ", ".join(f"({di}, {dj})" for di, dj in _NBR8)
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        act AS (
+            SELECT k, CAST(sum(flow) AS BIGINT) AS a FROM (
+                SELECT o AS k, flow FROM flows WHERE o <> d
+                UNION ALL
+                SELECT d AS k, flow FROM flows WHERE o <> d
+            ) GROUP BY k
+        ),
+        cells AS MATERIALIZED (
+            SELECT CAST((k % 100) // 10 AS INT) AS i,
+                   CAST(((k * 7) % 100) // 10 AS INT) AS j,
+                   CAST(sum(a) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS n_stations
+            FROM act GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t
+            FROM cells
+        ),
+        dense AS MATERIALIZED (
+            SELECT i, j, x, n_stations,
+                   CAST(i * 10 + j AS BIGINT) AS cell
+            FROM cells, tot WHERE x * n > t
+        ),
+        edges AS MATERIALIZED (
+            SELECT s.cell AS a, t2.cell AS b
+            FROM dense s
+            JOIN (VALUES {offs_rows}) o(di, dj) ON true
+            JOIN dense t2
+              ON t2.i = s.i + o.di AND t2.j = s.j + o.dj
+            WHERE s.cell < t2.cell
+        ),
+        bidir AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION ALL
+            SELECT b, a FROM edges
+        ),
+        reach(id, lbl) AS (
+            SELECT cell, cell FROM dense
+            UNION
+            SELECT e.dst, r.lbl
+            FROM bidir e JOIN reach r ON e.src = r.id
+        ),
+        comp AS (
+            SELECT id AS cell, min(lbl) AS cluster FROM reach
+            GROUP BY id
+        )
+        SELECT c.cluster AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(d.n_stations) AS BIGINT) AS n_stations,
+               CAST(sum(d.x) AS BIGINT) AS total_activity,
+               min(d.i) AS min_i, max(d.i) AS max_i,
+               min(d.j) AS min_j, max(d.j) AS max_j,
+               count(*) = 1 AS is_singleton
+        FROM dense d JOIN comp c USING (cell)
+        GROUP BY c.cluster
+        ORDER BY total_activity DESC, cluster_id
+    """
+
+
+ORACLES["geo_dbscan_clusters"] = _geo_dbscan_oracle()

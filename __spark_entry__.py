@@ -161,6 +161,7 @@ WINDOW_OVERFLOW = frozenset(
         "text_readability",
         "f_map_ops",
         "geo_dbscan_clusters",
+        "ivf_label_purity",
     }
 )
 

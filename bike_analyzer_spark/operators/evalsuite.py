@@ -415,3 +415,130 @@ ORACLES["nbq_gains"] = f"""
     FROM cum
     ORDER BY band_lo DESC
 """
+
+
+# -------------------------------------------- cluster-label agreement
+
+#: ln micro-nat quantizer (the divergence.py discipline)
+_LBL_L = "CAST(round(ln(CAST({} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+#: Shannon entropy of the within-cluster label mix from integer
+#: sums: H = (n*L(n) - sum f*L(f)) / (n * 1e6) nats, one shared-text
+#: IEEE expression over exact integers
+_LBL_ENTROPY = (
+    "(CAST(n_vectors AS DOUBLE)"
+    f" * CAST({_LBL_L.format('n_vectors')} AS DOUBLE)"
+    " - CAST(sfl AS DOUBLE))"
+    " / (CAST(n_vectors AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+)
+
+
+def ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation of the IVF index against the
+    embeddings' ground-truth labels: per centroid the vector count,
+    distinct labels, majority label (ties to the smaller label id),
+    half-up purity %, and the label-mix Shannon entropy — the
+    purity/entropy pair every clustering eval reports, over the SAME
+    persisted assignment the ANN queries serve from.
+
+    Entropy rides the ln-of-integer micro-nat discipline
+    (divergence.py): each count's ln is quantized ONCE, the per-
+    cluster sum is an exact integer, and the display is one shared-
+    text IEEE expression — bit-stable cross-engine.
+
+    Scale shape: the assignment fold is ivf's documented plan (one
+    corpus projection against the broadcast centroid row); this
+    query adds one (centroid x label)-bounded aggregate, a bounded
+    argmax window, and a centroid-sized report. Headroom: sum
+    f*L(f) <= n*ln(n)*1e6 — bigint-safe through ~10^11 vectors per
+    cluster."""
+    emb_n = ivf._with_norm(load(spark, sf_dir, "embeddings"))
+    cents_row = ivf._centroid_row(
+        ivf._index_centroids(spark, sf_dir, emb_n)
+    )
+    asg = ivf._assigned(emb_n, cents_row).select("vec_id", "centroid_id")
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    fl = (
+        asg.join(lab, "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("f"), F.asc("label")
+    )
+    maj = (
+        fl.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "centroid_id",
+            F.col("label").alias("majority_label"),
+            F.col("f").alias("n_majority"),
+        )
+    )
+    per = fl.groupBy("centroid_id").agg(
+        F.sum("f").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.expr(f"sum(f * {_LBL_L.format('f')})").alias("sfl"),
+    )
+    return (
+        per.join(maj, "centroid_id")
+        .selectExpr(
+            "centroid_id",
+            "n_vectors",
+            "n_labels",
+            "majority_label",
+            "n_majority",
+            f"{halfup_ratio_sql('100 * n_majority', 'n_vectors', 2, 'spark')}"
+            " AS purity_pct",
+            f"{_LBL_ENTROPY} AS label_entropy_nats",
+        )
+        .orderBy("centroid_id")
+    )
+
+
+QUERIES["ivf_label_purity"] = ivf_label_purity
+
+
+def _label_purity_oracle() -> str:
+    from .ivf import _ASSIGN, _CENTS_CTES, _SCORED
+
+    return f"""
+        WITH {_CENTS_CTES},
+        scored AS ({_SCORED}),
+        assign AS ({_ASSIGN}),
+        fl AS (
+            SELECT a.cid AS centroid_id, e.label,
+                   CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT vec_id, cid FROM assign WHERE rn = 1) a
+            JOIN embeddings e USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        maj AS (
+            SELECT centroid_id, label AS majority_label,
+                   f AS n_majority
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY centroid_id
+                    ORDER BY f DESC, label ASC) AS rn
+                FROM fl
+            ) WHERE rn = 1
+        ),
+        per AS (
+            SELECT centroid_id,
+                   CAST(sum(f) AS BIGINT) AS n_vectors,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   CAST(sum(f * {_LBL_L.format('f')}) AS BIGINT) AS sfl
+            FROM fl GROUP BY centroid_id
+        )
+        SELECT p.centroid_id, p.n_vectors, p.n_labels,
+               m.majority_label, m.n_majority,
+               {halfup_ratio_sql('100 * m.n_majority', 'p.n_vectors', 2, 'duck')}
+                   AS purity_pct,
+               {_LBL_ENTROPY} AS label_entropy_nats
+        FROM per p JOIN maj m USING (centroid_id)
+        ORDER BY p.centroid_id
+    """
+
+
+ORACLES["ivf_label_purity"] = _label_purity_oracle()

@@ -65,3 +65,44 @@ def test_estimator_not_degenerate(spark):
     near = sum(r["n_pairs"] for r in rows if abs(r["err_bucket"]) <= 4)
     total = sum(r["n_pairs"] for r in rows)
     assert total > 0 and near * 2 > total
+
+
+def test_label_purity_matches_pure_python(spark):
+    """Recount each cluster's label histogram from the operator's own
+    assignment and pin purity/entropy arithmetic exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    from bike_analyzer_spark.operators import evalsuite as ev, ivf
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE as _SF
+
+    asg = {
+        r.vec_id: r.centroid_id
+        for r in ivf.sim_ivf_assign(spark, _SF).collect()
+    }
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, _SF, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    hist = defaultdict(Counter)
+    for v, c in asg.items():
+        hist[c][labels[v]] += 1
+    got = ev.ivf_label_purity(spark, _SF).collect()
+    assert {r.centroid_id for r in got} == set(hist)
+    L = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    for r in got:
+        h = hist[r.centroid_id]
+        n = sum(h.values())
+        maj_label, maj_n = min(
+            h.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert (r.n_vectors, r.n_labels) == (n, len(h))
+        assert (r.majority_label, r.n_majority) == (maj_label, maj_n)
+        assert r.purity_pct == ((100 * maj_n * 200 + n) // (2 * n)) / 100
+        sfl = sum(f * L(f) for f in h.values())
+        assert r.label_entropy_nats == (n * L(n) - sfl) / (n * 1e6)
+        # entropy bounds: 0 <= H <= ln(n_labels) (+1 ulp quantization)
+        assert -1e-6 <= r.label_entropy_nats <= math.log(len(h)) + 1e-6

@@ -162,6 +162,7 @@ WINDOW_OVERFLOW = frozenset(
         "f_map_ops",
         "geo_dbscan_clusters",
         "ivf_label_purity",
+        "theilsen_trend",
     }
 )
 

@@ -35,7 +35,7 @@ order cannot drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
@@ -645,3 +645,152 @@ def _winsorized_oracle() -> str:
 
 
 ORACLES["winsorized_stats"] = _winsorized_oracle()
+
+
+# -------------------------------------------- Theil-Sen robust trend
+
+#: quantization of a pair slope to milli-cents/day: SIGNED half-up
+#: of (1000 * dy) / dx — each pair quantized ONCE, the comparison
+#: key is then a pure integer (the ltv_decay/bm25 one-quantization
+#: rule applied to a rational)
+def _ts_slope_m(dy: str, dx: str, engine: str) -> str:
+    div = "div" if engine == "spark" else "//"
+    return (
+        f"((CASE WHEN ({dy}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({dy}) * 2000 + ({dx})) {div} (({dx}) * 2)))"
+    )
+
+
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily purchase-revenue series —
+    the median of all pairwise slopes, the estimator that shrugs off
+    the outlier days that drag OLS around (breakdown point ~29%) —
+    reported next to the OLS slope so the gap itself is the outlier
+    signal.
+
+    Exactness: each pair's slope is quantized ONCE to integer
+    milli-cents/day via the signed half-up; the median is then an
+    integer ORDER STATISTIC under the total order (slope_m, i, j) —
+    no float comparisons anywhere, the lower median for even counts.
+    The OLS slope rides exact integer power sums lifted to 128 bits
+    (the stats_moments discipline) with ONE shared-text IEEE divide.
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    daily aggregate; the pair table is DAYS^2-bounded — bounded by
+    the calendar span squared, never by corpus size (the
+    holt_forecast series contract; ~5*10^6 pairs even for a decade
+    of days). Its rank window is over that bounded frame, the same
+    domain-sized-total-order exemption the exit-day histogram and
+    value-grid order statistics use."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).selectExpr(
+        "CAST(datediff(day, d0) AS BIGINT) AS x", "y"
+    ).localCheckpoint(eager=False)
+    a = pts.selectExpr("x AS xi", "y AS yi")
+    b = pts.selectExpr("x AS xj", "y AS yj")
+    pairs = a.join(b, F.col("xi") < F.col("xj")).selectExpr(
+        "xi",
+        "xj",
+        f"{_ts_slope_m('yj - yi', 'xj - xi', 'spark')} AS s_m",
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("s_m", "xi", "xj")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "p", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .where("rn = (p + 1) div 2")
+        .selectExpr("s_m AS ts_slope_mcents", "p AS n_pairs")
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("sum(x * x)").alias("sxx"),
+        F.expr("sum(x * y)").alias("sxy"),
+    )
+    wide = "DECIMAL(38,0)"
+    ols_num = f"(CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy)"
+    ols_den = f"(CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx)"
+    return (
+        med.crossJoin(F.broadcast(ols))
+        .selectExpr(
+            "n AS n_days",
+            "n_pairs",
+            "ts_slope_mcents",
+            "CAST(ts_slope_mcents AS DOUBLE)"
+            " / CAST(100000 AS DOUBLE) AS ts_slope",
+            f"CAST({ols_num} AS DOUBLE)"
+            f" / (CAST({ols_den} AS DOUBLE)"
+            " * CAST(100 AS DOUBLE)) AS ols_slope",
+        )
+    )
+
+
+QUERIES["theilsen_trend"] = theilsen_trend
+
+
+def _theilsen_oracle() -> str:
+    wide = "HUGEINT"
+    ols_num = f"(CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy)"
+    ols_den = f"(CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx)"
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        pts AS (
+            SELECT CAST(datediff('day',
+                       (SELECT min(day) FROM daily), day)
+                       AS BIGINT) AS x, y
+            FROM daily
+        ),
+        pairs AS (
+            SELECT a.x AS xi, b.x AS xj,
+                   {_ts_slope_m('b.y - a.y', 'b.x - a.x', 'duck')}
+                       AS s_m
+            FROM pts a JOIN pts b ON a.x < b.x
+        ),
+        med AS (
+            SELECT s_m AS ts_slope_mcents, p AS n_pairs FROM (
+                SELECT s_m,
+                       row_number() OVER (ORDER BY s_m, xi, xj) AS rn,
+                       count(*) OVER () AS p
+                FROM pairs
+            ) WHERE rn = (p + 1) // 2
+        ),
+        ols AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pts
+        )
+        SELECT n AS n_days,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(ts_slope_mcents AS BIGINT) AS ts_slope_mcents,
+               CAST(ts_slope_mcents AS DOUBLE)
+                   / CAST(100000 AS DOUBLE) AS ts_slope,
+               CAST({ols_num} AS DOUBLE)
+                   / (CAST({ols_den} AS DOUBLE)
+                      * CAST(100 AS DOUBLE)) AS ols_slope
+        FROM med, ols
+    """
+
+
+ORACLES["theilsen_trend"] = _theilsen_oracle()

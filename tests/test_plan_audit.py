@@ -76,6 +76,10 @@ _BOUNDED_CROSSJOIN_OK = {
     "activity_ccf",
     # the 1-row corpus-horizon frame broadcast onto the per-user frame
     "retention_survival",
+    # the DAYS^2-bounded pairwise-slope inequality join + two 1-row
+    # scalar frames (base day, OLS sums) — calendar-bounded, never
+    # corpus-sized
+    "theilsen_trend",
     # 1-row corpus-moments frame onto the <=24-row group stats
     "activity_anova",
     # bm25's 1-row stats frame + the 1-row dense query vector

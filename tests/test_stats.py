@@ -202,3 +202,53 @@ def test_winsorized_matches_scalar_replay(spark):
         assert got[t].winsorized_mean == expected
         # clamping bounds: winsorized mean sits inside the cuts
         assert got[t].lo_cut <= got[t].winsorized_mean <= got[t].hi_cut
+
+
+def test_theilsen_matches_pure_python(spark):
+    """Replay the estimator in plain Python: quantized pairwise
+    slopes, the lower-median order statistic, and the OLS slope."""
+    import statistics
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators import stats as _stats
+    from tests.conftest import SF_DIR_ORACLE as _SF
+
+    daily = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{_SF}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    ):
+        daily[r.day] += round(r.value * 100)
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, y) for d, y in daily.items())
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx, dy = pts[j][0] - pts[i][0], pts[j][1] - pts[i][1]
+            sign = -1 if dy < 0 else 1
+            s_m = sign * ((abs(dy) * 2000 + dx) // (2 * dx))
+            slopes.append((s_m, pts[i][0], pts[j][0]))
+    slopes.sort()
+    p = len(slopes)
+    med = slopes[(p + 1) // 2 - 1][0]
+    [r] = _stats.theilsen_trend(spark, _SF).collect()
+    assert (r.n_days, r.n_pairs, r.ts_slope_mcents) == (
+        len(pts), p, med,
+    )
+    assert r.ts_slope == med / 100000
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    import math
+    assert math.isclose(
+        r.ols_slope,
+        (n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100),
+        rel_tol=1e-12,
+    )
+    # the robust estimate must sit inside the slope range
+    assert slopes[0][0] <= r.ts_slope_mcents <= slopes[-1][0]
+    del statistics

@@ -163,6 +163,7 @@ WINDOW_OVERFLOW = frozenset(
         "geo_dbscan_clusters",
         "ivf_label_purity",
         "theilsen_trend",
+        "scale_salted_join",
     }
 )
 
@@ -237,6 +238,7 @@ _sequences_head, _sequences_tail = _split(
     ],
 )
 _scale_new = _Slice(scale, ["hll_overlap_estimate"])
+_scale_new2 = _Slice(scale, ["scale_salted_join"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
 _graph_new = _Slice(graph, ["od_link_prediction"])
 _ua_head, _ua_tail = _split(
@@ -351,6 +353,7 @@ _MODULES = [
     _graph_new,  # NEW r9 wave 3: od_link_prediction (streak 0, outside)
     ivfpq,  # NEW r9 wave 4: composed IVF-PQ ANN (streak 0, outside)
     _text_new,  # NEW r9 wave 4: FORCAST readability (streak 0, outside)
+    _scale_new2,  # NEW r9 wave 5: salted-join rollup (streak 0, outside)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

@@ -831,3 +831,69 @@ ORACLES["hll_overlap_estimate"] = f"""
            END AS err_ppm
     FROM one CROSS JOIN exact
 """
+
+
+def salted_event_nation_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation event rollup THROUGH the manual salted join
+    (`salted_join`, the deterministic skew fallback documented for
+    the regime AQE's runtime split can't reach): the events fact
+    scatters across 16 salt sub-keys of its user dimension key, the
+    customer dim replicates once per salt via a bounded explode, and
+    the rollup folds the join output. Semantically identical to the
+    plain equi join + GROUP BY the oracle runs — exact integer
+    milli-unit sums make that equality bit-checkable. This registers
+    the skew-proof JOIN rewrite as driver-graded evidence the same
+    way scale_salted_sums registered the skew-proof AGGREGATE.
+
+    Scale shape: one fact-side exchange on (key, salt) — same bytes
+    as the plain join's exchange, spread 16x wider on hot keys; the
+    dim side is |dim| x 16 rows, still broadcast-sized; the nation
+    rollup is map-side combinable."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        "event_id",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = salted_join(
+        ev, cust, "c_custkey", salt_source="event_id"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+            F.sum("v_m").alias("sum_value_milli"),
+        )
+        .join(F.broadcast(nat), "c_nationkey")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_events",
+            "n_users",
+            "sum_value_milli",
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["scale_salted_join"] = salted_event_nation_rollup
+
+ORACLES["scale_salted_join"] = """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(e.value * 1000) AS BIGINT))
+                AS BIGINT) AS sum_value_milli
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+"""

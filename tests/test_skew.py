@@ -77,3 +77,38 @@ def test_salted_join_equivalent_and_spread(spark, skewed):
     )
     assert len(spread) == 8
     assert max(r["count"] for r in spread) < 99_000 * 0.25
+
+
+def test_salted_join_rollup_matches_plain_join(spark):
+    """The registered salted-join query is value-identical to the
+    plain equi join + GROUP BY rewrite (row-for-row)."""
+    from pyspark.sql import functions as F
+
+    from bike_analyzer_spark.operators import scale
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE as _SF
+
+    got = scale.salted_event_nation_rollup(spark, _SF).collect()
+    ev = load(spark, _SF, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    cust = load(spark, _SF, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, _SF, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plain = (
+        ev.join(cust, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+            F.sum("v_m").alias("sum_value_milli"),
+        )
+        .join(nat, "c_nationkey")
+        .select("n_name", "n_events", "n_users", "sum_value_milli")
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in plain]
+    assert got, "rollup must be non-empty"

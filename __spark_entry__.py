@@ -164,6 +164,7 @@ WINDOW_OVERFLOW = frozenset(
         "ivf_label_purity",
         "theilsen_trend",
         "scale_salted_join",
+        "quantile_error_audit",
     }
 )
 

@@ -542,3 +542,128 @@ def _label_purity_oracle() -> str:
 
 
 ORACLES["ivf_label_purity"] = _label_purity_oracle()
+
+
+# -------------------------------------------- sketch error audit
+
+from .scale import GRID_QS as _GRID_QS  # noqa: E402 — section-local
+
+_Q_ROWS = ", ".join(
+    f"(CAST({q} AS DOUBLE), {round(q * 1_000_000)})" for q in _GRID_QS
+)
+
+
+def quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the grid-histogram quantile sketch against
+    the EXACT rank-based quantile (the ceil(q*n)-th smallest value,
+    computed from the integer-cents value histogram — never a global
+    sort): per (event_type, q) both values, the signed error, and
+    whether the sketch's one-bucket-width guarantee held. This
+    registers `grid_quantiles`' documented error bound as
+    driver-graded evidence, the eval-harness treatment
+    ann_recall_ivf gave the ANN index.
+
+    Scale shape: the sketch side is scale_grid_quantiles' documented
+    plan (1024 counters per key); the exact side is the cents-domain
+    histogram + a cumulative window over DISTINCT values per type
+    (the robust_outliers order-statistic idiom — state bounded by
+    the value domain, not row count); the audit join is
+    (|types| x |qs|)-sized."""
+    from .scale import GRID_BUCKETS, GRID_HI, GRID_LO, grid_value_quantiles
+
+    grid = grid_value_quantiles(spark, sf_dir).select(
+        "event_type", "q", F.col("value").alias("grid_value")
+    )
+    hist = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.expr(
+            "sum(c) OVER (PARTITION BY event_type ORDER BY cents)"
+        ).alias("cm"),
+        F.expr("sum(c) OVER (PARTITION BY event_type)").alias("n"),
+    )
+    qs = spark.sql(
+        f"SELECT q, qn FROM (VALUES {_Q_ROWS}) AS t(q, qn)"
+    )
+    exact = (
+        cum.join(F.broadcast(qs))
+        .where(F.expr("cm >= (n * qn + 999999) div 1000000"))
+        .groupBy("event_type", "q")
+        .agg(F.min("cents").alias("exact_cents"))
+        .selectExpr(
+            "event_type",
+            "q",
+            "CAST(exact_cents AS DOUBLE)"
+            " / CAST(100 AS DOUBLE) AS exact_value",
+        )
+    )
+    width = (GRID_HI - GRID_LO) / GRID_BUCKETS
+    return (
+        grid.join(exact, ["event_type", "q"])
+        .selectExpr(
+            "event_type",
+            "q",
+            "grid_value",
+            "exact_value",
+            "grid_value - exact_value AS err",
+            f"abs(grid_value - exact_value)"
+            f" <= CAST({width} AS DOUBLE) AS within_bound",
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+QUERIES["quantile_error_audit"] = quantile_error_audit
+
+
+def _quantile_audit_oracle() -> str:
+    from .scale import GRID_BUCKETS, GRID_HI, GRID_LO
+    from .scale import ORACLES as _scale_oracles
+
+    width = (GRID_HI - GRID_LO) / GRID_BUCKETS
+    return f"""
+        WITH grid AS ({_scale_oracles["scale_grid_quantiles"]}),
+        hist AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, cents,
+                   sum(c) OVER (PARTITION BY event_type
+                                ORDER BY cents) AS cm,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ),
+        qs(q, qn) AS (VALUES {_Q_ROWS}),
+        exact AS (
+            SELECT event_type, q,
+                   CAST(min(cents) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) AS exact_value
+            FROM cum JOIN qs
+              ON cm >= (n * qn + 999999) // 1000000
+            GROUP BY event_type, q
+        )
+        SELECT g.event_type, g.q,
+               g.value AS grid_value,
+               e.exact_value,
+               g.value - e.exact_value AS err,
+               abs(g.value - e.exact_value)
+                   <= CAST({width} AS DOUBLE) AS within_bound
+        FROM grid g
+        JOIN exact e ON e.event_type = g.event_type AND e.q = g.q
+        ORDER BY g.event_type, g.q
+    """
+
+
+ORACLES["quantile_error_audit"] = _quantile_audit_oracle()

@@ -106,3 +106,33 @@ def test_label_purity_matches_pure_python(spark):
         assert r.label_entropy_nats == (n * L(n) - sfl) / (n * 1e6)
         # entropy bounds: 0 <= H <= ln(n_labels) (+1 ulp quantization)
         assert -1e-6 <= r.label_entropy_nats <= math.log(len(h)) + 1e-6
+
+
+def test_quantile_audit_bound_holds_and_matches_python(spark):
+    """The one-bucket-width guarantee must hold on every row, and the
+    exact side must equal a plain-Python rank quantile."""
+    from collections import defaultdict
+
+    from bike_analyzer_spark.operators import evalsuite as ev
+    from bike_analyzer_spark.operators.scale import (
+        GRID_BUCKETS, GRID_HI, GRID_LO, GRID_QS,
+    )
+    from tests.conftest import SF_DIR_ORACLE as _SF
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{_SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r.event_type].append(round(r.value * 100))
+    got = ev.quantile_error_audit(spark, _SF).collect()
+    width = (GRID_HI - GRID_LO) / GRID_BUCKETS
+    assert len(got) == len(vals) * len(GRID_QS)
+    for r in got:
+        xs = sorted(vals[r.event_type])
+        qn = round(r.q * 1_000_000)
+        rank = (len(xs) * qn + 999_999) // 1_000_000
+        assert r.exact_value == xs[rank - 1] / 100
+        assert r.within_bound
+        assert abs(r.err) <= width

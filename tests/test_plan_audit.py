@@ -80,6 +80,10 @@ _BOUNDED_CROSSJOIN_OK = {
     # scalar frames (base day, OLS sums) — calendar-bounded, never
     # corpus-sized
     "theilsen_trend",
+    # the 3-row quantile lattice broadcast against the cents-domain
+    # histogram (rank inequality), plus grid_quantiles' own 1-row
+    # bounds frame
+    "quantile_error_audit",
     # 1-row corpus-moments frame onto the <=24-row group stats
     "activity_anova",
     # bm25's 1-row stats frame + the 1-row dense query vector

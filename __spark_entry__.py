@@ -52,6 +52,7 @@ from bike_analyzer_spark.operators import (
     scrub,
     semdedup,
     sequences,
+    setjoin,
     similarity,
     stats,
     substring,
@@ -165,6 +166,10 @@ WINDOW_OVERFLOW = frozenset(
         "theilsen_trend",
         "scale_salted_join",
         "quantile_error_audit",
+        # NEW in r9 wave 6 (streak 0): same tie-break, enter at r10
+        "dedup_prefix_filter",
+        "dedup_sorted_neighborhood",
+        "vocab_heaps_curve",
     }
 )
 
@@ -355,6 +360,7 @@ _MODULES = [
     ivfpq,  # NEW r9 wave 4: composed IVF-PQ ANN (streak 0, outside)
     _text_new,  # NEW r9 wave 4: FORCAST readability (streak 0, outside)
     _scale_new2,  # NEW r9 wave 5: salted-join rollup (streak 0, outside)
+    setjoin,  # NEW r9 wave 6: prefix-filter + SNM set-similarity joins
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

@@ -1,0 +1,331 @@
+"""Set-similarity joins with classic blocking strategies — prefix
+filtering (PPJoin-family) and sorted-neighborhood (SNM) — over the
+documents table's 3-token shingle sets.
+
+The corpus already has four *candidate-generation* families for
+near-dup detection (MinHash+LSH banding, SimHash, embedding cosine,
+within-source exact Jaccard). This module adds the two classic EXACT
+blocking strategies from the record-linkage / similarity-join
+literature that none of those cover:
+
+- **Prefix filtering** (Chaudhuri/Ganti/Kaushik ICDE'06; PPJoin,
+  Xiao et al. WWW'08): order every set's elements by ascending global
+  document frequency; if J(x, y) >= tau then the first
+  |x| - ceil(tau*|x|) + 1 elements of x and the first
+  |y| - ceil(tau*|y|) + 1 elements of y (under the SAME global order)
+  must share an element. Joining only on prefix elements is therefore
+  LOSSLESS — zero false negatives — while the join fan-out collapses
+  because prefixes hold each set's RAREST elements. The driver gate
+  proves the losslessness end-to-end: the Spark side prunes, the
+  DuckDB oracle runs the naive all-pairs join, and the results must
+  hash-identical.
+- **Sorted neighborhood** (Hernandez & Stolfo SIGMOD'95): sort
+  records by a discriminating key, compare only records within a
+  sliding window of w positions. Unlike prefix filtering this is a
+  RECALL TRADE (pairs that sort far apart are never compared), so the
+  window predicate is part of the query's semantics and the oracle
+  replicates it exactly (rank via row_number, band join on rank
+  distance, then the same exact-Jaccard verify).
+
+Scale shape (100-TB lens):
+- The global element order is a *vocabulary-sized* aggregate
+  (groupBy(sh).count()) — never a window over documents. Per-doc
+  ranks use a window partitioned BY doc_id (each partition is one
+  document's shingle set, bounded by document length).
+- The prefix join's fan-out is sum over prefix-shingles of df^2; by
+  construction prefixes prefer df~1 shingles. At this corpus's shape
+  max df is 25 (sf0.1) so no cap is needed; a web-scale corpus would
+  bound hot shingles exactly as `dedup.dedup_ngram_jaccard`'s
+  NGRAM_DF_CAP does (same consistent-numerator/denominator cap).
+- SNM's sort is partitioned by a block key (the first text token), so
+  ranks are per-block windows over bounded neighborhoods, not a
+  global total order — the multi-pass SNM variant, not the
+  single-sort one, precisely because a global row_number over
+  documents is banned engine-wide.
+- The exact verify joins candidates back to the shingle frame
+  intersection-first (work tracks actual overlap), the same plan
+  family as `dedup.dedup_ngram_jaccard:279`.
+
+Reference parity: the reference engine has no set-similarity join;
+this is part of the beyond-reference LLM-data-pipeline pack (builder
+brief: dedup via "n-gram Jaccard" generalized to the standard exact
+blocking algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingle_exprs, shingles_duck, tokens
+from ..sources.catalog import load
+
+#: Jaccard threshold tau as an exact rational NUM/DEN (0.8 — the
+#: near-dup regime where prefix filtering earns its keep: the prefix
+#: is only ~n/5+1 of each set's rarest elements, vs over half the set
+#: at tau=0.5). The similarity predicate is integer
+#: cross-multiplication throughout:
+#: J(x,y) >= NUM/DEN  <=>  DEN*inter >= NUM*(na+nb-inter)
+#:                    <=>  (DEN+NUM)*inter >= NUM*(na+nb).
+TAU_NUM = 4
+TAU_DEN = 5
+
+#: sorted-neighborhood sliding-window width (positions, inclusive of
+#: self at distance 0 — pairs compare at rank distance 1..W-1)
+SNM_WINDOW = 6
+
+#: characters of normalized text used as the SNM sort key; long
+#: enough to be discriminating, short enough that the sort key is a
+#: narrow column in the exchange
+SNM_KEY_LEN = 24
+
+
+def _doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sh) 3-token shingle rows — the set frame."""
+    return (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, tau_num: int = TAU_NUM, tau_den: int = TAU_DEN
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= tau, found via
+    prefix filtering. Returns (a, b, inter, na, nb, jacc_bp) where
+    jacc_bp = floor(10000 * inter / union) — exact integers only.
+
+    Plan: one explode+distinct of the corpus (checkpointed — three
+    consumers: the df aggregate, the prefix frame, the verify frame),
+    a vocabulary-sized frequency aggregate, per-document prefix ranks
+    (window partitioned by doc_id), a prefix-to-prefix equi join on
+    the shingle, a length filter (ceil(tau*|x|) <= |y|), and an
+    intersection-counting verify join. Nothing in the plan is
+    proportional to |docs|^2.
+    """
+    ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
+    df_tbl = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # ascending (df, sh) is the global element order; rank within each
+    # document's own set (partition = doc_id, bounded by doc length).
+    # The set size rides the SAME doc-partitioned shuffle as a second
+    # window function — no separate groupBy+join for sizes.
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        ds.join(df_tbl, "sh")
+        .withColumn(
+            "r", F.row_number().over(per_doc.orderBy("df", "sh"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    # prefix length p = n - ceil(tau*n) + 1; ceil(tau*n) in integers
+    # is (tau_num*n + tau_den - 1) div tau_den
+    pref = (
+        ranked
+        .filter(
+            F.expr(
+                f"r <= n - (({tau_num} * n + {tau_den - 1}) div {tau_den}) + 1"
+            )
+        )
+        .select("doc_id", "sh", "n")
+        # two consumers (each side of the self-join) — materialize the
+        # ranked prefix once instead of re-running the df join + the
+        # per-doc window per side
+        .localCheckpoint(eager=False)
+    )
+    a = pref.select(
+        F.col("doc_id").alias("a"), "sh", F.col("n").alias("na")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("b"), "sh", F.col("n").alias("nb")
+    )
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        # length filter: J >= tau forces tau*max(na,nb) <= min(na,nb);
+        # integer form works on both orderings at once
+        .filter(
+            (F.lit(tau_den) * F.col("na") >= F.lit(tau_num) * F.col("nb"))
+            & (F.lit(tau_den) * F.col("nb") >= F.lit(tau_num) * F.col("na"))
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+    return _exact_verify(cands, ds, tau_num, tau_den)
+
+
+def _exact_verify(
+    cands: DataFrame, ds: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: intersection-counting join
+    against the shingle frame, integer threshold, basis-point score.
+    `cands` must carry (a, b, na, nb)."""
+    da = ds.select(F.col("doc_id").alias("a"), "sh")
+    db = ds.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.select("a", "b")
+        .join(da, "a")
+        .join(db, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cands.join(inter, ["a", "b"])
+        .filter(
+            F.lit(tau_den + tau_num) * F.col("inter")
+            >= F.lit(tau_num) * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
+            "nb",
+            # integral `div` — exact bigint floor division, matching
+            # the oracle's `//` with no double rounding in between
+            F.expr("(10000 * inter) div (na + nb - inter)").alias(
+                "jacc_bp"
+            ),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact Jaccard >= 1/2 near-dup pairs via the
+    lossless prefix-filtered set-similarity self-join. The oracle is
+    the NAIVE all-pairs join — equality of the two is the
+    zero-false-negative proof."""
+    return prefix_filter_pairs(load(spark, sf_dir, "documents"))
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+    tau_num: int = TAU_NUM,
+    tau_den: int = TAU_DEN,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs + exact Jaccard verify.
+
+    Sort key: the first SNM_KEY_LEN characters of the trimmed text
+    (near-dup documents overwhelmingly share their opening words).
+    Block: the first whitespace token — ranks are windows WITHIN a
+    block, never a global total order; pairs never cross blocks (the
+    standard multi-pass SNM trade, here with the first-token pass).
+    Rank ties break on doc_id, so results are deterministic.
+
+    The sliding window materializes as a band self-join on rank
+    distance 1..window-1 within the block — each left row explodes to
+    at most window-1 probe ranks, so candidate volume is exactly
+    (window-1) * |docs| minus block-boundary truncation.
+    """
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.trim(F.col("text")), 1, SNM_KEY_LEN).alias("skey"),
+        F.element_at(tokens("text"), 1).alias("block"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("block").orderBy("skey", "doc_id")
+        ),
+    )
+    left = keyed.select(
+        "block", F.col("doc_id").alias("a"), F.col("rk").alias("ra")
+    ).withColumn(
+        "rb", F.explode(F.sequence(F.col("ra") + 1, F.col("ra") + window - 1))
+    )
+    cand_ids = left.join(
+        keyed.select(
+            "block", F.col("doc_id").alias("b"), F.col("rk").alias("rb")
+        ),
+        ["block", "rb"],
+    ).select("a", "b")
+    ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cands = (
+        cand_ids.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .select("a", "b", "na", "nb")
+    )
+    return _exact_verify(cands, ds, tau_num, tau_den)
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: SNM-blocked near-dup pairs (Jaccard >= 1/2 among
+    pairs within the sort window). The oracle replicates the window
+    semantics exactly — this gate proves the blocking math (ranks,
+    band join, boundary truncation), not lossless recall."""
+    return sorted_neighborhood_pairs(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+}
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_DS = f"""
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({shingles_duck("toks", 3)}) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+"""
+
+_VERIFY_TAIL = f"""
+        SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+               (10000 * i.inter) // (sa.n + sb.n - i.inter) AS jacc_bp
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE {TAU_DEN + TAU_NUM} * i.inter >= {TAU_NUM} * (sa.n + sb.n)
+        ORDER BY a, b
+"""
+
+ORACLES = {
+    # naive all-pairs — intentionally NO prefix logic: hash-equality
+    # with the pruned Spark plan is the losslessness proof
+    "dedup_prefix_filter": f"""
+        WITH ds AS ({_DS}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        {_VERIFY_TAIL}
+    """,
+    "dedup_sorted_neighborhood": f"""
+        WITH ds AS ({_DS}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+        keyed AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY ({_TOKS})[1]
+                       ORDER BY substr(trim(text), 1, {SNM_KEY_LEN}), doc_id
+                   ) AS rk,
+                   ({_TOKS})[1] AS block
+            FROM documents
+        ),
+        cand AS (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM keyed l JOIN keyed r
+              ON l.block = r.block
+             AND r.rk BETWEEN l.rk + 1 AND l.rk + {SNM_WINDOW - 1}
+        ),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cand c
+            JOIN ds x ON x.doc_id = c.a
+            JOIN ds y ON y.doc_id = c.b AND y.sh = x.sh
+            GROUP BY c.a, c.b
+        )
+        {_VERIFY_TAIL}
+    """,
+}

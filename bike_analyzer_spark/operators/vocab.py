@@ -18,7 +18,7 @@ bounded TakeOrderedAndProject. Frequency shares are integer ppm
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens
@@ -337,4 +337,119 @@ ORACLES["vocab_zipf_fit"] = f"""
                / ({_SLOPE_DEN} * {_Y_VAR})
            END AS r2
     FROM sums
+"""
+
+
+#: Heaps-curve resolution: corpus-prefix checkpoints at 10%..100%
+HEAPS_DECILES = 10
+
+
+def vocab_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct 3-token-shingle
+    vocabulary vs corpus size at ten corpus-prefix checkpoints
+    (docs ordered by doc_id; testdata ids are dense 0..n-1, asserted
+    in tests/test_setjoin-adjacent contract tests). Shingles, not
+    words: the word vocabulary of this synthetic corpus saturates in
+    the first documents, while the shingle space keeps growing — the
+    regime Heaps' V(N) = K*N^beta describes.
+
+    Scale shape — the cumulative-distinct pattern with NO doc-global
+    window and NO 10x fan-out join: each shingle contributes one row
+    to a vocabulary-sized (first_doc) aggregate, each doc one row to
+    a doc-count-sized occurrence aggregate; both collapse to their
+    FIRST-INCLUDING decile by pure integer arithmetic
+    (d = (10*(id+1) + n - 1) div n, from the 1-row broadcast doc
+    count), and the curve is a cumulative sum over the 10-row decile
+    lattice. Output rows carry exact integers only; the beta fit is
+    left to the consumer (pytest asserts 0 < beta < 1 on log-log
+    deltas).
+    """
+    from ..functions.textfns import shingle_exprs
+
+    docs = load(spark, sf_dir, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sh = (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
+    )
+    dec = f"(({HEAPS_DECILES} * (doc_id + 1) + n_docs - 1) div n_docs)"
+    # vocabulary-sized: first doc containing each distinct shingle
+    vocab_d = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(n1))
+        .groupBy(F.expr(dec).alias("d"))
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    # doc-count-sized: shingle occurrences per doc -> per decile
+    occ_d = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .crossJoin(F.broadcast(n1))
+        .groupBy(F.expr(dec).alias("d"))
+        .agg(F.sum("occ").alias("new_occ"))
+    )
+    lattice = spark.range(1, HEAPS_DECILES + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        lattice.join(vocab_d, "d", "left")
+        .join(occ_d, "d", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            (F.col("d") * (100 // HEAPS_DECILES)).alias("pct"),
+            F.expr(f"(d * n_docs) div {HEAPS_DECILES}").alias("docs_seen"),
+            F.sum(F.coalesce(F.col("new_occ"), F.lit(0)))
+            .over(cum)
+            .alias("shingles_seen"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(cum)
+            .alias("vocab_seen"),
+        )
+        .orderBy("pct")
+    )
+
+
+QUERIES["vocab_heaps_curve"] = vocab_heaps_curve
+
+_SHINGLES_CTE = f"""
+    sh AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [] END) AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    n1 AS (SELECT count(*) AS n_docs FROM documents)
+"""
+
+_DEC = "((10 * (doc_id + 1) + n_docs - 1) // n_docs)"
+
+ORACLES["vocab_heaps_curve"] = f"""
+    WITH {_SHINGLES_CTE},
+    vocab_d AS (
+        SELECT {_DEC} AS d, count(*) AS new_vocab
+        FROM (SELECT sh, min(doc_id) AS doc_id FROM sh GROUP BY sh), n1
+        GROUP BY 1
+    ),
+    occ_d AS (
+        SELECT {_DEC} AS d, CAST(sum(occ) AS BIGINT) AS new_occ
+        FROM (SELECT doc_id, count(*) AS occ FROM sh GROUP BY doc_id), n1
+        GROUP BY 1
+    ),
+    lattice AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS d)
+    SELECT 10 * d AS pct,
+           (d * n_docs) // 10 AS docs_seen,
+           CAST(sum(coalesce(new_occ, 0)) OVER w AS BIGINT)
+               AS shingles_seen,
+           CAST(sum(coalesce(new_vocab, 0)) OVER w AS BIGINT)
+               AS vocab_seen
+    FROM lattice
+    LEFT JOIN vocab_d USING (d)
+    LEFT JOIN occ_d USING (d)
+    CROSS JOIN n1
+    WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ORDER BY pct
 """

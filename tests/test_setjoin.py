@@ -1,0 +1,191 @@
+"""Set-similarity join tests: prefix filtering + sorted neighborhood.
+
+Three layers, following the dedup test model (SURVEY.md §5):
+oracle parity at sf0.01, a brute-force python replay of each
+algorithm on synthetic documents with hand-placed near-dups, and a
+pruning-effectiveness bound (the prefix join must generate strictly
+fewer candidate pairs than the naive any-shared-shingle join, or the
+blocking is decorative).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_analyzer_spark.operators import setjoin
+from bike_analyzer_spark.operators.setjoin import (
+    SNM_KEY_LEN,
+    SNM_WINDOW,
+    TAU_DEN,
+    TAU_NUM,
+    _doc_shingle_sets,
+    prefix_filter_pairs,
+    sorted_neighborhood_pairs,
+)
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(setjoin.QUERIES))
+def test_setjoin_vs_oracle(spark, duck, name):
+    df = setjoin.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert_matches_oracle(df, duck, setjoin.ORACLES[name], name=name)
+
+
+def _shingles(text: str) -> frozenset[str]:
+    toks = text.split()
+    return frozenset(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    )
+
+
+def _jaccard_ok(x: frozenset, y: frozenset) -> bool:
+    inter = len(x & y)
+    return (TAU_DEN + TAU_NUM) * inter >= TAU_NUM * (len(x) + len(y))
+
+
+_SYNTH = [
+    # two near-dup clusters sharing long runs, plus unrelated docs
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3, "one two three four five six seven eight nine ten eleven"),
+    (4, "one two three four five six seven eight nine ten twelve"),
+    (5, "totally unrelated words about shuffles partitions and joins"),
+    (6, "another document with its own distinct vocabulary entirely here"),
+    # short doc (< 3 tokens -> empty shingle set, must never pair)
+    (7, "tiny doc"),
+]
+
+
+def _synth_df(spark):
+    return spark.createDataFrame(_SYNTH, "doc_id long, text string")
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """Losslessness on synthetic docs: the prefix-pruned join finds
+    exactly the brute-force Jaccard >= tau pair set."""
+    got = {
+        (r.a, r.b)
+        for r in prefix_filter_pairs(_synth_df(spark)).collect()
+    }
+    sets = {d: _shingles(t) for d, t in _SYNTH}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if sets[a] and sets[b] and _jaccard_ok(sets[a], sets[b])
+    }
+    assert want, "synthetic fixture must contain at least one true pair"
+    assert got == want
+
+
+def test_prefix_filter_scores_exact(spark):
+    """inter/na/nb/jacc_bp are the exact integers of the true sets."""
+    sets = {d: _shingles(t) for d, t in _SYNTH}
+    for r in prefix_filter_pairs(_synth_df(spark)).collect():
+        x, y = sets[r.a], sets[r.b]
+        inter = len(x & y)
+        assert (r.inter, r.na, r.nb) == (inter, len(x), len(y))
+        assert r.jacc_bp == (10000 * inter) // (len(x) + len(y) - inter)
+
+
+def test_prefix_join_prunes(spark):
+    """The prefix join's candidate volume must be strictly below the
+    naive any-shared-shingle pair count at sf0.01 — otherwise the
+    prefix is not filtering anything."""
+    from bike_analyzer_spark.sources.catalog import load
+
+    docs = load(spark, SF_DIR_ORACLE, "documents")
+    ds = _doc_shingle_sets(docs)
+    naive = (
+        ds.select(F.col("doc_id").alias("a"), "sh")
+        .join(ds.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    df_tbl = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    per_doc = Window.partitionBy("doc_id")
+    pref = (
+        ds.join(df_tbl, "sh")
+        .withColumn("r", F.row_number().over(per_doc.orderBy("df", "sh")))
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+        .filter(
+            F.expr(
+                f"r <= n - (({TAU_NUM} * n + {TAU_DEN - 1}) div {TAU_DEN})"
+                " + 1"
+            )
+        )
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("a"), "sh")
+        .join(pref.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert cand < naive / 5, (cand, naive)
+
+
+def test_sorted_neighborhood_equals_replay(spark):
+    """Python replay of the SNM semantics (block by first token, sort
+    by 24-char key then doc_id, window w, exact Jaccard) must equal
+    the Spark result on the synthetic fixture."""
+    got = {
+        (r.a, r.b): r.inter
+        for r in sorted_neighborhood_pairs(_synth_df(spark)).collect()
+    }
+    blocks: dict[str, list[tuple[str, int]]] = {}
+    for d, t in _SYNTH:
+        blocks.setdefault(t.split()[0], []).append(
+            (t.strip()[:SNM_KEY_LEN], d)
+        )
+    sets = {d: _shingles(t) for d, t in _SYNTH}
+    want = {}
+    for members in blocks.values():
+        members.sort()
+        for i, (_, a) in enumerate(members):
+            for _, b in members[i + 1 : i + SNM_WINDOW]:
+                if _jaccard_ok(sets[a], sets[b]):
+                    want[(a, b)] = len(sets[a] & sets[b])
+    assert got == want
+
+
+def test_snm_finds_planted_neighbors_only_within_window(spark):
+    """A true near-dup pair separated beyond the window by
+    intervening sort keys must NOT pair (the SNM recall trade),
+    while adjacent near-dups must."""
+    # doc 0 and doc 100: 30 tokens, differing only in token 3 (inside
+    # the 24-char sort key) -> 25 of 28 shingles shared, J = 25/31 =
+    # 0.806 >= tau, but their sort keys bracket the fillers'
+    common = " ".join(f"c{j}" for j in range(27))
+    rows = [(0, f"zz top aa {common}")]
+    # w-1 distinct docs whose keys sort BETWEEN 'zz top aa…' and
+    # 'zz top zz…' (same block token 'zz'), pushing the true pair
+    # SNM_WINDOW positions apart
+    for i in range(1, SNM_WINDOW):
+        filler = " ".join(f"filler{i}w{j}" for j in range(8))
+        rows.append((i, f"zz top m{i} {filler}"))
+    rows.append((100, f"zz top zz {common}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a, r.b) for r in sorted_neighborhood_pairs(docs).collect()
+    }
+    # doc 0 and doc 100 share J >= tau but sit SNM_WINDOW apart
+    sets = {d: _shingles(t) for d, t in rows}
+    assert _jaccard_ok(sets[0], sets[100])
+    assert (0, 100) not in pairs
+    # move the dup adjacent (same key prefix) -> it must pair
+    rows2 = [rows[0], rows[-1]]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    pairs2 = {
+        (r.a, r.b) for r in sorted_neighborhood_pairs(docs2).collect()
+    }
+    assert (0, 100) in pairs2

@@ -86,6 +86,9 @@ _BOUNDED_CROSSJOIN_OK = {
     "quantile_error_audit",
     # 1-row corpus-moments frame onto the <=24-row group stats
     "activity_anova",
+    # the 1-row doc-count frame broadcast onto the vocabulary-sized
+    # first-doc aggregate and the 10-row decile lattice (r9)
+    "vocab_heaps_curve",
     # bm25's 1-row stats frame + the 1-row dense query vector
     "rrf_fusion",
     # 1-row bounds / midpoint / totals frames over bounded series

@@ -170,6 +170,9 @@ WINDOW_OVERFLOW = frozenset(
         "dedup_prefix_filter",
         "dedup_sorted_neighborhood",
         "vocab_heaps_curve",
+        "sim_sparse_cosine",
+        "kmins_user_estimate",
+        "od_label_propagation",
     }
 )
 
@@ -245,8 +248,10 @@ _sequences_head, _sequences_tail = _split(
 )
 _scale_new = _Slice(scale, ["hll_overlap_estimate"])
 _scale_new2 = _Slice(scale, ["scale_salted_join"])
+_scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
 _graph_new = _Slice(graph, ["od_link_prediction"])
+_graph_new2 = _Slice(graph, ["od_label_propagation"])
 _ua_head, _ua_tail = _split(
     useranalytics,
     [
@@ -361,6 +366,8 @@ _MODULES = [
     _text_new,  # NEW r9 wave 4: FORCAST readability (streak 0, outside)
     _scale_new2,  # NEW r9 wave 5: salted-join rollup (streak 0, outside)
     setjoin,  # NEW r9 wave 6: prefix-filter + SNM set-similarity joins
+    _scale_new3,  # NEW r9 wave 7: k-mins cardinality sketch (streak 0)
+    _graph_new2,  # NEW r9 wave 8: synchronous LPA communities (streak 0)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

@@ -1276,3 +1276,148 @@ def _od_link_prediction_oracle() -> str:
 
 
 ORACLES["od_link_prediction"] = _od_link_prediction_oracle()
+
+
+#: synchronous LPA rounds — fixed (bounded plan + finite recursive
+#: twin); on the degree-capped backbone label flow stabilizes in a
+#: handful of rounds, and both engines run the SAME rounds, so even a
+#: not-yet-converged labeling is gate-exact
+LPA_ROUNDS = 4
+
+
+def od_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the OD backbone via SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, the deterministic synchronous
+    variant): every station starts as its own label; each round every
+    station adopts the label with the largest incoming FLOW-WEIGHTED
+    vote over the symmetrized backbone, ties to the smallest label.
+    Complements the existing graph set: connected components find
+    reachability islands, k-core finds density shells — LPA finds
+    flow communities (who trades traffic with whom).
+
+    Determinism: votes are exact integer flow sums; the argmax is a
+    per-station window ordered (votes DESC, lab ASC); rounds are
+    fixed — no convergence probe, no randomized tie-break (the
+    classic async LPA is randomized; the synchronous min-label form
+    is the reproducible one, and the DuckDB twin replays it
+    round-for-round).
+
+    Scale shape: per round ONE equi join (edges x labels, shuffled on
+    the station key) + ONE bounded-fanout window (partition = a
+    station's candidate labels, <= its degree <= 2*BACKBONE_TOPK) +
+    the label update join, lineage-truncated per round by a lazy
+    checkpoint — the pagerank loop's shape with an argmax instead of
+    a weighted sum. Label state is one row per station; votes are
+    degree-bounded; nothing is corpus-sized."""
+    from pyspark.sql import Window
+
+    from .od import infer_flows
+
+    flows = infer_flows(spark, sf_dir, minutes=10).filter(
+        F.col("o") != F.col("d")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o").orderBy(F.desc("flow"), F.asc("d"))
+    )
+    bb = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= BACKBONE_TOPK)
+        .select("o", "d", "flow")
+    )
+    # symmetrize with weights (parallel edges collapse by flow sum)
+    e = (
+        bb.select(F.col("o").alias("u"), F.col("d").alias("v"), "flow")
+        .unionAll(
+            bb.select(F.col("d").alias("u"), F.col("o").alias("v"), "flow")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("flow").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("u").alias("id")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.withColumn("lab", F.col("id"))
+    argmax = Window.partitionBy("v").orderBy(F.desc("votes"), F.asc("lab"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            e.join(labels, e["u"] == labels["id"])
+            .groupBy("v", "lab")
+            .agg(F.sum("w").alias("votes"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), F.col("lab").alias("new_lab"))
+        )
+        # every node has in-edges in the symmetric graph, but keep the
+        # own-label fallback so the operator stays total on any input
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("id").alias("station"), F.col("lab").alias("community")
+    ).orderBy("community", "station")
+
+
+QUERIES["od_label_propagation"] = od_label_propagation
+
+
+def _od_label_propagation_oracle() -> str:
+    from .od import FLOWS_CTE_SQL
+
+    return f"""
+        WITH RECURSIVE {FLOWS_CTE_SQL},
+        bb AS MATERIALIZED (
+            SELECT o, d, flow FROM (
+                SELECT o, d, flow, row_number() OVER (
+                    PARTITION BY o ORDER BY flow DESC, d
+                ) AS rn
+                FROM flows WHERE o <> d
+            ) WHERE rn <= {BACKBONE_TOPK}
+        ),
+        e AS MATERIALIZED (
+            SELECT u, v, CAST(sum(flow) AS BIGINT) AS w FROM (
+                SELECT o AS u, d AS v, flow FROM bb
+                UNION ALL
+                SELECT d AS u, o AS v, flow FROM bb
+            ) GROUP BY u, v
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM e),
+        lpa(iter, id, lab) AS (
+            SELECT 0, id, id FROM nodes
+            UNION ALL
+            (
+                WITH votes AS (
+                    SELECT e.v AS id, p.lab, sum(e.w) AS votes
+                    FROM e JOIN lpa p ON e.u = p.id
+                    GROUP BY e.v, p.lab
+                ),
+                it AS (SELECT max(iter) AS i FROM lpa),
+                best AS (
+                    SELECT id, lab FROM (
+                        SELECT id, lab, row_number() OVER (
+                            PARTITION BY id ORDER BY votes DESC, lab
+                        ) AS rn FROM votes
+                    ) WHERE rn = 1
+                )
+                SELECT it.i + 1, n.id, coalesce(b.lab, p2.lab)
+                FROM nodes n
+                LEFT JOIN best b ON b.id = n.id
+                JOIN lpa p2 ON p2.id = n.id
+                CROSS JOIN it
+                WHERE it.i < {LPA_ROUNDS}
+            )
+        )
+        SELECT id AS station, lab AS community
+        FROM lpa WHERE iter = {LPA_ROUNDS}
+        ORDER BY community, station
+    """
+
+
+ORACLES["od_label_propagation"] = _od_label_propagation_oracle()

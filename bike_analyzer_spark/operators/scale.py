@@ -897,3 +897,139 @@ ORACLES["scale_salted_join"] = """
     GROUP BY n.n_name
     ORDER BY nation
 """
+
+
+#: k-mins sketch geometry: m independent minima (stochastic
+#: averaging), hash range R = 2^32 (the portable hash64's range)
+KMINS_M = 16
+KMINS_R = 1 << 32
+KMINS_BSALT = "km-bucket"
+KMINS_VSALT = "km-value"
+
+
+def kmins_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a K-MINS sketch
+    (bucketed minima of uniform hashes — the order-statistics
+    cardinality family of Bar-Yossef et al. / Flajolet's MinCount,
+    vs HLL's leading-zero family and CMS's counter family): state is
+    m=16 minima per group; with ~n/m keys per bucket,
+    E[min] = R/(n/m + 1), so n ≈ m * (m*R / sum(min) - 1).
+
+    Like the CMS (and unlike HLL's double-typed estimate), the whole
+    estimator is PURE INTEGER over the portable md5 hash — empty
+    buckets coalesce to R, the estimate is
+    m * ((m*R) div sum_min) - m — so the DuckDB oracle rebuilds the
+    bit-identical sketch AND estimate: a full value-equality gate on
+    an approximate operator. The exact distinct count rides alongside
+    with the signed basis-point error for the accuracy audit
+    (pytest-bounded at ~1/sqrt(m)).
+
+    Scale shape: minima are algebraic — the groupBy(type, bucket)
+    min() map-side-combines to m values per group per partition, and
+    duplicate user_ids collapse for free (min is idempotent — the
+    sketch needs NO distinct pass, unlike the exact side's
+    count_distinct shuffle riding alongside only as the audit)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(
+            hash64(F.col("user_id").cast("string"), KMINS_BSALT),
+            F.lit(KMINS_M),
+        ).alias("bucket"),
+        hash64(F.col("user_id").cast("string"), KMINS_VSALT).alias("v"),
+    )
+    minima = ev.groupBy("event_type", "bucket").agg(
+        F.min("v").alias("mv")
+    )
+    # bounded lattice: every (type, bucket) cell, empties -> R
+    lattice = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(KMINS_M).select(
+                    F.col("id").cast("bigint").alias("bucket")
+                )
+            )
+        )
+    )
+    sums = (
+        lattice.join(minima, ["event_type", "bucket"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.coalesce(F.col("mv"), F.lit(KMINS_R))).alias("sum_min"),
+            F.count(F.when(F.col("mv").isNotNull(), 1)).alias("filled"),
+        )
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    est = (
+        f"CAST({KMINS_M} AS BIGINT)"
+        f" * ((CAST({KMINS_M} AS BIGINT) * {KMINS_R}) div sum_min)"
+        f" - {KMINS_M}"
+    )
+    return (
+        sums.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "filled",
+            "n_exact",
+            f"{est} AS kmins_estimate",
+            # signed error: sign * (|diff| div exact) — Spark's `div`
+            # truncates toward zero while DuckDB's `//` floors, so
+            # negative diffs must divide as magnitudes
+            f"CAST(sign({est} - n_exact) AS BIGINT)"
+            f" * ((abs({est} - n_exact) * 10000) div n_exact)"
+            " AS err_bp",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["kmins_user_estimate"] = kmins_user_estimate
+
+_KM_EST = (
+    f"CAST({KMINS_M} AS BIGINT)"
+    f" * ((CAST({KMINS_M} AS BIGINT) * {KMINS_R}) // sum_min)"
+    f" - {KMINS_M}"
+)
+
+ORACLES["kmins_user_estimate"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               {hash64_duck("CAST(user_id AS VARCHAR)", f"'{KMINS_BSALT}'")}
+                   % {KMINS_M} AS bucket,
+               {hash64_duck("CAST(user_id AS VARCHAR)", f"'{KMINS_VSALT}'")}
+                   AS v
+        FROM events
+    ),
+    minima AS (
+        SELECT event_type, bucket, min(v) AS mv
+        FROM ev GROUP BY event_type, bucket
+    ),
+    lattice AS (
+        SELECT event_type, b.range AS bucket
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN range({KMINS_M}) b
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(sum(coalesce(mv, {KMINS_R})) AS BIGINT) AS sum_min,
+               count(mv) AS filled
+        FROM lattice LEFT JOIN minima USING (event_type, bucket)
+        GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, filled, n_exact,
+           {_KM_EST} AS kmins_estimate,
+           CAST(sign({_KM_EST} - n_exact) AS BIGINT)
+               * ((abs({_KM_EST} - n_exact) * 10000) // n_exact)
+               AS err_bp
+    FROM sums JOIN exact USING (event_type)
+    ORDER BY event_type
+"""

@@ -329,3 +329,139 @@ ORACLES = {
         {_VERIFY_TAIL}
     """,
 }
+
+
+#: idf quantization: milli-nats. Chosen for 128-bit headroom: the
+#: score is dot^2 * 1e6 div (n2a * n2b) in DECIMAL(38,0); with
+#: milli-nat weights dot stays ~1e10 at these SFs (and would need to
+#: exceed 1e16 before dot^2 * 1e6 left decimal(38,0) — that is a
+#: per-PAIR shared-weight mass, bounded by document length, not by
+#: corpus size).
+IDF_QUANT = 1000
+
+#: bounded result head
+TOP_COSINE = 20
+
+
+def sparse_cosine_topk(docs: DataFrame, k: int = TOP_COSINE) -> DataFrame:
+    """Top-k most-similar document pairs by TF-IDF-weighted cosine
+    over 3-token shingles — the SPARSE similarity path, complementing
+    the dense-embedding stack (sim_topk_bruteforce/IVF/PQ) and the
+    unweighted set paths (Jaccard, minhash).
+
+    Exactness: idf = ln(n_docs/df) is quantized ONCE to integer
+    milli-nats (the dsir/lm micro-nat discipline, coarser grid), so
+    weights w = tf * idf_mnats are exact integers; dot products and
+    norms are exact bigint sums (order-independent), and the score
+    cos^2 in ppm = dot^2 * 1e6 div (n2a * n2b) is one 128-bit
+    integral division — no sqrt, no float accumulation. cos^2
+    preserves the cosine ranking because every weight is
+    non-negative.
+
+    Scale shape: inverted-index self-join on the shingle (work =
+    sum_sh df(sh)^2 — actual co-occurrence, never |docs|^2); df=all
+    shingles get idf 0 and drop out of both dot and norms on both
+    engines. The per-doc norm is a doc-partitioned aggregate; the
+    head is one TakeOrderedAndProject.
+    """
+    tf = (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "sh")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "sh",
+            (
+                F.col("tf")
+                * F.expr(
+                    f"CAST(round(ln(n_docs / df) * {IDF_QUANT}) AS BIGINT)"
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dots = (
+        w.select(F.col("doc_id").alias("a"), "sh", F.col("w").alias("wa"))
+        .join(
+            w.select(F.col("doc_id").alias("b"), "sh", F.col("w").alias("wb")),
+            "sh",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("n2a")),
+            "a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("n2b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+                " div (CAST(n2a AS DECIMAL(38,0)) * n2b)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy(F.desc("cos2_ppm"), "a", "b")
+        .limit(k)
+    )
+
+
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: top-20 TF-IDF cosine document pairs."""
+    return sparse_cosine_topk(load(spark, sf_dir, "documents"))
+
+
+QUERIES["sim_sparse_cosine"] = sim_sparse_cosine
+
+ORACLES["sim_sparse_cosine"] = f"""
+    WITH tf AS (
+        SELECT doc_id, sh, count(*) AS tf FROM (
+            SELECT doc_id, unnest({shingles_duck("toks", 3)}) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ) GROUP BY doc_id, sh
+    ),
+    n1 AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
+    w AS (
+        SELECT * FROM (
+            SELECT doc_id, sh,
+                   tf * CAST(round(ln(n_docs / df) * {IDF_QUANT})
+                             AS BIGINT) AS w
+            FROM tf JOIN dfreq USING (sh) CROSS JOIN n1
+        ) WHERE w > 0
+    ),
+    norms AS (
+        SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(sum(x.w * y.w) AS BIGINT) AS dot
+        FROM w x JOIN w y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+                // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+               AS cos2_ppm
+    FROM dots
+    JOIN norms na ON na.doc_id = a
+    JOIN norms nb ON nb.doc_id = b
+    ORDER BY cos2_ppm DESC, a, b
+    LIMIT {TOP_COSINE}
+"""

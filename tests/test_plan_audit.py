@@ -89,6 +89,9 @@ _BOUNDED_CROSSJOIN_OK = {
     # the 1-row doc-count frame broadcast onto the vocabulary-sized
     # first-doc aggregate and the 10-row decile lattice (r9)
     "vocab_heaps_curve",
+    # the KMINS_M(=16)-row bucket lattice broadcast onto the distinct
+    # event types (empty-bucket fill for the k-mins sketch, r9)
+    "kmins_user_estimate",
     # bm25's 1-row stats frame + the 1-row dense query vector
     "rrf_fusion",
     # 1-row bounds / midpoint / totals frames over bounded series

@@ -132,3 +132,61 @@ def test_promoted_scale_queries_vs_oracle(spark, duck):
     for name in ("scale_salted_sums", "scale_grid_quantiles"):
         df = scale.QUERIES[name](spark, SF_DIR_ORACLE)
         assert_matches_oracle(df, duck, scale.ORACLES[name], name=name)
+
+
+def test_kmins_vs_oracle(spark, duck):
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.oracle import assert_matches_oracle
+
+    df = scale.kmins_user_estimate(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, scale.ORACLES["kmins_user_estimate"], name="kmins"
+    )
+
+
+def test_kmins_accuracy_and_merge(spark):
+    """|err| within ~2/sqrt(m) of exact when the sketch is full, and
+    the sketch MERGES: minima of a union = elementwise min of the
+    parts' minima (the mergeability HLL shares and CMS lacks for
+    distinct counting)."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = scale.kmins_user_estimate(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.filled == scale.KMINS_M  # sketch saturated at sf0.01
+        assert abs(r.err_bp) <= 10000 * 2 / scale.KMINS_M**0.5, r
+    # merge property on the raw minima: split events in half by
+    # event_id parity, min-merge the two sketches, compare to the
+    # one-shot sketch
+    from bike_analyzer_spark.functions.textfns import hash64
+    from bike_analyzer_spark.sources.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_DIR_ORACLE, "events").select(
+        "event_id",
+        F.pmod(
+            hash64(F.col("user_id").cast("string"), scale.KMINS_BSALT),
+            F.lit(scale.KMINS_M),
+        ).alias("bucket"),
+        hash64(F.col("user_id").cast("string"), scale.KMINS_VSALT).alias(
+            "v"
+        ),
+    )
+
+    def sketch(df):
+        return {
+            (r.bucket): r.mv
+            for r in df.groupBy("bucket")
+            .agg(F.min("v").alias("mv"))
+            .collect()
+        }
+
+    whole = sketch(ev)
+    left = sketch(ev.filter(F.col("event_id") % 2 == 0))
+    right = sketch(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        b: min(left.get(b, scale.KMINS_R), right.get(b, scale.KMINS_R))
+        for b in set(left) | set(right)
+    }
+    assert merged == whole

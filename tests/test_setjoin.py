@@ -189,3 +189,51 @@ def test_snm_finds_planted_neighbors_only_within_window(spark):
         (r.a, r.b) for r in sorted_neighborhood_pairs(docs2).collect()
     }
     assert (0, 100) in pairs2
+
+
+def test_sparse_cosine_python_replay(spark):
+    """Full python recompute of the quantized TF-IDF cosine on the
+    synthetic fixture: same milli-nat idf grid, same integer dot /
+    norm / 128-bit ppm division."""
+    import math
+
+    from bike_analyzer_spark.operators.setjoin import (
+        IDF_QUANT,
+        sparse_cosine_topk,
+    )
+
+    docs = _synth_df(spark)
+    n_docs = len(_SYNTH)
+    tf: dict[int, dict[str, int]] = {}
+    for d, t in _SYNTH:
+        toks = t.split()
+        m: dict[str, int] = {}
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            m[s] = m.get(s, 0) + 1
+        tf[d] = m
+    df_cnt: dict[str, int] = {}
+    for m in tf.values():
+        for s in m:
+            df_cnt[s] = df_cnt.get(s, 0) + 1
+    w = {
+        d: {
+            s: c * round(math.log(n_docs / df_cnt[s]) * IDF_QUANT)
+            for s, c in m.items()
+            if round(math.log(n_docs / df_cnt[s]) * IDF_QUANT) > 0
+        }
+        for d, m in tf.items()
+    }
+    n2 = {d: sum(v * v for v in m.values()) for d, m in w.items()}
+    want = {}
+    for a, b in combinations(sorted(w), 2):
+        dot = sum(w[a][s] * w[b][s] for s in w[a].keys() & w[b].keys())
+        if dot > 0:
+            want[(a, b)] = (dot * dot * 1_000_000) // (n2[a] * n2[b])
+    got = {
+        (r.a, r.b): r.cos2_ppm
+        for r in sparse_cosine_topk(docs, k=100).collect()
+    }
+    assert got == want
+    # identical documents must score exactly 1.0 (ppm == 1_000_000)
+    assert got[(0, 2)] == 1_000_000

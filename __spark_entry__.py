@@ -173,6 +173,7 @@ WINDOW_OVERFLOW = frozenset(
         "sim_sparse_cosine",
         "kmins_user_estimate",
         "od_label_propagation",
+        "dedup_containment",
     }
 )
 

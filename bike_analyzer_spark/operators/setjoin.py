@@ -465,3 +465,107 @@ ORACLES["sim_sparse_cosine"] = f"""
     ORDER BY cos2_ppm DESC, a, b
     LIMIT {TOP_COSINE}
 """
+
+
+def containment_pairs(
+    docs: DataFrame, tau_num: int = TAU_NUM, tau_den: int = TAU_DEN
+) -> DataFrame:
+    """All ORDERED pairs (a, b), a != b, with shingle-set CONTAINMENT
+    |A∩B| / |A| >= tau — the asymmetric predicate Jaccard can't
+    express (a short quote extracted into a long document scores high
+    containment but low Jaccard). Returns
+    (a, b, inter, na, nb, cont_bp).
+
+    Prefix filtering adapts losslessly to containment: if
+    |A∩B| >= ceil(tau*|A|) then A's first |A| - ceil(tau*|A|) + 1
+    elements under the global frequency order must hit B — but ONLY
+    the contained side can be pruned (B's size grants B no skip
+    rights), so the join is A-prefix x B-full. Still lossless, so the
+    oracle is again the naive all-ordered-pairs join.
+
+    Scale shape: same frames as `prefix_filter_pairs` (one shingle
+    explode+distinct, one vocabulary-sized df aggregate, per-doc
+    prefix ranks); candidate volume is sum over A-prefix shingles of
+    df — linear in df, not df^2, because the B side never expands
+    beyond the true posting list."""
+    ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
+    df_tbl = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        ds.join(df_tbl, "sh")
+        .withColumn("r", F.row_number().over(per_doc.orderBy("df", "sh")))
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    pref = (
+        ranked.filter(
+            F.expr(
+                f"r <= n - (({tau_num} * n + {tau_den - 1}) div {tau_den})"
+                " + 1"
+            )
+        )
+        .select(F.col("doc_id").alias("a"), "sh", F.col("n").alias("na"))
+        .localCheckpoint(eager=False)
+    )
+    full = ds.select(F.col("doc_id").alias("b"), "sh")
+    cands = (
+        pref.join(full, "sh")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "na")
+        .distinct()
+    )
+    da = ds.select(F.col("doc_id").alias("a"), "sh")
+    db = ds.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.select("a", "b")
+        .join(da, "a")
+        .join(db, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cands.join(inter, ["a", "b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .filter(
+            F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("na")
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
+            "nb",
+            F.expr("(10000 * inter) div na").alias("cont_bp"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: ordered near-subset pairs (containment >= 4/5)
+    via the contained-side-pruned prefix join; naive all-ordered-pairs
+    oracle = the losslessness proof."""
+    return containment_pairs(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+ORACLES["dedup_containment"] = f"""
+    WITH ds AS ({_DS}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM ds x JOIN ds y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+           (10000 * i.inter) // sa.n AS cont_bp
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE {TAU_DEN} * i.inter >= {TAU_NUM} * sa.n
+    ORDER BY a, b
+"""

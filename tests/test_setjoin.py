@@ -237,3 +237,42 @@ def test_sparse_cosine_python_replay(spark):
     assert got == want
     # identical documents must score exactly 1.0 (ppm == 1_000_000)
     assert got[(0, 2)] == 1_000_000
+
+
+def test_containment_equals_bruteforce_and_is_asymmetric(spark):
+    """Brute-force containment on a fixture with a strict subset doc:
+    the quote must be contained in the host (high cont_bp) while the
+    host is NOT contained in the quote, and the full ordered-pair
+    set must match the naive recompute."""
+    from bike_analyzer_spark.operators.setjoin import containment_pairs
+
+    host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    quote = "alpha beta gamma delta epsilon zeta eta"  # strict prefix
+    rows = [
+        (0, host),
+        (1, quote),
+        (2, "unrelated words in another doc entirely about something else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): (r.inter, r.na, r.nb, r.cont_bp)
+        for r in containment_pairs(docs).collect()
+    }
+    sets = {d: _shingles(t) for d, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if TAU_DEN * inter >= TAU_NUM * len(sets[a]):
+                want[(a, b)] = (
+                    inter,
+                    len(sets[a]),
+                    len(sets[b]),
+                    (10000 * inter) // len(sets[a]),
+                )
+    assert got == want
+    assert (1, 0) in got and got[(1, 0)][3] == 10000  # full containment
+    assert (0, 1) not in got  # asymmetry: host not contained in quote

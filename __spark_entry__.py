@@ -174,6 +174,7 @@ WINDOW_OVERFLOW = frozenset(
         "kmins_user_estimate",
         "od_label_propagation",
         "dedup_containment",
+        "f_struct_ops",
     }
 )
 

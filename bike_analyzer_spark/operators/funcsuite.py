@@ -330,3 +330,84 @@ ORACLES["f_map_ops"] = f"""
     FROM c
     ORDER BY doc_id
 """
+
+
+def f_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRUCT-type function family — the last cell of the
+    type-function matrix (array/map/datetime/string suites already
+    driver-gated): construction (struct / named_struct incl. a nested
+    two-level struct), NESTED field access (profile.doc.n_tokens —
+    the path Catalyst prunes to a scalar), struct-array ORDERING
+    (array_sort over (count, token) structs — lexicographic by field
+    position, the SQL-standard struct comparison), and field
+    extraction from the sorted ends (arg-min / arg-max without a
+    shuffle or a window).
+
+    Everything is row-local — one codegen projection, the struct
+    never leaves the row; the only shuffle is the final doc_id sort.
+    The DuckDB twin computes the same integers relationally (explode
+    + group + two rank windows): the oracle gates the RESULTS, the
+    struct surface under test is Spark's. Per-row cost is
+    O(distinct x tokens), the f_map_ops/f_array_ops contract."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens("text")
+    )
+    entries = (
+        "transform(array_distinct(toks), t -> struct("
+        "CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS c, t AS tok))"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id",
+            f"array_sort({entries}) AS asc_e",
+            f"array_sort(transform({entries},"
+            " e -> struct(-e.c AS nc, e.tok AS tok))) AS desc_e",
+            "named_struct('doc', named_struct("
+            "'n_tokens', CAST(size(toks) AS BIGINT),"
+            "'n_distinct', CAST(size(array_distinct(toks)) AS BIGINT)"
+            ")) AS profile",
+        )
+        .selectExpr(
+            "doc_id",
+            "profile.doc.n_tokens AS n_tokens",
+            "profile.doc.n_distinct AS n_distinct",
+            "element_at(asc_e, 1).c AS rarest_count",
+            "element_at(asc_e, 1).tok AS rarest_token",
+            "-element_at(desc_e, 1).nc AS top_count",
+            "element_at(desc_e, 1).tok AS top_token",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["f_struct_ops"] = f_struct_ops
+
+ORACLES["f_struct_ops"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ),
+    r AS (
+        SELECT doc_id, c, tok,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY c, tok) AS rn,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, tok) AS rx
+        FROM g
+    )
+    SELECT d.doc_id,
+           d.n_tokens,
+           nd.n_distinct,
+           rmin.c AS rarest_count,
+           rmin.tok AS rarest_token,
+           rmax.c AS top_count,
+           rmax.tok AS top_token
+    FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) d
+    JOIN (SELECT doc_id, count(*) AS n_distinct FROM g GROUP BY doc_id) nd
+      USING (doc_id)
+    JOIN (SELECT doc_id, c, tok FROM r WHERE rn = 1) rmin USING (doc_id)
+    JOIN (SELECT doc_id, c, tok FROM r WHERE rx = 1) rmax USING (doc_id)
+    ORDER BY doc_id
+"""

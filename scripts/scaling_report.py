@@ -27,8 +27,8 @@ FAMILIES = [
                           "above_avg", "scale_", "ab_test",
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
-                          "hll_", "benford", "rfm", "seasonal", "weekly_",
-                          "metric_", "web_order", "winsorized",
+                          "hll_", "kmins_", "benford", "rfm", "seasonal",
+                          "weekly_", "metric_", "web_order", "winsorized",
                           "markov_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",

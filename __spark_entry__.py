@@ -175,6 +175,7 @@ WINDOW_OVERFLOW = frozenset(
         "od_label_propagation",
         "dedup_containment",
         "f_struct_ops",
+        "seasonal_circular",
     }
 )
 
@@ -254,6 +255,9 @@ _scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
 _graph_new = _Slice(graph, ["od_link_prediction"])
 _graph_new2 = _Slice(graph, ["od_label_propagation"])
+_drift_head, _drift_tail = _split(
+    drift, ["cusum_changepoint", "psi_drift", "seasonal_anomalies"]
+)
 _ua_head, _ua_tail = _split(
     useranalytics,
     [
@@ -327,7 +331,7 @@ _MODULES = [
     _sequences_head,  # transitions, ACF, ANOVA, Holt, trigrams
     _graph_head,  # BFS reach, k-core, Bellman-Ford shortest path
     _stats_head,  # robust MAD outliers, Benford, correlations
-    drift,  # CUSUM changepoint, PSI, seasonal anomalies
+    _drift_head,  # CUSUM changepoint, PSI, seasonal anomalies
     _analytics_head,  # reversals, skyline, YoY
     divergence,  # per-source entropy, pairwise JSD
     _fuzzy_head,  # entity resolution clusters + golden record
@@ -370,6 +374,7 @@ _MODULES = [
     setjoin,  # NEW r9 wave 6: prefix-filter + SNM set-similarity joins
     _scale_new3,  # NEW r9 wave 7: k-mins cardinality sketch (streak 0)
     _graph_new2,  # NEW r9 wave 8: synchronous LPA communities (streak 0)
+    _drift_tail,  # NEW r9 wave 11: circular seasonality (streak 0)
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,

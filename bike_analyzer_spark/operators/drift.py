@@ -481,3 +481,142 @@ def _seasonal_oracle() -> str:
 
 
 ORACLES["seasonal_anomalies"] = _seasonal_oracle()
+
+
+#: circular-statistics quantizer: milli-units per cos/sin component.
+#: Quantized CONSTANTS (168 of each, generated once in python and
+#: inlined literally into BOTH engines' plans), so every downstream
+#: number is an exact integer; 1e-3 component resolution bounds the
+#: R^2 error at ~1e-3 while the 128-bit ppm division stays inside
+#: DECIMAL(38,0) up to ~1e16 events per type.
+CIRC_QUANT = 1000
+SEASON_HOW = 168  # hour-of-week period
+
+
+def _circ_consts() -> list[tuple[int, int, int]]:
+    import math
+
+    return [
+        (
+            k,
+            round(math.cos(2 * math.pi * k / SEASON_HOW) * CIRC_QUANT),
+            round(math.sin(2 * math.pi * k / SEASON_HOW) * CIRC_QUANT),
+        )
+        for k in range(SEASON_HOW)
+    ]
+
+
+def seasonal_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular seasonality per event type: the hour-of-week RESULTANT
+    VECTOR (Fisher's circular statistics) — each event is a unit
+    vector at angle 2*pi*how/168; the squared mean resultant length
+    R^2 = (sx^2 + sy^2) / n^2 measures how concentrated activity is
+    around one time of week (0 = perfectly uniform cadence, 1 = all
+    traffic in one hour). Complements the existing seasonal tools:
+    `seasonal_anomalies` flags WHICH hours deviate, the ACF measures
+    lag correlation — R^2 is the one-number seasonality STRENGTH, and
+    the peak hour-of-week rides alongside.
+
+    Exactness: the hour-of-week is pure integer epoch arithmetic
+    ((unix_micros div hour) mod 168 — no calendar functions, so no
+    Sunday=0-vs-1 cross-engine trap); cos/sin enter as 168 quantized
+    INTEGER constants shared literally by both engines; sx/sy are
+    exact integer sums; R^2 in ppm is one 128-bit integral division.
+
+    Scale shape: one shuffle to the (type x 168)-bounded histogram;
+    the constants lattice is a broadcast join; the peak is a window
+    over <=168 rows per type. Nothing downstream of the first
+    aggregate is corpus-sized."""
+    from pyspark.sql import Window
+
+    consts = spark.createDataFrame(
+        _circ_consts(), "how int, ck long, sk long"
+    )
+    hist = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"CAST((unix_micros(ts) div {HOUR_US}) % {SEASON_HOW}"
+                " AS INT)"
+            ).alias("how"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(consts), "how")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("c"), F.asc("how")
+                )
+            ),
+        )
+    )
+    return (
+        hist.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("ck")).alias("sx"),
+            F.sum(F.col("c") * F.col("sk")).alias("sy"),
+            F.max(F.when(F.col("rn") == 1, F.col("how"))).alias("peak_how"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("peak_count"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "sx",
+            "sy",
+            "(CAST(sx AS DECIMAL(38,0)) * sx + CAST(sy AS DECIMAL(38,0))"
+            f" * sy) * 1000000 div (CAST(n AS DECIMAL(38,0)) * n"
+            f" * {CIRC_QUANT * CIRC_QUANT}) AS r2_ppm",
+            "peak_how",
+            "peak_count",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["seasonal_circular"] = seasonal_circular
+
+
+def _seasonal_circular_oracle() -> str:
+    vals = ", ".join(f"({k}, {c}, {s})" for k, c, s in _circ_consts())
+    return f"""
+        WITH consts(how, ck, sk) AS (VALUES {vals}),
+        hist AS (
+            SELECT event_type,
+                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US})
+                        % {SEASON_HOW} AS INT) AS how,
+                   count(*) AS c
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT h.event_type, h.how, h.c, k.ck, k.sk,
+                   row_number() OVER (
+                       PARTITION BY h.event_type
+                       ORDER BY h.c DESC, h.how
+                   ) AS rn
+            FROM hist h JOIN consts k USING (how)
+        )
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * ck) AS BIGINT) AS sx,
+               CAST(sum(c * sk) AS BIGINT) AS sy,
+               CAST((CAST(sum(c * ck) AS HUGEINT) * sum(c * ck)
+                     + CAST(sum(c * sk) AS HUGEINT) * sum(c * sk))
+                    * 1000000
+                    // (CAST(sum(c) AS HUGEINT) * sum(c)
+                        * {CIRC_QUANT * CIRC_QUANT}) AS BIGINT)
+                   AS r2_ppm,
+               max(CASE WHEN rn = 1 THEN how END) AS peak_how,
+               CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+                   AS peak_count
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+ORACLES["seasonal_circular"] = _seasonal_circular_oracle()

@@ -102,3 +102,76 @@ def test_psi_total_is_sum_of_parts(spark):
     assert len(tot) == 1
     assert math.isclose(tot[0], sum(parts), abs_tol=1e-9)
     assert all(p >= 0 for p in parts)
+
+
+def test_seasonal_circular_python_replay(spark):
+    """Full python recount of the circular resultant at sf0.01 (same
+    epoch-hour mod 168, same quantized constants, same ppm
+    division), plus the analytic bounds: R^2 in [0, 1e6] and near 0
+    for this near-uniform synthetic cadence."""
+    import math
+    from collections import Counter
+
+    from bike_analyzer_spark.operators.drift import (
+        CIRC_QUANT,
+        HOUR_US,
+        SEASON_HOW,
+        _circ_consts,
+        seasonal_circular,
+    )
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE
+
+    consts = {k: (c, s) for k, c, s in _circ_consts()}
+    # python recount from the raw rows
+    rows = (
+        load(spark, SF_DIR_ORACLE, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    hist: dict[str, Counter] = {}
+    for r in rows:
+        if r.ts is None:
+            continue
+        # exact integer micros from the naive UTC timestamp
+        import calendar
+
+        us = (
+            calendar.timegm(r.ts.timetuple()) * 1_000_000
+            + r.ts.microsecond
+        )
+        how = (us // HOUR_US) % SEASON_HOW
+        hist.setdefault(r.event_type, Counter())[how] += 1
+    got = {
+        r.event_type: r for r in seasonal_circular(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(got) == set(hist)
+    for et, cnt in hist.items():
+        n = sum(cnt.values())
+        sx = sum(c * consts[k][0] for k, c in cnt.items())
+        sy = sum(c * consts[k][1] for k, c in cnt.items())
+        r2 = ((sx * sx + sy * sy) * 1_000_000) // (
+            n * n * CIRC_QUANT * CIRC_QUANT
+        )
+        peak = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        g = got[et]
+        assert (g.n, g.sx, g.sy, g.r2_ppm) == (n, sx, sy, r2)
+        assert (g.peak_how, g.peak_count) == peak
+        assert 0 <= g.r2_ppm <= 1_000_000
+        assert g.r2_ppm < 50_000  # near-uniform synthetic cadence
+    # concentration sanity: all events in ONE hour-of-week -> R^2 ~ 1
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    one = spark.createDataFrame(
+        [(i, base, 7, "burst", 1.0, "{}") for i in range(50)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        one.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = seasonal_circular(spark, td).collect()
+    assert len(out) == 1
+    assert out[0].r2_ppm >= 990_000

@@ -28,6 +28,7 @@ FAMILIES = [
                           "event_cooccurrence", "dau_wau",
                           "ordered_funnel", "path_", "holt",
                           "hll_", "kmins_", "benford", "rfm", "seasonal",
+                          "retention_", "theilsen", "type_affinity",
                           "weekly_", "metric_", "web_order", "winsorized",
                           "markov_")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
@@ -36,7 +37,8 @@ FAMILIES = [
                        "purchase_quartiles",
                        "user_value_navigation", "event_grouping_sets",
                        "nation_metrics_unpivot", "skyline")),
-    ("ANN / embeddings", ("sim_", "semdedup", "ann_recall")),
+    ("ANN / embeddings", ("sim_", "semdedup", "ann_recall",
+                          "ivf_label", "quantile_error")),
     ("dedup family", ("dedup_", "span_", "minhash_error")),
     ("text / quality / LM", ("text_", "tfidf", "decontam", "lang",
                              "vocab_", "lm_", "nbq_", "dsir_", "fingerprint",

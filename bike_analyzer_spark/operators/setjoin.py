@@ -369,6 +369,10 @@ def sparse_cosine_topk(docs: DataFrame, k: int = TOP_COSINE) -> DataFrame:
         .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # two consumers (the df aggregate and the weight join) — one
+        # lazy materialization instead of two explode+aggregate runs
+        # (measured ~20% of the query at sf0.1)
+        .localCheckpoint(eager=False)
     )
     n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))

@@ -176,6 +176,7 @@ WINDOW_OVERFLOW = frozenset(
         "dedup_containment",
         "f_struct_ops",
         "seasonal_circular",
+        "purchase_value_distribution",
     }
 )
 

@@ -233,3 +233,99 @@ ORACLES = {
         ORDER BY gid, event_type, hour
     """,
 }
+
+
+#: distribution-rank quantizer (micro-units of the [0,1] scale)
+DIST_QUANT = 1_000_000
+
+
+def purchase_value_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percent_rank + cume_dist — the two SQL distribution window
+    functions not yet exercised anywhere in the corpus (rank /
+    dense_rank / row_number / ntile / lag / lead / first / last all
+    are): each purchase's within-user value percentile
+    ((rank-1)/(n-1)) and cumulative distribution (rows<=current / n),
+    rolled up to the per-user head (top purchase by value) so the
+    output stays user-grain.
+
+    Exactness: both functions are rationals of exact integers over
+    the unique (v_m, event_id) total order; each is quantized ONCE
+    (round(x * 1e6) as bigint) from IEEE doubles both engines derive
+    from the same integers — the micro-unit discipline. The head
+    row's percent_rank is (n-1)/(n-1) = exactly 1e6 when the user
+    has >1 purchase, pinned in pytest; its cume_dist is exactly 1e6
+    always (every row <= the max).
+
+    Scale shape: the window partitions by user (per-user purchase
+    counts bound the sort); the head pick is the same window's
+    row_number — one shuffle total, then a user-grain projection."""
+    w = Window.partitionBy("user_id").orderBy("v_m", "event_id")
+    return (
+        _purchases(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "v_m",
+            F.expr(
+                f"CAST(round(percent_rank() OVER (PARTITION BY user_id"
+                f" ORDER BY v_m, event_id) * {DIST_QUANT}) AS BIGINT)"
+            ).alias("pr_micro"),
+            F.expr(
+                f"CAST(round(cume_dist() OVER (PARTITION BY user_id"
+                f" ORDER BY v_m, event_id) * {DIST_QUANT}) AS BIGINT)"
+            ).alias("cd_micro"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("v_m"), F.desc("event_id")
+                )
+            )
+            .alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias(
+                "n_purchases"
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_purchases",
+            F.col("event_id").alias("top_event_id"),
+            _halfup("v_m", "1000", 3).alias("top_value"),
+            F.col("pr_micro").alias("top_percent_rank_micro"),
+            F.col("cd_micro").alias("top_cume_dist_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["purchase_value_distribution"] = purchase_value_distribution
+
+ORACLES["purchase_value_distribution"] = f"""
+    WITH p AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 1000, 0) AS BIGINT) AS v_m
+        FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (
+        SELECT user_id, event_id, v_m,
+               CAST(round(percent_rank() OVER (PARTITION BY user_id
+                   ORDER BY v_m, event_id) * {DIST_QUANT}) AS BIGINT)
+                   AS pr_micro,
+               CAST(round(cume_dist() OVER (PARTITION BY user_id
+                   ORDER BY v_m, event_id) * {DIST_QUANT}) AS BIGINT)
+                   AS cd_micro,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY v_m DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_purchases
+        FROM p
+    )
+    SELECT user_id, n_purchases,
+           event_id AS top_event_id,
+           {_hd('v_m', '1000', 3)} AS top_value,
+           pr_micro AS top_percent_rank_micro,
+           cd_micro AS top_cume_dist_micro
+    FROM d WHERE rn = 1
+    ORDER BY user_id
+"""

@@ -72,3 +72,32 @@ def test_grouping_sets_excludes_the_cell_set(spark):
         ).collect()
     }
     assert gids == {1, 2, 3}
+
+
+def test_distribution_head_pins(spark):
+    """percent_rank of the within-user max is exactly 1.0 (micro =
+    1e6) whenever the user has >1 purchase — and 0 for singletons
+    ((rank-1)/(n-1) with rank=n=1); cume_dist of the max is exactly
+    1.0 always. Python re-derivation of n from the raw rows."""
+    from collections import Counter
+
+    from bike_analyzer_spark.operators.winfuncs import (
+        purchase_value_distribution,
+    )
+    from bike_analyzer_spark.sources.catalog import load
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = purchase_value_distribution(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    n_by_user = Counter(
+        r.user_id
+        for r in load(spark, SF_DIR_ORACLE, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .collect()
+    )
+    assert {r.user_id: r.n_purchases for r in rows} == dict(n_by_user)
+    for r in rows:
+        assert r.top_cume_dist_micro == 1_000_000
+        expect_pr = 1_000_000 if r.n_purchases > 1 else 0
+        assert r.top_percent_rank_micro == expect_pr, r

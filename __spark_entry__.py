@@ -81,55 +81,90 @@ from bike_analyzer_spark.operators import (
 # Manual rotate-backs (edited-module policy, tests/test_rotation.py):
 # proven queries whose operators changed materially this round, so
 # their historical streaks are not evidence and they re-occupy window
-# slots (priority 0) until re-proven.  Empty this round: the r8
-# rotate-backs (tpch_pricing_summary, dedup_minhash_lsh,
-# dedup_incr_near) all re-proved green in CORRECTNESS_r08; the only
-# operator edit in r9 (od_kcore's threshold derivation) belongs to a
-# streak-0 query already inside the window.
+# slots (priority 0) until re-proven.  Empty this round: the only r9
+# operator edit (od_kcore) re-proved green in CORRECTNESS_r09.
 WINDOW_ROTATEBACKS = frozenset()
 
-# Window overflow (r9): the 50 slots hold the 46 never-driver-checked
-# queries (the r8 overflow backlog, drained in full) plus 4 streak-1
-# rotate-ins; these streak-1 queries — every one green in
-# CORRECTNESS_r08 — queue outside for their second green at r10.
-# tests/test_rotation.py asserts this set is EXACTLY the unproven
-# (streak<2) queries outside the window.
+# Window overflow (r10): the 50 slots hold the 25 never-driver-
+# checked queries (the full r9-new backlog) plus 25 streak-1
+# rotate-ins with the OLDEST evidence (r8 greens skipped in r9:
+# warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 7).  Outside, 70
+# streak-1 queries queue for their second green: the 50 r9-window
+# queries (freshest evidence, rotate back last) plus the remaining
+# 20 r8-green stragglers (r11 drains these).  tests/test_rotation.py
+# asserts this set is EXACTLY the unproven (streak<2) queries
+# outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
-        # warehouse_ext (r8-green, re-enter r10)
-        "event_gap_profile",
-        "purchase_value_rank",
-        "nation_metrics_unpivot",
-        "tpch_promo_revenue",
-        "dormant_customers",
-        "above_avg_orders",
-        "cube_type_hour",
-        "tpch_customer_distribution",
-        "rolling_user_spend",
-        "funnel_reconciliation",
-        "scd2_user_tiers",
-        # tpch wave-3/4 shapes (r8-green)
-        "tpch_late_shipment_priority",
-        "tpch_shipmode_priority",
-        "tpch_parts_supplier_variety",
-        "tpch_top_supplier_share",
-        "tpch_sales_opportunity",
-        "tpch_small_quantity_revenue",
-        "tpch_disjunctive_revenue",
-        # tpch_close Q2/Q6/Q8/Q9/Q15/Q20/Q21 (r8-green)
-        "tpch_forecast_revenue",
-        "tpch_min_cost_supplier",
-        "tpch_market_share",
-        "tpch_product_profit",
-        "tpch_top_supplier",
-        "tpch_part_promotion",
-        "tpch_waiting_suppliers",
-        # text / winfuncs / scale / eval / stats / misc (r8-green)
+        # ---- r9 window, all green in CORRECTNESS_r09 (streak 1) ----
+        # useranalytics head
+        "attribution_last_touch",
+        "ltv_decay",
+        "attribution_delay",
+        "dau_wau_stickiness",
+        "ordered_funnel",
+        "attribution_position",
+        "cohort_ltv",
+        "rfm_segments",
+        "weekly_conversion_ci",
+        "web_order_bridge",
+        # sequences head
+        "event_transitions",
+        "activity_acf",
+        "activity_anova",
+        "holt_forecast",
+        "path_trigrams",
+        # graph head
+        "od_reach_hops",
+        "od_kcore",
+        "od_shortest_path",
+        # stats head
+        "robust_outliers",
+        "benford_digits",
+        "metric_correlations",
+        # drift head
+        "cusum_changepoint",
+        "psi_drift",
+        "seasonal_anomalies",
+        # analytics_ext head
+        "value_reversals",
+        "skyline_parts",
+        "monthly_revenue_yoy",
+        # divergence / fuzzy / profile / scale / vocab heads
+        "domain_entropy",
+        "domain_jsd_pairs",
+        "entity_clusters",
+        "entity_golden_record",
+        "integrity_audit",
+        "skew_report",
+        "event_disorder_profile",
+        "hll_user_estimate",
+        "hll_grouped_estimate",
+        "vocab_bigram_pmi",
+        "vocab_zipf_fit",
+        # warehouse_ext / assoc / curate / eval / misc heads
+        "fulfillment_latency",
+        "basket_size_profile",
+        "revenue_pareto",
+        "event_cooccurrence",
+        "source_data_card",
+        "corpus_build_card",
+        "nbq_gains",
+        "ab_test_chi2",
+        "time_weighted_avg",
+        "geo_hotspots",
+        "rrf_fusion",
+        "ngram_novelty",
+        # ---- r8 greens still awaiting a second green (r11 drains) --
         "text_bpe_encode",
         "text_chunk_plan",
         "purchase_quartiles",
         "user_value_navigation",
         "event_grouping_sets",
+        "f_array_ops",
+        "f_datetime_ops",
+        "f_rank_ties",
+        "f_string_ops",
         "scale_salted_sums",
         "scale_grid_quantiles",
         "ann_recall_ivf",
@@ -141,42 +176,6 @@ WINDOW_OVERFLOW = frozenset(
         "cohort_retention",
         "od_triangles",
         "bm25_topk",
-        # funcsuite (r8-green) ceded its four rotate-in slots to the
-        # four NEW r9 queries (streak 0 outranks streak 1)
-        "f_array_ops",
-        "f_datetime_ops",
-        "f_rank_ties",
-        "f_string_ops",
-        # NEW in r9 wave 2 (streak 0): the window is already full of
-        # streak-0 queries, so these tie-break outside and enter at
-        # the r10 rotation
-        "winsorized_stats",
-        "markov_eval",
-        "hll_overlap_estimate",
-        # NEW in r9 wave 3 (streak 0): same tie-break, enter at r10
-        "type_affinity_cosine",
-        "activity_ccf",
-        "retention_survival",
-        "od_link_prediction",
-        "sim_ivfpq_topk",
-        "text_readability",
-        "f_map_ops",
-        "geo_dbscan_clusters",
-        "ivf_label_purity",
-        "theilsen_trend",
-        "scale_salted_join",
-        "quantile_error_audit",
-        # NEW in r9 wave 6 (streak 0): same tie-break, enter at r10
-        "dedup_prefix_filter",
-        "dedup_sorted_neighborhood",
-        "vocab_heaps_curve",
-        "sim_sparse_cosine",
-        "kmins_user_estimate",
-        "od_label_propagation",
-        "dedup_containment",
-        "f_struct_ops",
-        "seasonal_circular",
-        "purchase_value_distribution",
     }
 )
 
@@ -215,7 +214,11 @@ _curate_head, _curate_tail = _split(
     curate, ["source_data_card", "corpus_build_card"]
 )
 _quality_head, _quality_tail = _split(quality, ["ngram_novelty"])
-_eval_head, _eval_tail = _split(evalsuite, ["nbq_gains"])
+_eval_head = _Slice(evalsuite, ["nbq_gains"])
+_eval_new = _Slice(evalsuite, ["ivf_label_purity", "quantile_error_audit"])
+_eval_ovf = _Slice(
+    evalsuite, ["ann_recall_ivf", "nbq_confusion", "minhash_error_profile"]
+)
 _fuzzy_head, _fuzzy_tail = _split(
     fuzzy, ["entity_clusters", "entity_golden_record"]
 )
@@ -227,7 +230,11 @@ _graph_proven = _Slice(
     graph, ["dedup_clusters", "dedup_clusters_lss", "od_pagerank"]
 )
 _hyper_head, _hyper_tail = _split(hypertable, ["time_weighted_avg"])
-_od_head, _od_tail = _split(od, ["geo_hotspots"])
+_od_head = _Slice(od, ["geo_hotspots"])
+_od_new = _Slice(od, ["geo_dbscan_clusters"])
+_od_proven = _Slice(
+    od, ["od_flows_topn", "od_flow_conservation", "od_flows_with_coords"]
+)
 _profile_head, _profile_tail = _split(
     profile, ["integrity_audit", "skew_report", "event_disorder_profile"]
 )
@@ -237,9 +244,11 @@ _scale_head, _scale_tail = _split(
 )
 _scale_ovf = _Slice(scale, ["scale_salted_sums", "scale_grid_quantiles"])
 _scale_proven = _Slice(scale, ["cms_user_counts"])
-_stats_head, _stats_tail = _split(
+_stats_head = _Slice(
     stats, ["robust_outliers", "benford_digits", "metric_correlations"]
 )
+_stats_new = _Slice(stats, ["winsorized_stats", "theilsen_trend"])
+_stats_ovf = _Slice(stats, ["stats_moments"])
 _sequences_head, _sequences_tail = _split(
     sequences,
     [
@@ -259,7 +268,7 @@ _graph_new2 = _Slice(graph, ["od_label_propagation"])
 _drift_head, _drift_tail = _split(
     drift, ["cusum_changepoint", "psi_drift", "seasonal_anomalies"]
 )
-_ua_head, _ua_tail = _split(
+_ua_head = _Slice(
     useranalytics,
     [
         "attribution_last_touch",
@@ -274,8 +283,20 @@ _ua_head, _ua_tail = _split(
         "web_order_bridge",
     ],
 )
-_vocab_head, _vocab_tail = _split(
-    vocab, ["vocab_bigram_pmi", "vocab_zipf_fit"]
+_ua_new = _Slice(useranalytics, ["retention_survival"])
+_ua_ovf = _Slice(useranalytics, ["cohort_retention"])
+_vocab_head = _Slice(vocab, ["vocab_bigram_pmi", "vocab_zipf_fit"])
+_vocab_new = _Slice(vocab, ["vocab_heaps_curve"])
+_vocab_proven = _Slice(vocab, ["vocab_summary", "vocab_top_terms"])
+_winfuncs_new = _Slice(winfuncs, ["purchase_value_distribution"])
+_winfuncs_ovf = _Slice(
+    winfuncs,
+    ["purchase_quartiles", "user_value_navigation", "event_grouping_sets"],
+)
+_funcsuite_new = _Slice(funcsuite, ["f_map_ops", "f_struct_ops"])
+_funcsuite_ovf = _Slice(
+    funcsuite,
+    ["f_array_ops", "f_datetime_ops", "f_rank_ties", "f_string_ops"],
 )
 _wx_head, _wx_tail = _split(
     warehouse_ext,
@@ -316,71 +337,78 @@ _sampling_proven = _Slice(
 )
 
 _MODULES = [
-    # ---- r9 window (exactly 50 queries, streak-0-first) ---------
-    # The full 46-query r8 WINDOW_OVERFLOW backlog — every query
-    # that has NEVER appeared in a driver CORRECTNESS artifact —
-    # drains into the window in one round, plus the four queries NEW
-    # in r9 (corpus_build_card, ngram_novelty, revenue_pareto,
-    # event_disorder_profile — streak 0 outranks the streak-1
-    # rotate-in candidates). Slot arithmetic: useranalytics 10 +
-    # sequences 5 + graph 3 + stats 3 + drift 3 + analytics_ext 3 +
-    # profile 3 (+disorder) + warehouse_ext 3 (+pareto) + divergence
-    # 2 + fuzzy 2 + scale(hll) 2 + vocab 2 + curate 2 (+build card)
-    # + quality 1 (novelty) + assoc 1 + evalsuite 1 + experiment 1 +
-    # hypertable 1 + od 1 + retrieval 1 = 50.
-    _ua_head,  # attribution / LTV / RFM / funnels / stickiness / CI
-    _sequences_head,  # transitions, ACF, ANOVA, Holt, trigrams
-    _graph_head,  # BFS reach, k-core, Bellman-Ford shortest path
-    _stats_head,  # robust MAD outliers, Benford, correlations
-    _drift_head,  # CUSUM changepoint, PSI, seasonal anomalies
-    _analytics_head,  # reversals, skyline, YoY
-    divergence,  # per-source entropy, pairwise JSD
-    _fuzzy_head,  # entity resolution clusters + golden record
-    _profile_head,  # integrity audit, skew report
-    _scale_head,  # HLL per-user + grouped reach estimates
-    _vocab_head,  # bigram PMI, Zipf fit
-    _wx_head,  # fulfillment latency, basket size profile
-    _assoc_head,  # event co-occurrence lift
-    _curate_head,  # source data card
-    _eval_head,  # nbq_gains calibration
-    experiment,  # chi-square A/B
-    _hyper_head,  # TWAP time-weighted average
-    _od_head,  # Getis-Ord geo hotspots
-    _retrieval_head,  # RRF hybrid fusion
-    _quality_head,  # NEW r9: first-occurrence n-gram novelty
-    # ---- outside the window: the 45 streak-1 queries ------------
-    # ALL r8-green, queued in WINDOW_OVERFLOW to re-enter at r10
-    # for their second green.
+    # ---- r10 window (exactly 50 queries, streak-0-first) --------
+    # The 25 never-driver-checked queries (the complete r9-new wave,
+    # WINDOW_OVERFLOW's streak-0 block at r9 end) seat first.  Slot
+    # arithmetic: winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
+    # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
+    # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
+    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 = 25.
+    _winfuncs_new,  # percent_rank/cume_dist value distribution
+    _funcsuite_new,  # MAP + STRUCT function suites
+    _eval_new,  # IVF cluster purity, quantile-sketch error audit
+    _stats_new,  # winsorized stats, Theil-Sen robust trend
+    _ua_new,  # Kaplan-Meier retention survival
+    _sequences_tail,  # Markov holdout eval, lagged CCF
+    _scale_new,  # HLL audience overlap (union/intersection)
+    _assoc_tail,  # type-affinity cosine
+    _graph_new,  # Adamic-Adar link prediction
+    ivfpq,  # composed IVF-PQ ANN top-k
+    _text_new,  # FORCAST readability
+    _scale_new2,  # salted skew-proof join rollup
+    setjoin,  # prefix-filter/SNM/sparse-cosine/containment joins
+    _scale_new3,  # k-mins cardinality sketch
+    _graph_new2,  # synchronous label-propagation communities
+    _drift_tail,  # circular seasonality
+    _vocab_new,  # Heaps-law vocab growth curve
+    _od_new,  # grid-density DBSCAN
+    # Then 25 streak-1 rotate-ins with the OLDEST evidence — green
+    # in CORRECTNESS_r08, skipped by the r9 window — for their
+    # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
+    # Q2/Q6/Q8/Q9/Q15/Q20/Q21 7 = 25.
     _wx_tail,
     _tpch_ovf,
     tpch_close,
-    winfuncs,
-    funcsuite,
+    # ---- outside the window: 70 streak-1 queries ----------------
+    # First the remaining 20 r8-greens (oldest evidence — these
+    # rotate in at r11)...
     _text_ovf,
+    _winfuncs_ovf,
+    _funcsuite_ovf,
     _scale_ovf,
-    _eval_tail,
-    _stats_tail,
+    _eval_ovf,
+    _stats_ovf,
     _sampling_ovf,
     gapfill,
-    _ua_tail,
+    _ua_ovf,
     _graph_ovf,
     _retrieval_tail,
-    _sequences_tail,  # NEW r9 wave 2: markov_eval (streak 0, outside)
-    _scale_new,  # NEW r9 wave 2: hll_overlap_estimate (streak 0, outside)
-    _assoc_tail,  # NEW r9 wave 3: type_affinity_cosine (streak 0, outside)
-    _graph_new,  # NEW r9 wave 3: od_link_prediction (streak 0, outside)
-    ivfpq,  # NEW r9 wave 4: composed IVF-PQ ANN (streak 0, outside)
-    _text_new,  # NEW r9 wave 4: FORCAST readability (streak 0, outside)
-    _scale_new2,  # NEW r9 wave 5: salted-join rollup (streak 0, outside)
-    setjoin,  # NEW r9 wave 6: prefix-filter + SNM set-similarity joins
-    _scale_new3,  # NEW r9 wave 7: k-mins cardinality sketch (streak 0)
-    _graph_new2,  # NEW r9 wave 8: synchronous LPA communities (streak 0)
-    _drift_tail,  # NEW r9 wave 11: circular seasonality (streak 0)
+    # ...then the 50 r9-window queries (freshest greens, rotate back
+    # last).
+    _ua_head,
+    _sequences_head,
+    _graph_head,
+    _stats_head,
+    _drift_head,
+    _analytics_head,
+    divergence,
+    _fuzzy_head,
+    _profile_head,
+    _scale_head,
+    _vocab_head,
+    _wx_head,
+    _assoc_head,
+    _curate_head,
+    _eval_head,
+    experiment,
+    _hyper_head,
+    _od_head,
+    _retrieval_head,
+    _quality_head,
     # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     similarity,
     ivf,
-    ivfpq,
     pq,
     dedup,
     _quality_tail,
@@ -396,13 +424,13 @@ _MODULES = [
     classifier,
     layout,
     substring,
-    _vocab_tail,
+    _vocab_proven,
     _fuzzy_tail,
     _profile_tail,
     rangejoin,
     _hyper_tail,
     asof,
-    _od_tail,
+    _od_proven,
     windows,
     readers,
     _analytics_tail,

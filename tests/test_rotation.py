@@ -189,6 +189,33 @@ def test_round_files_sort_numerically():
     ]
 
 
+def test_no_duplicate_registrations():
+    """No module/slice object may appear twice in _MODULES, and no
+    query name may be contributed by two entries. Registration order
+    IS the driver contract; a duplicate is harmless only while both
+    copies sit outside the window (dict update is idempotent), but it
+    silently shifts every later query's slot — r9 shipped a duplicate
+    ivfpq entry that way. Make the class unrepresentable."""
+    import __spark_entry__ as entry_mod
+
+    mods = entry_mod._MODULES
+    seen_ids: dict[int, int] = {}
+    for i, m in enumerate(mods):
+        assert id(m) not in seen_ids, (
+            f"_MODULES entry {i} is the same object as entry "
+            f"{seen_ids[id(m)]} ({getattr(m, '__name__', m)})"
+        )
+        seen_ids[id(m)] = i
+    owners: dict[str, int] = {}
+    for i, m in enumerate(mods):
+        for q in m.QUERIES:
+            assert q not in owners, (
+                f"query {q!r} registered by both _MODULES[{owners[q]}] "
+                f"and _MODULES[{i}]"
+            )
+            owners[q] = i
+
+
 def test_registry_is_consistent():
     """Every query has a callable; every oracle key is a query key (a
     dangling oracle means a renamed query silently loses its gate)."""

@@ -89,22 +89,24 @@ def _doc_shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def prefix_filter_pairs(
-    docs: DataFrame, tau_num: int = TAU_NUM, tau_den: int = TAU_DEN
+def _prefix_candidates(
+    ds: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    positional: bool = True,
 ) -> DataFrame:
-    """All pairs (a < b) with shingle-set Jaccard >= tau, found via
-    prefix filtering. Returns (a, b, inter, na, nb, jacc_bp) where
-    jacc_bp = floor(10000 * inter / union) — exact integers only.
-
-    Plan: one explode+distinct of the corpus (checkpointed — three
-    consumers: the df aggregate, the prefix frame, the verify frame),
-    a vocabulary-sized frequency aggregate, per-document prefix ranks
-    (window partitioned by doc_id), a prefix-to-prefix equi join on
-    the shingle, a length filter (ceil(tau*|x|) <= |y|), and an
-    intersection-counting verify join. Nothing in the plan is
-    proportional to |docs|^2.
+    """Candidate (a, b, na, nb) pairs from the prefix-prefix join.
+    With ``positional`` the PPJoin positional filter (Xiao et al.
+    WWW'08 §3.2) also applies: a prefix match at ranks (ra, rb)
+    bounds the attainable overlap by 1 + min(na-ra, nb-rb) — the
+    remaining common elements occupy distinct ranks AFTER the match
+    on both sides, because both sets are ordered by the same global
+    (df, sh) order. A pair survives iff SOME match's bound reaches
+    minoverlap = ceil(tau*(na+nb)/(1+tau)); for a genuinely similar
+    pair the FIRST common element (which is always a prefix-prefix
+    match, and has the largest suffixes) passes, so the filter is
+    lossless — the naive-oracle driver gate re-proves it end-to-end.
     """
-    ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
     df_tbl = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # ascending (df, sh) is the global element order; rank within each
     # document's own set (partition = doc_id, bounded by doc length).
@@ -127,17 +129,23 @@ def prefix_filter_pairs(
                 f"r <= n - (({tau_num} * n + {tau_den - 1}) div {tau_den}) + 1"
             )
         )
-        .select("doc_id", "sh", "n")
+        .select("doc_id", "sh", "n", "r")
         # two consumers (each side of the self-join) — materialize the
         # ranked prefix once instead of re-running the df join + the
         # per-doc window per side
         .localCheckpoint(eager=False)
     )
     a = pref.select(
-        F.col("doc_id").alias("a"), "sh", F.col("n").alias("na")
+        F.col("doc_id").alias("a"),
+        "sh",
+        F.col("n").alias("na"),
+        F.col("r").alias("ra"),
     )
     b = pref.select(
-        F.col("doc_id").alias("b"), "sh", F.col("n").alias("nb")
+        F.col("doc_id").alias("b"),
+        "sh",
+        F.col("n").alias("nb"),
+        F.col("r").alias("rb"),
     )
     cands = (
         a.join(b, "sh")
@@ -148,9 +156,41 @@ def prefix_filter_pairs(
             (F.lit(tau_den) * F.col("na") >= F.lit(tau_num) * F.col("nb"))
             & (F.lit(tau_den) * F.col("nb") >= F.lit(tau_num) * F.col("na"))
         )
-        .select("a", "b", "na", "nb")
-        .distinct()
     )
+    if positional:
+        # 1 + min(na-ra, nb-rb) >= ceil(tau_num*(na+nb)/(tau_num+
+        # tau_den)); for integers x >= ceil(A/B) <=> B*x >= A
+        cands = cands.filter(
+            F.lit(tau_num + tau_den)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+            )
+            >= F.lit(tau_num) * (F.col("na") + F.col("nb"))
+        )
+    return cands.select("a", "b", "na", "nb").distinct()
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, tau_num: int = TAU_NUM, tau_den: int = TAU_DEN
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= tau, found via
+    prefix filtering + the PPJoin positional filter. Returns
+    (a, b, inter, na, nb, jacc_bp) where jacc_bp =
+    floor(10000 * inter / union) — exact integers only.
+
+    Plan: one explode+distinct of the corpus (checkpointed — three
+    consumers: the df aggregate, the prefix frame, the verify frame),
+    a vocabulary-sized frequency aggregate, per-document prefix ranks
+    (window partitioned by doc_id), a prefix-to-prefix equi join on
+    the shingle with length + positional filters fused into the join
+    conditions, and an intersection-counting verify join. Nothing in
+    the plan is proportional to |docs|^2.
+    """
+    ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
+    cands = _prefix_candidates(ds, tau_num, tau_den)
     return _exact_verify(cands, ds, tau_num, tau_den)
 
 
@@ -192,10 +232,10 @@ def _exact_verify(
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: exact Jaccard >= 1/2 near-dup pairs via the
-    lossless prefix-filtered set-similarity self-join. The oracle is
-    the NAIVE all-pairs join — equality of the two is the
-    zero-false-negative proof."""
+    """Driver query: exact Jaccard >= TAU_NUM/TAU_DEN (4/5) near-dup
+    pairs via the lossless prefix-filtered set-similarity self-join.
+    The oracle is the NAIVE all-pairs join — equality of the two is
+    the zero-false-negative proof."""
     return prefix_filter_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -257,10 +297,11 @@ def sorted_neighborhood_pairs(
 
 
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: SNM-blocked near-dup pairs (Jaccard >= 1/2 among
-    pairs within the sort window). The oracle replicates the window
-    semantics exactly — this gate proves the blocking math (ranks,
-    band join, boundary truncation), not lossless recall."""
+    """Driver query: SNM-blocked near-dup pairs (Jaccard >=
+    TAU_NUM/TAU_DEN = 4/5 among pairs within the sort window). The
+    oracle replicates the window semantics exactly — this gate proves
+    the blocking math (ranks, band join, boundary truncation), not
+    lossless recall."""
     return sorted_neighborhood_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -339,11 +380,26 @@ ORACLES = {
 #: corpus size).
 IDF_QUANT = 1000
 
+#: Hot-shingle document-frequency cap (the `dedup.NGRAM_DF_CAP`
+#: discipline, r9 verdict ask): the inverted-index self-join's work
+#: is sum_sh df(sh)^2, and while df=n_docs shingles already drop out
+#: (idf 0), a shingle with df in the thousands at web scale would
+#: still contribute df^2 candidate pairs. Shingles with df above the
+#: cap are dropped from BOTH weights and norms (consistent
+#: numerator/denominator), identically in the Spark plan and the
+#: DuckDB oracle, so the gate still hash-matches. 64 is far above
+#: this corpus's max df (7 at sf0.01, 25 at sf0.1), so committed
+#: output is unchanged; the bound is pinned by
+#: tests/test_setjoin.py::test_sparse_cosine_hot_shingle_bounded.
+COSINE_DF_CAP = 64
+
 #: bounded result head
 TOP_COSINE = 20
 
 
-def sparse_cosine_topk(docs: DataFrame, k: int = TOP_COSINE) -> DataFrame:
+def sparse_cosine_topk(
+    docs: DataFrame, k: int = TOP_COSINE, df_cap: int = COSINE_DF_CAP
+) -> DataFrame:
     """Top-k most-similar document pairs by TF-IDF-weighted cosine
     over 3-token shingles — the SPARSE similarity path, complementing
     the dense-embedding stack (sim_topk_bruteforce/IVF/PQ) and the
@@ -361,8 +417,10 @@ def sparse_cosine_topk(docs: DataFrame, k: int = TOP_COSINE) -> DataFrame:
     Scale shape: inverted-index self-join on the shingle (work =
     sum_sh df(sh)^2 — actual co-occurrence, never |docs|^2); df=all
     shingles get idf 0 and drop out of both dot and norms on both
-    engines. The per-doc norm is a doc-partitioned aggregate; the
-    head is one TakeOrderedAndProject.
+    engines, and shingles hotter than COSINE_DF_CAP are dropped from
+    weights AND norms before the self-join (df^2 skew bound). The
+    per-doc norm is a doc-partitioned aggregate; the head is one
+    TakeOrderedAndProject.
     """
     tf = (
         docs.withColumn("toks", tokens("text"))
@@ -375,7 +433,13 @@ def sparse_cosine_topk(docs: DataFrame, k: int = TOP_COSINE) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        tf.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        # hot-shingle cap: the inner weight join then drops capped
+        # shingles from dot products and norms alike
+        .filter(F.col("df") <= df_cap)
+    )
     w = (
         tf.join(dfreq, "sh")
         .crossJoin(F.broadcast(n1))
@@ -440,7 +504,10 @@ ORACLES["sim_sparse_cosine"] = f"""
         ) GROUP BY doc_id, sh
     ),
     n1 AS (SELECT count(*) AS n_docs FROM documents),
-    dfreq AS (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
+    dfreq AS (
+        SELECT sh, count(*) AS df FROM tf
+        GROUP BY sh HAVING count(*) <= {COSINE_DF_CAP}
+    ),
     w AS (
         SELECT * FROM (
             SELECT doc_id, sh,
@@ -531,8 +598,10 @@ def containment_pairs(
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: ordered near-subset pairs (containment >= 4/5)
-    via the contained-side-pruned prefix join; naive all-ordered-pairs
-    oracle = the losslessness proof."""
+    via the intersection-first postings self-join (see
+    containment_pairs for the plan measurement that rejected the
+    one-sided prefix filter); naive all-ordered-pairs oracle = the
+    losslessness proof."""
     return containment_pairs(load(spark, sf_dir, "documents"))
 
 

@@ -108,30 +108,48 @@ def test_prefix_join_prunes(spark):
         .distinct()
         .count()
     )
-    df_tbl = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
+    prefix_only = setjoin._prefix_candidates(
+        ds, TAU_NUM, TAU_DEN, positional=False
+    ).count()
+    positional = setjoin._prefix_candidates(ds, TAU_NUM, TAU_DEN).count()
+    assert prefix_only < naive / 5, (prefix_only, naive)
+    # the positional filter never ADDS candidates (at sf0.01 every
+    # prefix candidate is a true pair, so the counts may tie; the
+    # strict-pruning case is pinned synthetically below)
+    assert positional <= prefix_only, (positional, prefix_only)
 
-    per_doc = Window.partitionBy("doc_id")
-    pref = (
-        ds.join(df_tbl, "sh")
-        .withColumn("r", F.row_number().over(per_doc.orderBy("df", "sh")))
-        .withColumn("n", F.count(F.lit(1)).over(per_doc))
-        .filter(
-            F.expr(
-                f"r <= n - (({TAU_NUM} * n + {TAU_DEN - 1}) div {TAU_DEN})"
-                " + 1"
-            )
-        )
-    )
-    cand = (
-        pref.select(F.col("doc_id").alias("a"), "sh")
-        .join(pref.select(F.col("doc_id").alias("b"), "sh"), "sh")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .count()
-    )
-    assert cand < naive / 5, (cand, naive)
+
+def test_positional_filter_prunes_deep_match(spark):
+    """PPJoin positional filter, exact pruning case: docs A and B
+    share exactly ONE shingle, sitting at rank 3 — the LAST slot — of
+    both prefixes (n=10, tau=4/5 → prefix 3, minoverlap 9). The match
+    bound 1 + min(10-3, 10-3) = 8 < 9, so the positional filter drops
+    the pair that prefix filtering alone admits; A∩B = 1 of 19, so
+    dropping it costs zero recall."""
+    rows = []
+    # A(1): two unique shingles (df=1, sort first), the shared "ma"
+    # shingle (df=2), then seven df=2 fillers named after it
+    rows += [(1, "aa u1"), (1, "ab u2"), (1, "ma shared")]
+    rows += [(1, f"za f{i}") for i in range(7)]
+    # B(2): same shape, fillers shared with C instead
+    rows += [(2, "ba v1"), (2, "bb v2"), (2, "ma shared")]
+    rows += [(2, f"zb g{i}") for i in range(7)]
+    # C(3): carries both filler families so they get df=2
+    rows += [(3, f"za f{i}") for i in range(7)]
+    rows += [(3, f"zb g{i}") for i in range(7)]
+    ds = spark.createDataFrame(rows, "doc_id long, sh string")
+    loose = {
+        (r.a, r.b)
+        for r in setjoin._prefix_candidates(
+            ds, TAU_NUM, TAU_DEN, positional=False
+        ).collect()
+    }
+    tight = {
+        (r.a, r.b)
+        for r in setjoin._prefix_candidates(ds, TAU_NUM, TAU_DEN).collect()
+    }
+    assert loose == {(1, 2)}
+    assert tight == set()
 
 
 def test_sorted_neighborhood_equals_replay(spark):
@@ -237,6 +255,93 @@ def test_sparse_cosine_python_replay(spark):
     assert got == want
     # identical documents must score exactly 1.0 (ppm == 1_000_000)
     assert got[(0, 2)] == 1_000_000
+
+
+def test_sparse_cosine_hot_shingle_bounded(spark):
+    """A planted hot shingle (df high but < n_docs, so idf > 0 and it
+    would NOT drop out on its own) must not create pairs by itself:
+    with the df cap it is dropped from weights and norms before the
+    inverted-index self-join, so docs sharing only the hot shingle
+    never pair, while a genuinely similar pair still scores."""
+    hot = "common boiler plate"
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d")
+        )
+    # two docs NOT carrying the hot shingle keep df < n_docs
+    rows.append((100, "shared tail of text alpha beta end marker one"))
+    rows.append((101, "shared tail of text alpha beta end marker two"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.cos2_ppm
+        for r in setjoin.sparse_cosine_topk(docs, k=1000, df_cap=4).collect()
+    }
+    # every pair among docs 0..11 shares ONLY the capped hot shingle
+    assert all(a >= 100 for (a, b) in got), got
+    assert (100, 101) in got and got[(100, 101)] > 500_000
+    # uncapped, the hot shingle fans out: the cap really removed work
+    uncapped = {
+        (r.a, r.b)
+        for r in setjoin.sparse_cosine_topk(
+            docs, k=1000, df_cap=10**9
+        ).collect()
+    }
+    assert len(uncapped) > len(got)
+
+
+def test_idf_grid_spark_duckdb_agree(spark, duck):
+    """Pin the milli-nat idf grid against the 1-ulp libm risk (r9
+    ADVICE): for every (df, n_docs) pair present at sf0.01 AND sf0.1,
+    round(ln(n_docs/df)*1000) computed by the JVM and by DuckDB must
+    agree — a half-milli-nat boundary disagreement would flip a
+    weight and break the driver's hash equality."""
+    import duckdb as _duck
+    import glob
+    import os
+
+    for sf_dir in (SF_DIR_ORACLE, SF_DIR_ORACLE.replace("sf0.01", "sf0.1")):
+        if not glob.glob(os.path.join(sf_dir, "documents.parquet*")):
+            continue
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        from bike_analyzer_spark.functions.textfns import shingle_exprs, tokens
+
+        tf = (
+            docs.withColumn("toks", tokens("text"))
+            .select(
+                "doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh")
+            )
+            .groupBy("doc_id", "sh")
+            .count()
+        )
+        n_docs = docs.count()
+        dfs = [
+            r.df
+            for r in tf.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select("df")
+            .distinct()
+            .collect()
+        ]
+        spark_grid = {
+            r.df: r.q
+            for r in spark.createDataFrame(
+                [(d,) for d in dfs], "df long"
+            ).selectExpr(
+                "df",
+                f"CAST(round(ln({n_docs} / df) * "
+                f"{setjoin.IDF_QUANT}) AS BIGINT) AS q",
+            ).collect()
+        }
+        con = _duck.connect()
+        duck_grid = dict(
+            con.execute(
+                "SELECT df, CAST(round(ln(? / df) * ?) AS BIGINT) "
+                "FROM (SELECT unnest(?) AS df)",
+                [n_docs, setjoin.IDF_QUANT, dfs],
+            ).fetchall()
+        )
+        assert spark_grid == duck_grid, (sf_dir, n_docs)
 
 
 def test_containment_equals_bruteforce_and_is_asymmetric(spark):

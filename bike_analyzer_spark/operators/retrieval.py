@@ -242,6 +242,10 @@ RRF_K = 60
 RRF_POOL = 100
 RRF_TOP_K = 20
 
+#: salt fan-out for the two-stage exact top-RRF_POOL rank (stage-2
+#: global window then covers <= _RANK_SALTS * RRF_POOL rows)
+_RANK_SALTS = 16
+
 
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
@@ -264,12 +268,14 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`embeddings.vec_id` is the embedding of `documents.doc_id` —
     TESTDATA.md; ivf/semdedup rely on the same alignment).
 
-    Scale shape: each ranker is one corpus pass ending in a top-
-    RRF_POOL rank window (constant output); the fusion is a full
-    outer join of two 100-row frames. The dense query side is a
-    1-row broadcast (plan-audited bounded BNLJ). At 100 TB the
-    dense pool would ride the IVF/PQ index path instead of the
-    brute-force pass — same fusion, cheaper candidate generation.
+    Scale shape: each ranker is one corpus pass ending in a SALTED
+    two-stage top-RRF_POOL rank (per-salt window, then a global
+    window over <= _RANK_SALTS*RRF_POOL survivors — never a
+    corpus-global sort on one task); the fusion is a full outer
+    join of two 100-row frames. The dense query side is a 1-row
+    broadcast (plan-audited bounded BNLJ). At 100 TB the dense pool
+    would ride the IVF/PQ index path instead of the brute-force
+    pass — same fusion, cheaper candidate generation.
 
     Reference analog: none (no search in the reference) — this
     completes the retrieval family bm25_topk opened.
@@ -278,15 +284,34 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import _cosine_from, _dot, _with_norm
 
-    lexr = (
-        bm25_scored(spark, sf_dir)
-        .withColumn(
-            "rank_lex",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
-            ),
+    def _salted_topn(df, id_col, order, rank_name):
+        """Exact global top-RRF_POOL ranks WITHOUT a corpus-global
+        window (the od_kcore lesson, r9 verdict ask #4): stage 1
+        ranks within id-salted partitions and keeps each salt's top
+        RRF_POOL (a row can only rank globally <= POOL if it ranks
+        <= POOL within its own salt), stage 2 ranks the <=
+        SALTS*POOL survivors — the only empty-partition window runs
+        over a constant-bounded frame (audited by
+        tests/test_plan_audit.py::_BOUNDED_GLOBAL_WINDOW_OK)."""
+        w1 = Window.partitionBy("_salt").orderBy(*order)
+        survivors = (
+            df.withColumn("_salt", (F.col(id_col) % _RANK_SALTS).cast("int"))
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= RRF_POOL)
+            .drop("_salt", "_rn")
         )
-        .filter(F.col("rank_lex") <= RRF_POOL)
+        w2 = Window.partitionBy().orderBy(*order)
+        return survivors.withColumn(
+            rank_name, F.row_number().over(w2)
+        ).filter(F.col(rank_name) <= RRF_POOL)
+
+    lexr = (
+        _salted_topn(
+            bm25_scored(spark, sf_dir),
+            "doc_id",
+            [F.desc("score_u"), F.asc("doc_id")],
+            "rank_lex",
+        )
         .select("doc_id", "rank_lex")
         .localCheckpoint(eager=False)
     )
@@ -298,18 +323,12 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _cosine_from(
         _dot(F.col("qe"), F.col("embedding")), F.col("qn"), F.col("norm")
     )
-    dense = (
-        emb.crossJoin(F.broadcast(qe))
-        .withColumn("cos", F.round(cos, 4))
-        .withColumn(
-            "rank_dense",
-            F.row_number().over(
-                Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-            ),
-        )
-        .filter(F.col("rank_dense") <= RRF_POOL)
-        .select(F.col("vec_id").alias("doc_id"), "rank_dense")
-    )
+    dense = _salted_topn(
+        emb.crossJoin(F.broadcast(qe)).withColumn("cos", F.round(cos, 4)),
+        "vec_id",
+        [F.desc("cos"), F.asc("vec_id")],
+        "rank_dense",
+    ).select(F.col("vec_id").alias("doc_id"), "rank_dense")
 
     def _recip(rank: str) -> F.Column:
         return F.when(

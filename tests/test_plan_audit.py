@@ -2,7 +2,7 @@
 round, WITHOUT executing anything (sparkPlan is the pre-AQE physical
 plan; building it costs analysis+planning only).
 
-Two engine-wide invariants:
+Three engine-wide invariants:
 
 * no `BatchEvalPython` anywhere — that node is the row-at-a-time
   (pickled) Python UDF path; every sanctioned Python boundary in this
@@ -13,9 +13,18 @@ Two engine-wide invariants:
   centroid rows, Bloom word tables, cut frames); those queries are
   listed explicitly so a new unbounded cross join cannot hide behind
   the allowance.
+* no `Window` with an EMPTY partition spec over an entity-keyed frame
+  — a global window funnels its entire input through ONE task (r8
+  found one instance by hand: od_kcore's degree threshold, fixed in
+  516022e; this audit makes the class unrepresentable). Queries whose
+  plans legitimately hold a global window over a BOUNDED frame (hour
+  grids, band/decile lattices, count-of-count histograms, salted
+  top-N stage-2 survivors) are allowlisted by name with the bounded
+  frame spelled out.
 """
 
 import os
+import re
 
 import pytest
 
@@ -150,6 +159,70 @@ _BOUNDED_CROSSJOIN_OK = {
 }
 
 
+#: queries whose plans legitimately contain a Window with an empty
+#: partition spec — each runs over a BOUNDED frame, never the corpus
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # calendar-bounded frames: day/hour grids and their running sums
+    "retention_survival",  # day-grid survival cum-product
+    "cusum_changepoint",  # hour-grid CUSUM running sums
+    "busy_islands",  # hour-grid island numbering
+    "range_join_busy",  # same hour-grid rank as busy_islands
+    "theilsen_trend",  # DAYS^2-bounded slope-pair median rank
+    # constant lattices (sizes fixed by module constants)
+    "vocab_heaps_curve",  # 10-row decile lattice cum-sum
+    "nbq_gains",  # score-band lattice cumulative gains
+    "nbq_confusion",  # per-class confusion rollup
+    "lm_doc_bits",  # perplexity bit-bucket lattice
+    "lm_bucket_counts",  # same bucket lattice as lm_doc_bits
+    "basket_size_profile",  # basket-size lattice cum-share
+    # count-of-count / histogram frames (rows = distinct frequencies)
+    "skew_report",
+    # salted two-stage top-N: the ONLY global window runs over the
+    # <= SALTS*N stage-1 survivors (sampling.py / retrieval.py)
+    "weighted_sample",
+    "rrf_fusion",
+    # two-level distributed scan: the bucket frame is
+    # |docs|/SCAN_BUCKET rows — metadata-sized offsets, with the
+    # in-bucket scan partitioned by bucket (packing.py)
+    "pack_assign",
+    "pack_summary",
+}
+
+
+def _global_windows(plan: str) -> "list[str]":
+    """Window nodes whose partition spec is empty. A Window prints as
+    `Window [exprs], [partSpec], [orderSpec]`; the partition spec is
+    absent when there are fewer than 3 top-level bracket groups AND
+    the trailing group is an order spec (contains ASC/DESC) or there
+    is only the expression group."""
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        rest = line[line.find("Window ") + len("Window "):]
+        depth, groups, cur = 0, [], None
+        for ch in rest:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                    depth += 1
+                    continue
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    cur = None
+                    continue
+            if cur is not None:
+                cur.append(ch)
+        if len(groups) == 1 or (
+            len(groups) == 2 and re.search(r"(ASC|DESC)", groups[1])
+        ):
+            out.append(line.strip())
+    return out
+
+
 def _plans(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF_DIR_ORACLE)
@@ -157,7 +230,7 @@ def _plans(spark):
 
 
 def test_no_row_at_a_time_python_and_no_cartesian(spark):
-    bad_python, bad_cartesian, bad_bnlj = [], [], []
+    bad_python, bad_cartesian, bad_bnlj, bad_gwin = [], [], [], []
     for name, plan in _plans(spark):
         if "BatchEvalPython" in plan:
             bad_python.append(name)
@@ -168,6 +241,11 @@ def test_no_row_at_a_time_python_and_no_cartesian(spark):
             and name not in _BOUNDED_CROSSJOIN_OK
         ):
             bad_bnlj.append(name)
+        if (
+            name not in _BOUNDED_GLOBAL_WINDOW_OK
+            and _global_windows(plan)
+        ):
+            bad_gwin.append(name)
     assert not bad_python, (
         f"row-at-a-time Python UDF (BatchEvalPython) in: {bad_python}"
     )
@@ -177,4 +255,12 @@ def test_no_row_at_a_time_python_and_no_cartesian(spark):
         f"broadcast allowance: {bad_bnlj} — either the query grew an "
         "unbounded cross join, or add it to _BOUNDED_CROSSJOIN_OK "
         "with a bounded-side justification"
+    )
+    assert not bad_gwin, (
+        "Window with an EMPTY partition spec outside the documented "
+        f"bounded-frame allowance: {bad_gwin} — a global window "
+        "funnels its whole input through one task; repartition the "
+        "window, use a salted two-stage top-N, or (if the frame is "
+        "genuinely bounded) add the query to "
+        "_BOUNDED_GLOBAL_WINDOW_OK with the bound spelled out"
     )

@@ -27,6 +27,7 @@ from bike_analyzer_spark.operators import (
     evalsuite,
     experiment,
     funcsuite,
+    funnels,
     fuzzy,
     gapfill,
     graph,
@@ -86,14 +87,14 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked queries (the full r9-new backlog) plus 25 streak-1
-# rotate-ins with the OLDEST evidence (r8 greens skipped in r9:
-# warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 7).  Outside, 70
-# streak-1 queries queue for their second green: the 50 r9-window
-# queries (freshest evidence, rotate back last) plus the remaining
-# 20 r8-green stragglers (r11 drains these).  tests/test_rotation.py
-# asserts this set is EXACTLY the unproven (streak<2) queries
-# outside the window.
+# checked r9-new queries plus the 2 NEW r10 funnel queries (streak 0
+# seats first) plus 23 streak-1 rotate-ins with the OLDEST evidence
+# (r8 greens skipped in r9: warehouse_ext 11 + tpch wave-3/4 7 +
+# tpch_close 5).  Outside, 72 streak-1 queries queue for their
+# second green: the 50 r9-window queries (freshest evidence, rotate
+# back last) plus the remaining 22 r8-green stragglers (r11 drains
+# these).  tests/test_rotation.py asserts this set is EXACTLY the
+# unproven (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
         # ---- r9 window, all green in CORRECTNESS_r09 (streak 1) ----
@@ -156,6 +157,10 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
+        # tpch_close Q20/Q21 ceded their r10 rotate-in slots to the
+        # two new funnel queries
+        "tpch_part_promotion",
+        "tpch_waiting_suppliers",
         "text_bpe_encode",
         "text_chunk_plan",
         "purchase_quartiles",
@@ -335,15 +340,28 @@ _sampling_ovf = _Slice(sampling, ["weighted_sample"])
 _sampling_proven = _Slice(
     sampling, ["split_assign", "split_summary", "stratified_sample"]
 )
+_tpch_close_in = _Slice(
+    tpch_close,
+    [
+        "tpch_forecast_revenue",
+        "tpch_min_cost_supplier",
+        "tpch_market_share",
+        "tpch_product_profit",
+        "tpch_top_supplier",
+    ],
+)
+_tpch_close_ovf = _Slice(
+    tpch_close, ["tpch_part_promotion", "tpch_waiting_suppliers"]
+)
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 25 never-driver-checked queries (the complete r9-new wave,
-    # WINDOW_OVERFLOW's streak-0 block at r9 end) seat first.  Slot
+    # The 27 never-driver-checked queries (the complete r9-new wave
+    # plus the two r10-new funnel joins) seat first.  Slot
     # arithmetic: winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
-    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 = 25.
+    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 = 27.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -362,16 +380,19 @@ _MODULES = [
     _drift_tail,  # circular seasonality
     _vocab_new,  # Heaps-law vocab growth curve
     _od_new,  # grid-density DBSCAN
-    # Then 25 streak-1 rotate-ins with the OLDEST evidence — green
+    funnels,  # NEW r10: right/full-outer interval-join batch twins
+    # Then 23 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
     # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
-    # Q2/Q6/Q8/Q9/Q15/Q20/Q21 7 = 25.
+    # Q2/Q6/Q8/Q9/Q15 5 = 23 (Q20/Q21 ceded their slots to the two
+    # NEW r10 funnel queries: streak 0 outranks streak 1).
     _wx_tail,
     _tpch_ovf,
-    tpch_close,
-    # ---- outside the window: 70 streak-1 queries ----------------
-    # First the remaining 20 r8-greens (oldest evidence — these
+    _tpch_close_in,
+    # ---- outside the window: 72 streak-1 queries ----------------
+    # First the remaining 22 r8-greens (oldest evidence — these
     # rotate in at r11)...
+    _tpch_close_ovf,
     _text_ovf,
     _winfuncs_ovf,
     _funcsuite_ovf,

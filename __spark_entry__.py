@@ -65,6 +65,7 @@ from bike_analyzer_spark.operators import (
     warehouse_ext,
     windows,
     winfuncs,
+    winnow,
 )
 
 # Ordering matters: the driver's correctness check records only the
@@ -87,14 +88,15 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 2 NEW r10 funnel queries (streak 0
-# seats first) plus 23 streak-1 rotate-ins with the OLDEST evidence
-# (r8 greens skipped in r9: warehouse_ext 11 + tpch wave-3/4 7 +
-# tpch_close 5).  Outside, 72 streak-1 queries queue for their
-# second green: the 50 r9-window queries (freshest evidence, rotate
-# back last) plus the remaining 22 r8-green stragglers (r11 drains
-# these).  tests/test_rotation.py asserts this set is EXACTLY the
-# unproven (streak<2) queries outside the window.
+# checked r9-new queries plus the 3 NEW r10 queries (two funnel
+# joins + winnowing — streak 0 seats first) plus 22 streak-1
+# rotate-ins with the OLDEST evidence (r8 greens skipped in r9:
+# warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 4).  Outside, 73
+# streak-1 queries queue for their second green: the 50 r9-window
+# queries (freshest evidence, rotate back last) plus the remaining
+# 23 r8-green stragglers (r11 drains these).  tests/test_rotation.py
+# asserts this set is EXACTLY the unproven (streak<2) queries
+# outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
         # ---- r9 window, all green in CORRECTNESS_r09 (streak 1) ----
@@ -157,8 +159,9 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
-        # tpch_close Q20/Q21 ceded their r10 rotate-in slots to the
-        # two new funnel queries
+        # tpch_close Q15/Q20/Q21 ceded their r10 rotate-in slots to
+        # the three new r10 queries
+        "tpch_top_supplier",
         "tpch_part_promotion",
         "tpch_waiting_suppliers",
         "text_bpe_encode",
@@ -347,21 +350,22 @@ _tpch_close_in = _Slice(
         "tpch_min_cost_supplier",
         "tpch_market_share",
         "tpch_product_profit",
-        "tpch_top_supplier",
     ],
 )
 _tpch_close_ovf = _Slice(
-    tpch_close, ["tpch_part_promotion", "tpch_waiting_suppliers"]
+    tpch_close,
+    ["tpch_top_supplier", "tpch_part_promotion", "tpch_waiting_suppliers"],
 )
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 27 never-driver-checked queries (the complete r9-new wave
-    # plus the two r10-new funnel joins) seat first.  Slot
-    # arithmetic: winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
+    # The 28 never-driver-checked queries (the complete r9-new wave
+    # plus the three r10-new queries) seat first.  Slot arithmetic:
+    # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
-    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 = 27.
+    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 +
+    # winnow 1 = 28.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -381,11 +385,12 @@ _MODULES = [
     _vocab_new,  # Heaps-law vocab growth curve
     _od_new,  # grid-density DBSCAN
     funnels,  # NEW r10: right/full-outer interval-join batch twins
-    # Then 23 streak-1 rotate-ins with the OLDEST evidence — green
+    winnow,  # NEW r10: winnowing (MOSS) fingerprint dedup
+    # Then 22 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
     # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
-    # Q2/Q6/Q8/Q9/Q15 5 = 23 (Q20/Q21 ceded their slots to the two
-    # NEW r10 funnel queries: streak 0 outranks streak 1).
+    # Q2/Q6/Q8/Q9 4 = 22 (Q15/Q20/Q21 ceded their slots to the three
+    # NEW r10 queries: streak 0 outranks streak 1).
     _wx_tail,
     _tpch_ovf,
     _tpch_close_in,

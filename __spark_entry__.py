@@ -88,13 +88,13 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 3 NEW r10 queries (two funnel
-# joins + winnowing — streak 0 seats first) plus 22 streak-1
-# rotate-ins with the OLDEST evidence (r8 greens skipped in r9:
-# warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 4).  Outside, 73
-# streak-1 queries queue for their second green: the 50 r9-window
-# queries (freshest evidence, rotate back last) plus the remaining
-# 23 r8-green stragglers (r11 drains these).  tests/test_rotation.py
+# checked r9-new queries plus the 4 NEW r10 queries (two funnel
+# joins + winnowing + CUPED — streak 0 seats first) plus 21
+# streak-1 rotate-ins with the OLDEST evidence (r8 greens skipped
+# in r9: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 3).
+# Outside, 74 streak-1 queries queue for their second green: the 50
+# r9-window queries (freshest evidence, rotate back last) plus the
+# remaining 24 r8-green stragglers (r11 drains these).  tests/test_rotation.py
 # asserts this set is EXACTLY the unproven (streak<2) queries
 # outside the window.
 WINDOW_OVERFLOW = frozenset(
@@ -159,8 +159,9 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
-        # tpch_close Q15/Q20/Q21 ceded their r10 rotate-in slots to
-        # the three new r10 queries
+        # tpch_close Q9/Q15/Q20/Q21 ceded their r10 rotate-in slots
+        # to the four new r10 queries
+        "tpch_product_profit",
         "tpch_top_supplier",
         "tpch_part_promotion",
         "tpch_waiting_suppliers",
@@ -271,6 +272,8 @@ _scale_new = _Slice(scale, ["hll_overlap_estimate"])
 _scale_new2 = _Slice(scale, ["scale_salted_join"])
 _scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
+_experiment_head = _Slice(experiment, ["ab_test_chi2"])
+_experiment_new = _Slice(experiment, ["ab_cuped_readout"])
 _graph_new = _Slice(graph, ["od_link_prediction"])
 _graph_new2 = _Slice(graph, ["od_label_propagation"])
 _drift_head, _drift_tail = _split(
@@ -349,23 +352,28 @@ _tpch_close_in = _Slice(
         "tpch_forecast_revenue",
         "tpch_min_cost_supplier",
         "tpch_market_share",
-        "tpch_product_profit",
     ],
 )
 _tpch_close_ovf = _Slice(
     tpch_close,
-    ["tpch_top_supplier", "tpch_part_promotion", "tpch_waiting_suppliers"],
+    [
+        "tpch_product_profit",
+        "tpch_product_profit",
+        "tpch_top_supplier",
+        "tpch_part_promotion",
+        "tpch_waiting_suppliers",
+    ],
 )
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 28 never-driver-checked queries (the complete r9-new wave
-    # plus the three r10-new queries) seat first.  Slot arithmetic:
+    # The 29 never-driver-checked queries (the complete r9-new wave
+    # plus the four r10-new queries) seat first.  Slot arithmetic:
     # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
     # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 +
-    # winnow 1 = 28.
+    # winnow 1 + experiment(CUPED) 1 = 29.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -386,10 +394,11 @@ _MODULES = [
     _od_new,  # grid-density DBSCAN
     funnels,  # NEW r10: right/full-outer interval-join batch twins
     winnow,  # NEW r10: winnowing (MOSS) fingerprint dedup
-    # Then 22 streak-1 rotate-ins with the OLDEST evidence — green
+    _experiment_new,  # NEW r10: CUPED variance-reduced A/B readout
+    # Then 21 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
     # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
-    # Q2/Q6/Q8/Q9 4 = 22 (Q15/Q20/Q21 ceded their slots to the three
+    # Q2/Q6/Q8 3 = 21 (Q9/Q15/Q20/Q21 ceded their slots to the four
     # NEW r10 queries: streak 0 outranks streak 1).
     _wx_tail,
     _tpch_ovf,
@@ -426,7 +435,7 @@ _MODULES = [
     _assoc_head,
     _curate_head,
     _eval_head,
-    experiment,
+    _experiment_head,
     _hyper_head,
     _od_head,
     _retrieval_head,

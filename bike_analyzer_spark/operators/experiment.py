@@ -142,7 +142,125 @@ def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.selectExpr(*_final("spark"))
 
 
-QUERIES = {"ab_test_chi2": ab_test_chi2}
+#: CUPED assignment salt (independent of the chi-square experiment)
+CUPED_SALT = "cuped9"
+
+# CUPED arithmetic, shared verbatim by both engines (the chi-square
+# discipline: every double comes from ONE identical-text expression
+# over exact integer aggregates — identical operand order, bit-equal
+# everywhere; no round(), no pow()).
+#   theta = cov(X, Y)/var(X) = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+# with the zero-variance fallback theta = 0 (no adjustment) so the
+# output is never NULL.
+_THETA = (
+    f"CASE WHEN {_d('n_users')} * {_d('sxx')}"
+    f" - {_d('sx')} * {_d('sx')} > 0"
+    f" THEN ({_d('n_users')} * {_d('sxy')} - {_d('sx')} * {_d('sy')})"
+    f" / ({_d('n_users')} * {_d('sxx')} - {_d('sx')} * {_d('sx')})"
+    f" ELSE 0.0 END"
+)
+_MEAN_POST = f"{_d('post_c')} / {_d('n_arm')}"
+_MEAN_POST_ADJ = (
+    f"{_MEAN_POST} - ({_THETA})"
+    f" * ({_d('pre_c')} / {_d('n_arm')} - {_d('sx')} / {_d('n_users')})"
+)
+
+_CUPED_COLS = [
+    "arm",
+    "n_arm",
+    "pre_c",
+    "post_c",
+    f"{_THETA} AS theta",
+    f"{_MEAN_POST} AS mean_post",
+    f"{_MEAN_POST_ADJ} AS mean_post_adj",
+]
+
+
+def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker —
+    WSDM'13): per-user PRE-period purchase spend (events before the
+    observed time midpoint) is the covariate X; POST-period spend is
+    the metric Y; theta = cov(X,Y)/var(X) pooled over all users, and
+    each arm reports its raw and adjusted post-period mean
+
+        mean_post_adj = mean(Y_a) - theta * (mean(X_a) - mean(X)).
+
+    The adjustment strips the between-user variance X explains —
+    the industry-standard sensitivity boost for experiment metrics —
+    and leaves the treatment effect unbiased because assignment (a
+    salted hash) is independent of X.
+
+    Cross-engine exactness: X and Y are exact integer cents; the
+    pooled moments (Sx, Sy, Sxx, Sxy) are exact DECIMAL(38,0)/
+    HUGEINT sums; every double is one shared-text expression over
+    those integers. The time midpoint is integer epoch-micros
+    arithmetic ((min+max) div 2 — non-negative, so div and // agree).
+
+    Scale shape: one groupBy(user_id) over the fact scan (the only
+    data-sized shuffle), a 1-row bounds broadcast, a 1-row pooled-
+    moments broadcast onto the 2-row arm frame. Two rows out."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    spend_col = cents(F.col("value"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("us") <= F.col("mid_us")),
+                        spend_col,
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("us") > F.col("mid_us")),
+                        spend_col,
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("y"),
+        )
+        .select(
+            (hash64(F.col("user_id").cast("string"), CUPED_SALT) % 2)
+            .alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("pre_c"),
+        F.sum("y").alias("post_c"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .selectExpr(*_CUPED_COLS)
+        .orderBy("arm")
+    )
+
+
+QUERIES = {"ab_test_chi2": ab_test_chi2, "ab_cuped_readout": ab_cuped_readout}
 
 _ARM = f"{hash64_duck('CAST(user_id AS VARCHAR)', repr(EXP_SALT))} % 2"
 
@@ -177,3 +295,41 @@ ORACLES = {
         FROM cells
     """,
 }
+
+_ARM_CUPED = f"{hash64_duck('CAST(user_id AS VARCHAR)', repr(CUPED_SALT))} % 2"
+
+ORACLES["ab_cuped_readout"] = f"""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    pu AS (
+        SELECT {_ARM_CUPED} AS arm,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) <= mid_us
+                        THEN CAST(round(value * 100) AS BIGINT)
+                    END), 0) AS BIGINT) AS x,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) > mid_us
+                        THEN CAST(round(value * 100) AS BIGINT)
+                    END), 0) AS BIGINT) AS y
+        FROM events, b GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT count(*) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pu
+    ),
+    arms AS (
+        SELECT arm, count(*) AS n_arm,
+               CAST(sum(x) AS BIGINT) AS pre_c,
+               CAST(sum(y) AS BIGINT) AS post_c
+        FROM pu GROUP BY arm
+    )
+    SELECT {', '.join(_CUPED_COLS)}
+    FROM arms, pooled
+    ORDER BY arm
+"""

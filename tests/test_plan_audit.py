@@ -137,6 +137,9 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row totals frames: (n_users, total_c) over the user frame /
     # (n_baskets) over the pair table / (T, B) over the bigram table
     "ab_test_chi2",
+    # 1-row time-midpoint bound over the scan + 1-row pooled-moments
+    # frame onto the 2-row arm rollup (r10)
+    "ab_cuped_readout",
     "event_cooccurrence",
     "vocab_bigram_pmi",
     # 1-row observed-day-bounds frame generating the calendar spine

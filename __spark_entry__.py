@@ -88,13 +88,14 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 4 NEW r10 queries (two funnel
-# joins + winnowing + CUPED — streak 0 seats first) plus 21
-# streak-1 rotate-ins with the OLDEST evidence (r8 greens skipped
-# in r9: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close 3).
-# Outside, 74 streak-1 queries queue for their second green: the 50
-# r9-window queries (freshest evidence, rotate back last) plus the
-# remaining 24 r8-green stragglers (r11 drains these).  tests/test_rotation.py
+# checked r9-new queries plus the 5 NEW r10 queries (two funnel
+# joins + winnowing + CUPED + source-overlap matrix — streak 0
+# seats first) plus 20 streak-1 rotate-ins with the OLDEST evidence
+# (r8 greens skipped in r9: warehouse_ext 11 + tpch wave-3/4 7 +
+# tpch_close 2).  Outside, 75 streak-1 queries queue for their
+# second green: the 50 r9-window queries (freshest evidence, rotate
+# back last) plus the remaining 25 r8-green stragglers (r11 drains
+# these).  tests/test_rotation.py
 # asserts this set is EXACTLY the unproven (streak<2) queries
 # outside the window.
 WINDOW_OVERFLOW = frozenset(
@@ -159,8 +160,9 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
-        # tpch_close Q9/Q15/Q20/Q21 ceded their r10 rotate-in slots
-        # to the four new r10 queries
+        # tpch_close Q8/Q9/Q15/Q20/Q21 ceded their r10 rotate-in
+        # slots to the five new r10 queries
+        "tpch_market_share",
         "tpch_product_profit",
         "tpch_top_supplier",
         "tpch_part_promotion",
@@ -222,7 +224,17 @@ _analytics_head, _analytics_tail = _split(
 _curate_head, _curate_tail = _split(
     curate, ["source_data_card", "corpus_build_card"]
 )
-_quality_head, _quality_tail = _split(quality, ["ngram_novelty"])
+_quality_head = _Slice(quality, ["ngram_novelty"])
+_quality_new = _Slice(quality, ["source_overlap_matrix"])
+_quality_tail = _Slice(
+    quality,
+    [
+        "text_quality_rules",
+        "text_repetition",
+        "decontam_overlap",
+        "tfidf_top_terms",
+    ],
+)
 _eval_head = _Slice(evalsuite, ["nbq_gains"])
 _eval_new = _Slice(evalsuite, ["ivf_label_purity", "quantile_error_audit"])
 _eval_ovf = _Slice(
@@ -348,16 +360,12 @@ _sampling_proven = _Slice(
 )
 _tpch_close_in = _Slice(
     tpch_close,
-    [
-        "tpch_forecast_revenue",
-        "tpch_min_cost_supplier",
-        "tpch_market_share",
-    ],
+    ["tpch_forecast_revenue", "tpch_min_cost_supplier"],
 )
 _tpch_close_ovf = _Slice(
     tpch_close,
     [
-        "tpch_product_profit",
+        "tpch_market_share",
         "tpch_product_profit",
         "tpch_top_supplier",
         "tpch_part_promotion",
@@ -367,13 +375,13 @@ _tpch_close_ovf = _Slice(
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 29 never-driver-checked queries (the complete r9-new wave
-    # plus the four r10-new queries) seat first.  Slot arithmetic:
+    # The 30 never-driver-checked queries (the complete r9-new wave
+    # plus the five r10-new queries) seat first.  Slot arithmetic:
     # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
     # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 +
-    # winnow 1 + experiment(CUPED) 1 = 29.
+    # winnow 1 + experiment(CUPED) 1 + quality(matrix) 1 = 30.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -395,16 +403,17 @@ _MODULES = [
     funnels,  # NEW r10: right/full-outer interval-join batch twins
     winnow,  # NEW r10: winnowing (MOSS) fingerprint dedup
     _experiment_new,  # NEW r10: CUPED variance-reduced A/B readout
-    # Then 21 streak-1 rotate-ins with the OLDEST evidence — green
+    _quality_new,  # NEW r10: cross-source contamination matrix
+    # Then 20 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
     # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
-    # Q2/Q6/Q8 3 = 21 (Q9/Q15/Q20/Q21 ceded their slots to the four
+    # Q2/Q6 2 = 20 (Q8/Q9/Q15/Q20/Q21 ceded their slots to the five
     # NEW r10 queries: streak 0 outranks streak 1).
     _wx_tail,
     _tpch_ovf,
     _tpch_close_in,
-    # ---- outside the window: 72 streak-1 queries ----------------
-    # First the remaining 22 r8-greens (oldest evidence — these
+    # ---- outside the window: 75 streak-1 queries ----------------
+    # First the remaining 25 r8-greens (oldest evidence — these
     # rotate in at r11)...
     _tpch_close_ovf,
     _text_ovf,

@@ -244,11 +244,83 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair
+    (a < b), the count of distinct 3-token shingles both corpora
+    contain, with Jaccard and BOTH directed containments in basis
+    points — the corpus-level generalization of `decontam_overlap`
+    (which flags train docs against one eval set). A row with high
+    cont_ab says source a is largely quoted inside source b — the
+    signal that decides which source to DROP when building a mix.
+
+    Exactness: pure integer counts; the three scores are integral
+    `div` divisions (floor — all operands non-negative).
+
+    Scale shape: one explode to the DISTINCT (source, sh) frame —
+    source-level, so its size is min(vocab x |S|, corpus shingles) —
+    then a self-equi-join on the shingle. Per-shingle fan-out is
+    df_src^2 with df_src <= |S| (sources, a METADATA count — 20
+    here), so total work <= vocab * |S|^2 and the output is the
+    inherently |S|^2-sized matrix itself: the operator targets
+    source-count << doc-count, the real shape of corpus curation
+    (dozens of sources, billions of docs). The per-source sizes ride
+    a 20-row broadcast."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    ss = (
+        docs.select(
+            "source",
+            F.explode(shingle_exprs("toks", DECONTAM_NGRAM)).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        ss.select(F.col("source").alias("src_a"), "sh")
+        .join(ss.select(F.col("source").alias("src_b"), "sh"), "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("sh_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("sh_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "sh_a",
+            "sh_b",
+            F.expr("(10000 * shared) div (sh_a + sh_b - shared)").alias(
+                "jacc_bp"
+            ),
+            F.expr("(10000 * shared) div sh_a").alias("cont_ab_bp"),
+            F.expr("(10000 * shared) div sh_b").alias("cont_ba_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES = {
     "text_quality_rules": text_quality_rules,
     "text_repetition": text_repetition,
     "decontam_overlap": decontam_overlap,
     "tfidf_top_terms": tfidf_top_terms,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 #: DuckDB twin of `rule_flags`'s metric computation (shared with the
@@ -366,6 +438,30 @@ ORACLES = {
         ORDER BY doc_id, rk
     """,
 }
+
+ORACLES["source_overlap_matrix"] = f"""
+    WITH ss AS (
+        SELECT DISTINCT source, sh FROM (
+            SELECT source,
+                   unnest({shingles_duck("toks", DECONTAM_NGRAM)}) AS sh
+            FROM (SELECT source, {_TOKS} AS toks FROM documents)
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    shared AS (
+        SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+        FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared, sa.n AS sh_a, sb.n AS sh_b,
+           (10000 * shared) // (sa.n + sb.n - shared) AS jacc_bp,
+           (10000 * shared) // sa.n AS cont_ab_bp,
+           (10000 * shared) // sb.n AS cont_ba_bp
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+"""
 
 
 #: novelty shingle width — wider than the decontam trigram so the

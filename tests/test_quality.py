@@ -161,3 +161,52 @@ def test_ngram_novelty_invariants(spark):
         .first()[0]
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_source_overlap_matrix_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        quality.source_overlap_matrix(spark, SF_DIR_ORACLE),
+        duck,
+        quality.ORACLES["source_overlap_matrix"],
+        "source_overlap_matrix",
+    )
+
+
+def test_source_overlap_containment_asymmetry(spark):
+    """A small source quoted inside a big one: cont(small->big) is
+    high while cont(big->small) and Jaccard stay low — the asymmetric
+    signal the matrix exists to surface."""
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, quote, "en", "small", 0),
+        (2, f"{filler} {quote}", "en", "big", 0),
+        (3, f"{filler} more unrelated text here", "en", "big", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    import os
+
+    # route through the same load() contract the query uses
+    from pyspark.sql import functions as F
+
+    ss = (
+        docs.withColumn("toks", quality.tokens("text"))
+        .select(
+            "source",
+            F.explode(
+                quality.shingle_exprs("toks", quality.DECONTAM_NGRAM)
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    small = {r.sh for r in ss.filter(F.col("source") == "small").collect()}
+    big = {r.sh for r in ss.filter(F.col("source") == "big").collect()}
+    shared = len(small & big)
+    assert shared == len(small)  # fully contained
+    assert len(big) > 3 * len(small)

@@ -1033,3 +1033,145 @@ ORACLES["kmins_user_estimate"] = f"""
     FROM sums JOIN exact USING (event_type)
     ORDER BY event_type
 """
+
+
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven JOIN-SIZE estimation (the AGMS/Count-Min inner
+    product, Alon-Gibbons-Matias-Szegedy + Cormode-Muthukrishnan):
+    |A join B on k| = sum_k fA(k)*fB(k), estimated WITHOUT touching
+    the join as min_d sum_b cntA(d,b)*cntB(d,b) over the two D x W
+    sketches — always an OVERestimate (collisions only add), which
+    is exactly the safe direction for a query planner sizing shuffle
+    partitions or choosing a broadcast side.
+
+    Two audited joins: the events self-join on user_id (the classic
+    F2 / second frequency moment) and events x orders on user_id =
+    o_custkey (fact-fact). Each row reports the sketch estimate, the
+    exact size (key-level aggregates joined — never the join itself
+    materialized), and the overestimate in basis points.
+
+    Exactness: counters and products are exact integers end-to-end.
+
+    Scale shape: each sketch is ONE skew-free pass (bounded D-way
+    fan-out, groupBy on hash-uniform buckets, 1 KB of state); the
+    inner product joins two 1024-row frames; the exact side is one
+    groupBy per input plus a key-sized join. Nothing scales with the
+    join's OUTPUT size — the whole point."""
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    ev_sketch = cms_sketch(events, "user_id").localCheckpoint(eager=False)
+    ord_sketch = cms_sketch(
+        orders.withColumnRenamed("o_custkey", "user_id"), "user_id"
+    )
+
+    def inner_product(sa: DataFrame, sb: DataFrame) -> DataFrame:
+        prod = (
+            sa.join(
+                sb.select(
+                    "d", "bucket", F.col("cnt").alias("cnt_b")
+                ),
+                ["d", "bucket"],
+            )
+            .groupBy("d")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        )
+        return prod.agg(F.min("ip").alias("est"))
+
+    def exact_size(fa: DataFrame, fb: DataFrame) -> DataFrame:
+        return (
+            fa.join(fb, "user_id")
+            .agg(F.sum(F.col("fa") * F.col("fb")).alias("exact"))
+        )
+
+    ev_freq = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("fa"))
+    ord_freq = orders.groupBy(
+        F.col("o_custkey").alias("user_id")
+    ).agg(F.count(F.lit(1)).alias("fb"))
+    self_est = inner_product(ev_sketch, ev_sketch.select(
+        "d", "bucket", "cnt"
+    ))
+    self_exact = ev_freq.select(
+        "user_id", "fa", F.col("fa").alias("fb")
+    ).agg(F.sum(F.col("fa") * F.col("fb")).alias("exact"))
+    cross_est = inner_product(ev_sketch, ord_sketch)
+    cross_exact = exact_size(ev_freq, ord_freq)
+    row_self = (
+        self_est.crossJoin(F.broadcast(self_exact))
+        .select(
+            F.lit("events_self").alias("join_name"), "est", "exact"
+        )
+    )
+    row_cross = (
+        cross_est.crossJoin(F.broadcast(cross_exact))
+        .select(
+            F.lit("events_orders").alias("join_name"), "est", "exact"
+        )
+    )
+    return (
+        row_self.unionByName(row_cross)
+        .select(
+            "join_name",
+            "est",
+            "exact",
+            F.expr("(10000 * est) div exact").alias("over_bp"),
+        )
+        .orderBy("join_name")
+    )
+
+
+QUERIES["cms_join_size"] = cms_join_size
+
+_CMS_ORD_PAIRS = f"""
+        SELECT d.d AS d,
+               {hash64_duck("CAST(o_custkey AS VARCHAR)",
+                            "CAST(d.d AS VARCHAR)")} % {CMS_WIDTH} AS bucket
+        FROM orders, range({CMS_DEPTH}) d(d)
+"""
+
+ORACLES["cms_join_size"] = f"""
+    WITH ev_pairs AS ({_CMS_PAIRS}),
+    ev_sketch AS (
+        SELECT d, bucket, count(*) AS cnt FROM ev_pairs GROUP BY d, bucket
+    ),
+    ord_pairs AS ({_CMS_ORD_PAIRS}),
+    ord_sketch AS (
+        SELECT d, bucket, count(*) AS cnt FROM ord_pairs GROUP BY d, bucket
+    ),
+    self_est AS (
+        SELECT CAST(min(ip) AS BIGINT) AS est FROM (
+            SELECT d, sum(a.cnt * b.cnt) AS ip
+            FROM ev_sketch a JOIN ev_sketch b USING (d, bucket)
+            GROUP BY d
+        )
+    ),
+    cross_est AS (
+        SELECT CAST(min(ip) AS BIGINT) AS est FROM (
+            SELECT d, sum(a.cnt * b.cnt) AS ip
+            FROM ev_sketch a JOIN ord_sketch b USING (d, bucket)
+            GROUP BY d
+        )
+    ),
+    ev_freq AS (
+        SELECT user_id, count(*) AS fa FROM events GROUP BY user_id
+    ),
+    ord_freq AS (
+        SELECT o_custkey AS user_id, count(*) AS fb
+        FROM orders GROUP BY o_custkey
+    ),
+    self_exact AS (
+        SELECT CAST(sum(fa * fa) AS BIGINT) AS exact FROM ev_freq
+    ),
+    cross_exact AS (
+        SELECT CAST(sum(fa * fb) AS BIGINT) AS exact
+        FROM ev_freq JOIN ord_freq USING (user_id)
+    )
+    SELECT join_name, est, exact, (10000 * est) // exact AS over_bp
+    FROM (
+        SELECT 'events_self' AS join_name, s.est, x.exact
+        FROM self_est s, self_exact x
+        UNION ALL
+        SELECT 'events_orders', c.est, y.exact
+        FROM cross_est c, cross_exact y
+    )
+    ORDER BY join_name
+"""

@@ -140,6 +140,9 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row time-midpoint bound over the scan + 1-row pooled-moments
     # frame onto the 2-row arm rollup (r10)
     "ab_cuped_readout",
+    # 1-row sketch-estimate frames crossed with 1-row exact-size
+    # frames (two audited joins, four 1-row frames total, r10)
+    "cms_join_size",
     "event_cooccurrence",
     "vocab_bigram_pmi",
     # 1-row observed-day-bounds frame generating the calendar spine

@@ -190,3 +190,23 @@ def test_kmins_accuracy_and_merge(spark):
         for b in set(left) | set(right)
     }
     assert merged == whole
+
+
+def test_cms_join_size_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        scale.cms_join_size(spark, SF_DIR_ORACLE),
+        duck,
+        scale.ORACLES["cms_join_size"],
+        "cms_join_size",
+    )
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """The CMS inner product is a one-sided estimator: collisions
+    only ADD positive products, so est >= exact for every audited
+    join — the property that makes it safe for planner sizing."""
+    for r in scale.cms_join_size(spark, SF_DIR_ORACLE).collect():
+        assert r.est >= r.exact, (r.join_name, r.est, r.exact)
+        assert r.over_bp >= 10000

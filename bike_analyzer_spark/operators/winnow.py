@@ -119,7 +119,20 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 def winnow_pairs(docs: DataFrame) -> DataFrame:
     """Candidate pairs sharing a winnowing fingerprint, verified with
     exact shingle-set Jaccard >= FLOOR. Returns
-    (a, b, inter, na, nb, jacc_bp)."""
+    (a, b, inter, na, nb, jacc_bp).
+
+    Verify plan — INTERSECTION-FIRST, the `dedup_containment`
+    measurement replayed: this corpus's docs share short runs
+    promiscuously, so the fingerprint join admits ~334k candidates
+    at sf0.1 while only 418 clear the Jaccard floor; re-joining each
+    candidate to its full shingle set (setjoin._exact_verify) would
+    explode to ~13M rows, while the direct postings self-join on the
+    shingle is sum_sh df^2 ~ 1.1M pair-groups (shingle df <= 25
+    here; a web-scale corpus would bound it with the NGRAM_DF_CAP
+    discipline) and the candidate set then restricts the pair stats
+    with one semi-shaped equi join. Results are identical either
+    way — candidates with zero intersection can't reach a positive
+    floor — so the oracle doesn't care which plan runs."""
     fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_DF_CAP
@@ -134,14 +147,39 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     )
     ds = _doc_shingle_sets(docs).localCheckpoint(eager=False)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cands = cand_ids.join(
-        sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
-        "a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
-        "b",
+    inter_all = (
+        ds.select(F.col("doc_id").alias("a"), "sh")
+        .join(ds.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _exact_verify(cands, ds, FLOOR_NUM, FLOOR_DEN)
+    return (
+        inter_all.join(cand_ids, ["a", "b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .filter(
+            F.lit(FLOOR_DEN + FLOOR_NUM) * F.col("inter")
+            >= F.lit(FLOOR_NUM) * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
+            "nb",
+            F.expr("(10000 * inter) div (na + nb - inter)").alias(
+                "jacc_bp"
+            ),
+        )
+        .orderBy("a", "b")
+    )
 
 
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,14 +88,14 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 6 NEW r10 queries (two funnel
+# checked r9-new queries plus the 7 NEW r10 queries (two funnel
 # joins + winnowing + CUPED + source-overlap matrix + CMS join-size
-# — streak 0 seats first) plus 19 streak-1 rotate-ins with the
-# OLDEST evidence (r8 greens skipped in r9: warehouse_ext 11 + tpch
-# wave-3/4 7 + tpch_close 1).  Outside, 76 streak-1 queries queue
-# for their second green: the 50 r9-window queries (freshest
-# evidence, rotate back last) plus the remaining 26 r8-green
-# stragglers (r11 drains these).  tests/test_rotation.py
+# + Bloom prune audit — streak 0 seats first) plus 18 streak-1
+# rotate-ins with the OLDEST evidence (r8 greens skipped in r9:
+# warehouse_ext 11 + tpch wave-3/4 7).  Outside, 77 streak-1
+# queries queue for their second green: the 50 r9-window queries
+# (freshest evidence, rotate back last) plus the remaining 27
+# r8-green stragglers (r11 drains these).  tests/test_rotation.py
 # asserts this set is EXACTLY the unproven (streak<2) queries
 # outside the window.
 WINDOW_OVERFLOW = frozenset(
@@ -160,8 +160,9 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
-        # tpch_close Q6/Q8/Q9/Q15/Q20/Q21 ceded their r10
-        # rotate-in slots to the six new r10 queries
+        # all 7 tpch_close rotate-ins ceded their r10 slots to the
+        # seven new r10 queries
+        "tpch_forecast_revenue",
         "tpch_min_cost_supplier",
         "tpch_market_share",
         "tpch_product_profit",
@@ -285,6 +286,7 @@ _scale_new = _Slice(scale, ["hll_overlap_estimate"])
 _scale_new2 = _Slice(scale, ["scale_salted_join"])
 _scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _scale_new4 = _Slice(scale, ["cms_join_size"])
+_scale_new5 = _Slice(scale, ["bloom_join_prune"])
 _assoc_head, _assoc_tail = _split(assoc, ["event_cooccurrence"])
 _experiment_head = _Slice(experiment, ["ab_test_chi2"])
 _experiment_new = _Slice(experiment, ["ab_cuped_readout"])
@@ -360,10 +362,10 @@ _sampling_ovf = _Slice(sampling, ["weighted_sample"])
 _sampling_proven = _Slice(
     sampling, ["split_assign", "split_summary", "stratified_sample"]
 )
-_tpch_close_in = _Slice(tpch_close, ["tpch_forecast_revenue"])
 _tpch_close_ovf = _Slice(
     tpch_close,
     [
+        "tpch_forecast_revenue",
         "tpch_min_cost_supplier",
         "tpch_market_share",
         "tpch_product_profit",
@@ -375,14 +377,14 @@ _tpch_close_ovf = _Slice(
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 31 never-driver-checked queries (the complete r9-new wave
-    # plus the six r10-new queries) seat first.  Slot arithmetic:
+    # The 32 never-driver-checked queries (the complete r9-new wave
+    # plus the seven r10-new queries) seat first.  Slot arithmetic:
     # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
     # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 +
     # winnow 1 + experiment(CUPED) 1 + quality(matrix) 1 +
-    # scale(join-size) 1 = 31.
+    # scale(join-size, bloom) 2 = 32.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -406,16 +408,16 @@ _MODULES = [
     _experiment_new,  # NEW r10: CUPED variance-reduced A/B readout
     _quality_new,  # NEW r10: cross-source contamination matrix
     _scale_new4,  # NEW r10: CMS inner-product join-size estimate
-    # Then 19 streak-1 rotate-ins with the OLDEST evidence — green
+    _scale_new5,  # NEW r10: Bloom semi-join pruning audit
+    # Then 18 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
-    # second green: warehouse_ext 11 + tpch wave-3/4 7 + tpch_close
-    # Q2 1 = 19 (Q6/Q8/Q9/Q15/Q20/Q21 ceded their slots to the six
-    # NEW r10 queries: streak 0 outranks streak 1).
+    # second green: warehouse_ext 11 + tpch wave-3/4 7 = 18 (all 7
+    # tpch_close rotate-ins ceded their slots to the seven NEW r10
+    # queries: streak 0 outranks streak 1).
     _wx_tail,
     _tpch_ovf,
-    _tpch_close_in,
-    # ---- outside the window: 76 streak-1 queries ----------------
-    # First the remaining 26 r8-greens (oldest evidence — these
+    # ---- outside the window: 77 streak-1 queries ----------------
+    # First the remaining 27 r8-greens (oldest evidence — these
     # rotate in at r11)...
     _tpch_close_ovf,
     _text_ovf,

@@ -1175,3 +1175,176 @@ ORACLES["cms_join_size"] = f"""
     )
     ORDER BY join_name
 """
+
+
+BLOOM_M = 1 << 16  # bits (8 KB bitmap — broadcast-trivial)
+BLOOM_K = 3  # hash functions
+#: build-side predicate: finished urgent high-value orders — selective
+#: enough that the probe side has real non-members to prune at every SF
+BLOOM_BUILD_PRED = (
+    "o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"
+    " AND o_totalprice > 150000"
+)
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN pruning audit — the runtime-filter /
+    dynamic-pushdown story measured end-to-end: build a K-hash,
+    M-bit Bloom filter over the orders side's customer keys, probe
+    every distinct events user, and report the pruning it buys
+    against the EXACT semi join:
+
+      (n_probe_keys, n_members, n_pass, false_pos, fpr_bp,
+       rows_total, rows_pass, row_prune_bp)
+
+    A probe key passes iff ALL K of its bit positions are set; a
+    true member always passes (no false negatives — pinned by test),
+    so the filter is safe to push below a shuffle: at 100 TB the
+    ~KB bitmap broadcasts to every scan task and drops non-joining
+    fact rows BEFORE the exchange, which is precisely Spark's
+    runtime bloom-filter join optimization made auditable.
+
+    Exactness: bit positions are the portable salted hash64 mod M;
+    membership, counts, and basis points are exact integers.
+
+    Scale shape: build side is one distinct+explode over the dim
+    keys (K bounded positions per key, bitmap <= M rows); the probe
+    is one distinct over fact keys + a broadcast join on positions
+    counting hits; the exact side is one key-level semi join. No
+    fact-fact shuffle anywhere."""
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders").filter(F.expr(BLOOM_BUILD_PRED))
+
+    def positions(key: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(hash64(key.cast("string"), f"bloom{i}"), F.lit(BLOOM_M))
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bits = (
+        orders.select(
+            F.explode(positions(F.col("o_custkey"))).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    build_keys = orders.select(
+        F.col("o_custkey").alias("user_id")
+    ).distinct()
+    probe = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    probe_pos = probe.select(
+        "user_id",
+        "n_rows",
+        F.explode(positions(F.col("user_id"))).alias("pos"),
+    )
+    passed = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("user_id", "n_rows")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+        .select("user_id", "n_rows")
+        .localCheckpoint(eager=False)
+    )
+    members = probe.join(build_keys, "user_id").select("user_id", "n_rows")
+    stats = (
+        probe.agg(
+            F.count(F.lit(1)).alias("n_probe_keys"),
+            F.sum("n_rows").alias("rows_total"),
+        )
+        .crossJoin(
+            F.broadcast(
+                members.agg(F.count(F.lit(1)).alias("n_members"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                passed.agg(
+                    F.count(F.lit(1)).alias("n_pass"),
+                    F.sum("n_rows").alias("rows_pass"),
+                )
+            )
+        )
+    )
+    return stats.select(
+        "n_probe_keys",
+        "n_members",
+        "n_pass",
+        (F.col("n_pass") - F.col("n_members")).alias("false_pos"),
+        # false-positive rate over the NON-members the filter exists
+        # to drop; guard the all-members corner with a 0 sentinel
+        F.expr(
+            "CASE WHEN n_probe_keys > n_members THEN"
+            " (10000 * (n_pass - n_members))"
+            " div (n_probe_keys - n_members) ELSE 0 END"
+        ).alias("fpr_bp"),
+        "rows_total",
+        "rows_pass",
+        F.expr(
+            "(10000 * (rows_total - rows_pass)) div rows_total"
+        ).alias("row_prune_bp"),
+    )
+
+
+QUERIES["bloom_join_prune"] = bloom_join_prune
+
+
+def _bloom_pos_duck(key_expr: str) -> str:
+    parts = ", ".join(
+        f"{hash64_duck(f'CAST({key_expr} AS VARCHAR)', repr(f'bloom{i}'))}"
+        f" % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    )
+    return f"[{parts}]"
+
+
+ORACLES["bloom_join_prune"] = f"""
+    WITH b_orders AS (
+        SELECT o_custkey FROM orders WHERE {BLOOM_BUILD_PRED}
+    ),
+    bits AS (
+        SELECT DISTINCT unnest({_bloom_pos_duck("o_custkey")}) AS pos
+        FROM b_orders
+    ),
+    build_keys AS (SELECT DISTINCT o_custkey AS user_id FROM b_orders),
+    probe AS (
+        SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    probe_pos AS (
+        SELECT user_id, n_rows,
+               unnest({_bloom_pos_duck("user_id")}) AS pos
+        FROM probe
+    ),
+    passed AS (
+        SELECT user_id, any_value(n_rows) AS n_rows
+        FROM probe_pos JOIN bits USING (pos)
+        GROUP BY user_id HAVING count(*) = {BLOOM_K}
+    ),
+    members AS (
+        SELECT p.user_id, p.n_rows FROM probe p
+        JOIN build_keys USING (user_id)
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM probe) AS n_probe_keys,
+               (SELECT CAST(sum(n_rows) AS BIGINT) FROM probe)
+                   AS rows_total,
+               (SELECT count(*) FROM members) AS n_members,
+               (SELECT count(*) FROM passed) AS n_pass,
+               (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT)
+                FROM passed) AS rows_pass
+    )
+    SELECT n_probe_keys, n_members, n_pass,
+           n_pass - n_members AS false_pos,
+           CASE WHEN n_probe_keys > n_members THEN
+               (10000 * (n_pass - n_members))
+               // (n_probe_keys - n_members) ELSE 0 END AS fpr_bp,
+           rows_total, rows_pass,
+           (10000 * (rows_total - rows_pass)) // rows_total
+               AS row_prune_bp
+    FROM stats
+"""

@@ -143,6 +143,9 @@ _BOUNDED_CROSSJOIN_OK = {
     # 1-row sketch-estimate frames crossed with 1-row exact-size
     # frames (two audited joins, four 1-row frames total, r10)
     "cms_join_size",
+    # 1-row probe-total / member-count / pass-count stat frames
+    # assembled into the single audit row (r10)
+    "bloom_join_prune",
     "event_cooccurrence",
     "vocab_bigram_pmi",
     # 1-row observed-day-bounds frame generating the calendar spine

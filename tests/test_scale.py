@@ -210,3 +210,28 @@ def test_cms_join_size_never_underestimates(spark):
     for r in scale.cms_join_size(spark, SF_DIR_ORACLE).collect():
         assert r.est >= r.exact, (r.join_name, r.est, r.exact)
         assert r.over_bp >= 10000
+
+
+def test_bloom_join_prune_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        scale.bloom_join_prune(spark, SF_DIR_ORACLE),
+        duck,
+        scale.ORACLES["bloom_join_prune"],
+        "bloom_join_prune",
+    )
+
+
+def test_bloom_never_false_negative(spark):
+    """Every true member passes the filter (the property that makes
+    a Bloom filter safe to push below the shuffle): n_pass >=
+    n_members, false positives >= 0, and row pruning only ever drops
+    non-member rows."""
+    r = scale.bloom_join_prune(spark, SF_DIR_ORACLE).first()
+    assert r.n_pass >= r.n_members
+    assert r.false_pos == r.n_pass - r.n_members >= 0
+    assert r.rows_pass <= r.rows_total
+    assert 0 <= r.fpr_bp <= 10000
+    # the audit is non-degenerate at this SF: real non-members exist
+    assert r.n_probe_keys > r.n_members

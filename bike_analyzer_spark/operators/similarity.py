@@ -256,6 +256,60 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COS = 0.95
 
 
+def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest neighbors within the LSH candidate space — the
+    reciprocal-top-1 pairing primitive (bitext mining / dataset
+    linkage: a pair only counts when each vector is the OTHER's best
+    match, which suppresses hub vectors that are everyone's neighbor
+    but nobody's partner).
+
+    Plan: the shared LSH-bucketed candidate pairs (never all-pairs),
+    doubled into directed edges, one argmax window per vector
+    (partition = vec_id, bounded by the vector's candidate degree),
+    then a self-join keeping edges whose reverse is also rank 1.
+    Ties break (cos desc, neighbor asc) on the ROUNDED score so both
+    engines pick the same neighbor; null-cos edges (zero-norm
+    vectors) are excluded on both engines before ranking.
+
+    Scale: candidate generation is the pinned LSH machinery
+    (sum-over-buckets fan-out); ranking shuffles once on vec_id; the
+    mutual join is NN-sized (one row per vector). Approximate by
+    construction — mutual-within-candidates — and the oracle replays
+    the same candidate space exactly."""
+    pairs = _scored_lsh_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    directed = (
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("n"), "cos")
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("v"), F.col("a").alias("n"), "cos"
+            )
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("n"))
+    nn = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("v", "n", "cos")
+        .localCheckpoint(eager=False)
+    )
+    x, y = nn.alias("x"), nn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.v") == F.col("y.n"))
+            & (F.col("x.n") == F.col("y.v"))
+            & (F.col("x.v") < F.col("x.n")),
+        )
+        .select(
+            F.col("x.v").alias("a"),
+            F.col("x.n").alias("b"),
+            F.col("x.cos").alias("cos"),
+        )
+        .orderBy("a")
+    )
+
+
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the dedup pack's
     vector modality): LSH-bucketed candidates verified at a high
@@ -274,6 +328,7 @@ QUERIES = {
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
     "dedup_embed_cosine": dedup_embed_cosine,
+    "sim_mutual_nn": sim_mutual_nn,
 }
 
 # DuckDB twins. Element access: list_transform((x,i) -> ...) gives a
@@ -387,5 +442,39 @@ ORACLES = {
         JOIN embeddings eb ON eb.vec_id = c.b
         ORDER BY cos DESC, a, b
         LIMIT 50
+    """,
+    "sim_mutual_nn": f"""
+        WITH buckets AS ({_BUCKETS}),
+        cands AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM buckets l JOIN buckets r
+              ON l.table_id = r.table_id AND l.bucket = r.bucket
+             AND l.vec_id < r.vec_id
+        ),
+        scored AS (
+            SELECT c.a, c.b,
+                   {_cos_sql("ea.embedding", "eb.embedding")} AS cos
+            FROM cands c
+            JOIN embeddings ea ON ea.vec_id = c.a
+            JOIN embeddings eb ON eb.vec_id = c.b
+        ),
+        directed AS (
+            SELECT a AS v, b AS n, cos FROM scored
+            UNION ALL
+            SELECT b AS v, a AS n, cos FROM scored
+        ),
+        nn AS (
+            SELECT v, n, cos FROM (
+                SELECT v, n, cos,
+                       row_number() OVER (
+                           PARTITION BY v ORDER BY cos DESC, n ASC
+                       ) AS rk
+                FROM directed WHERE cos IS NOT NULL
+            ) WHERE rk = 1
+        )
+        SELECT x.v AS a, x.n AS b, x.cos AS cos
+        FROM nn x JOIN nn y
+          ON x.v = y.n AND x.n = y.v AND x.v < x.n
+        ORDER BY a
     """,
 }

@@ -70,3 +70,47 @@ def test_lsh_groups_identical_vectors(spark):
     same = sum(b[(0, t)] == b[(1, t)] for t in range(4))
     opp = sum(b[(0, t)] == b[(2, t)] for t in range(4))
     assert same == 4 and opp == 0
+
+
+def test_sim_mutual_nn_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.sim_mutual_nn(spark, SF_DIR_ORACLE),
+        duck,
+        similarity.ORACLES["sim_mutual_nn"],
+        "sim_mutual_nn",
+    )
+
+
+def test_mutual_nn_is_reciprocal_and_matching(spark):
+    """Mutual-NN laws: the output is a MATCHING (each vector appears
+    in at most one pair) and every pair is reciprocal — b is a's
+    rank-1 candidate neighbor and vice versa."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pairs = similarity._scored_lsh_pairs(spark, SF_DIR_ORACLE).cache()
+    out = similarity.sim_mutual_nn(spark, SF_DIR_ORACLE).collect()
+    seen = set()
+    for r in out:
+        assert r.a not in seen and r.b not in seen, "not a matching"
+        seen.add(r.a)
+        seen.add(r.b)
+    directed = (
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("n"), "cos")
+        .unionByName(
+            pairs.select(F.col("b").alias("v"), F.col("a").alias("n"), "cos")
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cos"), F.asc("n"))
+    nn = {
+        r.v: r.n
+        for r in directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    for r in out:
+        assert nn[r.a] == r.b and nn[r.b] == r.a
+    pairs.unpersist()

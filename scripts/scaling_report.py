@@ -30,11 +30,11 @@ FAMILIES = [
                           "hll_", "kmins_", "benford", "rfm", "seasonal",
                           "retention_", "theilsen", "type_affinity",
                           "weekly_", "metric_", "web_order", "winsorized",
-                          "markov_")),
+                          "markov_", "ab_cuped")),
     ("retrieval", ("bm25", "rrf_", "entity_")),
     ("analytics ext", ("monthly_", "set_ops", "rollup", "ntile", "pivot",
                        "value_percentiles", "value_reversals", "cube",
-                       "purchase_quartiles",
+                       "purchase_quartiles", "purchase_value_distribution",
                        "user_value_navigation", "event_grouping_sets",
                        "nation_metrics_unpivot", "skyline")),
     ("ANN / embeddings", ("sim_", "semdedup", "ann_recall",
@@ -46,7 +46,7 @@ FAMILIES = [
     ("pipeline ops", ("split_", "stratified", "weighted_sample", "mix_",
                       "pack_", "scrub_", "curate", "cms_", "approx",
                       "fuzzy_", "source_data", "mm_", "corpus_build",
-                      "ngram_novelty")),
+                      "ngram_novelty", "bloom_", "source_overlap")),
     ("table services", ("hypertable", "busy_islands", "range_join",
                         "session", "asof", "profile", "zorder", "tpch_",
                         "integrity", "skew_report", "time_weighted",
@@ -80,6 +80,17 @@ def main() -> None:
     print(f"# SCALING — wall-time across the {step:.0f}x data step "
           f"(sf{sf_lo} → sf{sf_hi})\n")
     print("Derived from BENCH_DETAIL.json by scripts/scaling_report.py.")
+    tot_lo = sum(lo for _, lo, _, _ in rows)
+    tot_hi = sum(hi for _, _, hi, _ in rows)
+    if tot_lo > tot_hi:
+        print(
+            f"\n**Contention caveat:** this detail's sf{sf_lo} pass "
+            f"({tot_lo:.0f} s) exceeds its sf{sf_hi} pass "
+            f"({tot_hi:.0f} s) — physically impossible on equal "
+            "footing, so the smaller-SF pass (which runs LAST) was "
+            "inflated by host contention mid-run. Ratios below are "
+            "therefore a LOWER bound on the true data-scaling slope; "
+            "treat sub-1.0 rows as floor noise, not speedups.")
     print(f"A ratio near 1.0 = fixed overhead dominates; {step:.0f}.0 = "
           "perfectly linear in data; the gap below "
           f"{step:.0f} is the engine's sublinearity (partial aggs, "

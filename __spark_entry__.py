@@ -88,14 +88,14 @@ from bike_analyzer_spark.operators import (
 WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 8 NEW r10 queries (two funnel
-# joins + winnowing + CUPED + source-overlap matrix + CMS join-size
-# + Bloom prune audit + mutual-NN — streak 0 seats first) plus 17
-# streak-1 rotate-ins with the OLDEST evidence (r8 greens skipped
-# in r9: warehouse_ext 11 + tpch wave-3/4 6).  Outside, 78 streak-1
-# queries queue for their second green: the 50 r9-window queries
-# (freshest evidence, rotate back last) plus the remaining 28
-# r8-green stragglers (r11 drains these).  tests/test_rotation.py
+# checked r9-new queries plus the 9 NEW r10 queries (three funnel
+# shapes + winnowing + CUPED + source-overlap matrix + CMS
+# join-size + Bloom prune audit + mutual-NN — streak 0 seats first)
+# plus 16 streak-1 rotate-ins with the OLDEST evidence (r8 greens
+# skipped in r9: warehouse_ext 11 + tpch wave-3/4 5).  Outside, 79
+# streak-1 queries queue for their second green: the 50 r9-window
+# queries (freshest evidence, rotate back last) plus the remaining
+# 29 r8-green stragglers (r11 drains these).  tests/test_rotation.py
 # asserts this set is EXACTLY the unproven (streak<2) queries
 # outside the window.
 WINDOW_OVERFLOW = frozenset(
@@ -160,8 +160,9 @@ WINDOW_OVERFLOW = frozenset(
         "rrf_fusion",
         "ngram_novelty",
         # ---- r8 greens still awaiting a second green (r11 drains) --
-        # all 7 tpch_close rotate-ins + tpch_disjunctive_revenue
-        # ceded their r10 slots to the eight new r10 queries
+        # all 7 tpch_close rotate-ins + two tpch wave-3/4 queries
+        # ceded their r10 slots to the nine new r10 queries
+        "tpch_small_quantity_revenue",
         "tpch_disjunctive_revenue",
         "tpch_forecast_revenue",
         "tpch_min_cost_supplier",
@@ -348,10 +349,11 @@ _tpch_ovf = _Slice(
         "tpch_parts_supplier_variety",
         "tpch_top_supplier_share",
         "tpch_sales_opportunity",
-        "tpch_small_quantity_revenue",
     ],
 )
-_tpch_ovf2 = _Slice(tpch, ["tpch_disjunctive_revenue"])
+_tpch_ovf2 = _Slice(
+    tpch, ["tpch_small_quantity_revenue", "tpch_disjunctive_revenue"]
+)
 _tpch_proven = _Slice(
     tpch,
     [
@@ -388,12 +390,12 @@ _tpch_close_ovf = _Slice(
 
 _MODULES = [
     # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 33 never-driver-checked queries (the complete r9-new wave
-    # plus the eight r10-new queries) seat first.  Slot arithmetic:
+    # The 34 never-driver-checked queries (the complete r9-new wave
+    # plus the nine r10-new queries) seat first.  Slot arithmetic:
     # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
     # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
     # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
-    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 2 +
+    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 3 +
     # winnow 1 + experiment(CUPED) 1 + quality(matrix) 1 +
     # scale(join-size, bloom) 2 + similarity(mutual-NN) 1 = 33.
     _winfuncs_new,  # percent_rank/cume_dist value distribution
@@ -421,16 +423,16 @@ _MODULES = [
     _scale_new4,  # NEW r10: CMS inner-product join-size estimate
     _scale_new5,  # NEW r10: Bloom semi-join pruning audit
     _sim_new,  # NEW r10: mutual nearest neighbors (reciprocal top-1)
-    # Then 17 streak-1 rotate-ins with the OLDEST evidence — green
+    # Then 16 streak-1 rotate-ins with the OLDEST evidence — green
     # in CORRECTNESS_r08, skipped by the r9 window — for their
-    # second green: warehouse_ext 11 + tpch wave-3/4 6 = 17 (all 7
-    # tpch_close rotate-ins and tpch_disjunctive_revenue ceded their
-    # slots to the eight NEW r10 queries: streak 0 outranks
+    # second green: warehouse_ext 11 + tpch wave-3/4 5 = 16 (all 7
+    # tpch_close rotate-ins and two tpch wave-3/4 queries ceded
+    # their slots to the nine NEW r10 queries: streak 0 outranks
     # streak 1).
     _wx_tail,
     _tpch_ovf,
-    # ---- outside the window: 78 streak-1 queries ----------------
-    # First the remaining 28 r8-greens (oldest evidence — these
+    # ---- outside the window: 79 streak-1 queries ----------------
+    # First the remaining 29 r8-greens (oldest evidence — these
     # rotate in at r11)...
     _tpch_ovf2,
     _tpch_close_ovf,

@@ -141,3 +141,100 @@ ORACLES = {
         ORDER BY view_id, purchase_id
     """,
 }
+
+
+def funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-grain strict-order funnel: per user, the earliest view,
+    the earliest click STRICTLY AFTER that view, and the earliest
+    purchase strictly after that click — the greedy
+    earliest-completion chain (the standard funnel semantics BI tools
+    implement, where a click that precedes every view doesn't count).
+    Complements `useranalytics.ordered_funnel` (day-grain step
+    ordering) with intra-day event-time ordering.
+
+    Returns one NULL-free row per user who has at least one view:
+    (user_id, v_us, c_us, p_us, stage) with -1 sentinels for
+    unreached steps and stage in {1,2,3}.
+
+    Greedy-earliest is the CORRECT maximal-completion strategy here:
+    if any (v', c', p') chain exists, then the earliest view v <= v'
+    admits c <= c' (c' is after v' >= v), which admits p <= p' — so
+    taking the minimum at each stage never forfeits a completion.
+
+    Scale shape: three user-keyed aggregates, each one map-side-
+    combinable min over a filtered scan slice, chained by user-keyed
+    joins — no windows, no corpus sort; the shuffle key is user_id
+    throughout, so the three stages co-partition under AQE."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "v_us",
+            F.coalesce("c_us", F.lit(ABSENT)).alias("c_us"),
+            F.coalesce("p_us", F.lit(ABSENT)).alias("p_us"),
+            (
+                F.lit(1)
+                + F.col("c_us").isNotNull().cast("int")
+                + F.col("p_us").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["funnel_strict_sequence"] = funnel_strict_sequence
+
+ORACLES["funnel_strict_sequence"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (
+        SELECT user_id, min(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.us) AS c_us
+        FROM ev e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.us > v.v_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.us) AS p_us
+        FROM ev e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.v_us,
+           coalesce(c.c_us, {ABSENT}) AS c_us,
+           coalesce(p.p_us, {ABSENT}) AS p_us,
+           1 + CAST(c.c_us IS NOT NULL AS INT)
+             + CAST(p.p_us IS NOT NULL AS INT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+"""

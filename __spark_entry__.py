@@ -56,6 +56,7 @@ from bike_analyzer_spark.operators import (
     setjoin,
     similarity,
     stats,
+    streamserve,
     substring,
     text,
     tpch,
@@ -87,54 +88,32 @@ from bike_analyzer_spark.operators import (
 # operator edit (od_kcore) re-proved green in CORRECTNESS_r09.
 WINDOW_ROTATEBACKS = frozenset()
 
-# Window overflow (r10): the 50 slots hold the 25 never-driver-
-# checked r9-new queries plus the 9 NEW r10 queries (three funnel
-# shapes + winnowing + CUPED + source-overlap matrix + CMS
-# join-size + Bloom prune audit + mutual-NN — streak 0 seats first)
-# plus 16 streak-1 rotate-ins with the OLDEST evidence (r8 greens
-# skipped in r9: warehouse_ext 11 + tpch wave-3/4 5).  Outside, 79
-# streak-1 queries queue for their second green: the 50 r9-window
-# queries (freshest evidence, rotate back last) plus the remaining
-# 29 r8-green stragglers (r11 drains these).  tests/test_rotation.py
-# asserts this set is EXACTLY the unproven (streak<2) queries
-# outside the window.
+# Window overflow (r11): after CORRECTNESS_r10 every registered
+# query has ≥1 driver green — 113 hold streak 1, 110 are proven
+# (streak ≥2); the 2 NEW r11 queries (streamserve) are streak 0 and
+# seat first.  The remaining 48 slots go to the streak-1 queries
+# with the OLDEST evidence: the 29 r8-greens that queued through
+# r9/r10 (tpch wave-3/4 + tpch_close + text/winfuncs/funcsuite/
+# scale/eval/stats/sampling/gapfill/ua/graph/retrieval stragglers)
+# plus the first 19 of the r9 window (useranalytics 10 +
+# sequences 5 + graph 3 + stats 1).  Outside, 65 streak-1 queries
+# queue for r12: the remaining 31 r9-window queries plus the 34
+# r10-window first-greens (freshest evidence, rotate back last).
+# tests/test_rotation.py asserts this set is EXACTLY the unproven
+# (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
-        # ---- r9 window, all green in CORRECTNESS_r09 (streak 1) ----
-        # useranalytics head
-        "attribution_last_touch",
-        "ltv_decay",
-        "attribution_delay",
-        "dau_wau_stickiness",
-        "ordered_funnel",
-        "attribution_position",
-        "cohort_ltv",
-        "rfm_segments",
-        "weekly_conversion_ci",
-        "web_order_bridge",
-        # sequences head
-        "event_transitions",
-        "activity_acf",
-        "activity_anova",
-        "holt_forecast",
-        "path_trigrams",
-        # graph head
-        "od_reach_hops",
-        "od_kcore",
-        "od_shortest_path",
-        # stats head
-        "robust_outliers",
+        # ---- r9 window remainder (green r9, streak 1) --------------
+        # stats tail (ceded slots to the r11-new streamserve pair)
         "benford_digits",
         "metric_correlations",
-        # drift head
+        # drift / analytics_ext / divergence / fuzzy / profile heads
         "cusum_changepoint",
         "psi_drift",
         "seasonal_anomalies",
-        # analytics_ext head
         "value_reversals",
         "skyline_parts",
         "monthly_revenue_yoy",
-        # divergence / fuzzy / profile / scale / vocab heads
         "domain_entropy",
         "domain_jsd_pairs",
         "entity_clusters",
@@ -142,14 +121,15 @@ WINDOW_OVERFLOW = frozenset(
         "integrity_audit",
         "skew_report",
         "event_disorder_profile",
+        # scale / vocab / warehouse_ext heads
         "hll_user_estimate",
         "hll_grouped_estimate",
         "vocab_bigram_pmi",
         "vocab_zipf_fit",
-        # warehouse_ext / assoc / curate / eval / misc heads
         "fulfillment_latency",
         "basket_size_profile",
         "revenue_pareto",
+        # assoc / curate / eval / misc heads
         "event_cooccurrence",
         "source_data_card",
         "corpus_build_card",
@@ -159,38 +139,41 @@ WINDOW_OVERFLOW = frozenset(
         "geo_hotspots",
         "rrf_fusion",
         "ngram_novelty",
-        # ---- r8 greens still awaiting a second green (r11 drains) --
-        # all 7 tpch_close rotate-ins + two tpch wave-3/4 queries
-        # ceded their r10 slots to the nine new r10 queries
-        "tpch_small_quantity_revenue",
-        "tpch_disjunctive_revenue",
-        "tpch_forecast_revenue",
-        "tpch_min_cost_supplier",
-        "tpch_market_share",
-        "tpch_product_profit",
-        "tpch_top_supplier",
-        "tpch_part_promotion",
-        "tpch_waiting_suppliers",
-        "text_bpe_encode",
-        "text_chunk_plan",
-        "purchase_quartiles",
-        "user_value_navigation",
-        "event_grouping_sets",
-        "f_array_ops",
-        "f_datetime_ops",
-        "f_rank_ties",
-        "f_string_ops",
-        "scale_salted_sums",
-        "scale_grid_quantiles",
-        "ann_recall_ivf",
-        "nbq_confusion",
-        "minhash_error_profile",
-        "stats_moments",
-        "weighted_sample",
-        "hypertable_gapfill",
-        "cohort_retention",
-        "od_triangles",
-        "bm25_topk",
+        # ---- r10 window first-greens (green r10, streak 1) ---------
+        "purchase_value_distribution",
+        "f_map_ops",
+        "f_struct_ops",
+        "ivf_label_purity",
+        "quantile_error_audit",
+        "winsorized_stats",
+        "theilsen_trend",
+        "retention_survival",
+        "markov_eval",
+        "activity_ccf",
+        "hll_overlap_estimate",
+        "type_affinity_cosine",
+        "od_link_prediction",
+        "sim_ivfpq_topk",
+        "text_readability",
+        "scale_salted_join",
+        "dedup_prefix_filter",
+        "dedup_sorted_neighborhood",
+        "sim_sparse_cosine",
+        "dedup_containment",
+        "kmins_user_estimate",
+        "od_label_propagation",
+        "seasonal_circular",
+        "vocab_heaps_curve",
+        "geo_dbscan_clusters",
+        "funnel_attribution_audit",
+        "funnel_full_ledger",
+        "funnel_strict_sequence",
+        "dedup_winnowing",
+        "ab_cuped_readout",
+        "source_overlap_matrix",
+        "cms_join_size",
+        "bloom_join_prune",
+        "sim_mutual_nn",
     }
 )
 
@@ -269,9 +252,8 @@ _scale_head, _scale_tail = _split(
 )
 _scale_ovf = _Slice(scale, ["scale_salted_sums", "scale_grid_quantiles"])
 _scale_proven = _Slice(scale, ["cms_user_counts"])
-_stats_head = _Slice(
-    stats, ["robust_outliers", "benford_digits", "metric_correlations"]
-)
+_stats_head = _Slice(stats, ["robust_outliers"])
+_stats_head2 = _Slice(stats, ["benford_digits", "metric_correlations"])
 _stats_new = _Slice(stats, ["winsorized_stats", "theilsen_trend"])
 _stats_ovf = _Slice(stats, ["stats_moments"])
 _sequences_head, _sequences_tail = _split(
@@ -389,15 +371,59 @@ _tpch_close_ovf = _Slice(
 )
 
 _MODULES = [
-    # ---- r10 window (exactly 50 queries, streak-0-first) --------
-    # The 34 never-driver-checked queries (the complete r9-new wave
-    # plus the nine r10-new queries) seat first.  Slot arithmetic:
-    # winfuncs 1 + funcsuite 2 + evalsuite 2 + stats 2 +
-    # useranalytics 1 + sequences 2 + scale 3 (hll_overlap, salted
-    # join, k-mins) + assoc 1 + graph 2 (link pred, LPA) + ivfpq 1 +
-    # text 1 + setjoin 4 + drift 1 + vocab 1 + od 1 + funnels 3 +
-    # winnow 1 + experiment(CUPED) 1 + quality(matrix) 1 +
-    # scale(join-size, bloom) 2 + similarity(mutual-NN) 1 = 33.
+    # ---- r11 window (exactly 50 queries) -------------------------
+    # The 2 NEW r11 queries (streaming-serve batch twins: delivery-
+    # lag audit + space-saving top-k serve) are streak 0 and seat
+    # FIRST.  Every other query has ≥1 driver green; the 113
+    # streak-1 queries tie on priority, so the remaining 48 slots go
+    # to the OLDEST evidence: the 29 r8-greens that queued through
+    # r9/r10 (tpch wave-3/4 2 + tpch_close 7 + text 2 + winfuncs 3 +
+    # funcsuite 4 + scale 2 + evalsuite 3 + stats 1 + sampling 1 +
+    # gapfill 1 + ua 1 + graph 1 + retrieval 1 = 29) plus the first
+    # 19 of the r9 window (useranalytics 10 + sequences 5 + graph 3
+    # + stats 1; benford_digits/metric_correlations ceded their
+    # slots to the two new queries).
+    streamserve,  # NEW r11: streaming-serve batch twins
+    _tpch_ovf2,
+    _tpch_close_ovf,
+    _text_ovf,
+    _winfuncs_ovf,
+    _funcsuite_ovf,
+    _scale_ovf,
+    _eval_ovf,
+    _stats_ovf,
+    _sampling_ovf,
+    gapfill,
+    _ua_ovf,
+    _graph_ovf,
+    _retrieval_tail,
+    # ...then the first 19 of the r9 window (green r9 — next-oldest):
+    # useranalytics 10 + sequences 5 + graph 3 + stats 1 = 19.
+    _ua_head,
+    _sequences_head,
+    _graph_head,
+    _stats_head,
+    # ---- outside the window: 65 streak-1 queries (r12 drains) ----
+    # First the remaining 31 r9-window queries...
+    _stats_head2,
+    _drift_head,
+    _analytics_head,
+    divergence,
+    _fuzzy_head,
+    _profile_head,
+    _scale_head,
+    _vocab_head,
+    _wx_head,
+    _assoc_head,
+    _curate_head,
+    _eval_head,
+    _experiment_head,
+    _hyper_head,
+    _od_head,
+    _retrieval_head,
+    _quality_head,
+    # ...then the 34 r10-window first-greens (freshest evidence,
+    # rotate back last).
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -416,60 +442,18 @@ _MODULES = [
     _drift_tail,  # circular seasonality
     _vocab_new,  # Heaps-law vocab growth curve
     _od_new,  # grid-density DBSCAN
-    funnels,  # NEW r10: right/full-outer interval-join batch twins
-    winnow,  # NEW r10: winnowing (MOSS) fingerprint dedup
-    _experiment_new,  # NEW r10: CUPED variance-reduced A/B readout
-    _quality_new,  # NEW r10: cross-source contamination matrix
-    _scale_new4,  # NEW r10: CMS inner-product join-size estimate
-    _scale_new5,  # NEW r10: Bloom semi-join pruning audit
-    _sim_new,  # NEW r10: mutual nearest neighbors (reciprocal top-1)
-    # Then 16 streak-1 rotate-ins with the OLDEST evidence — green
-    # in CORRECTNESS_r08, skipped by the r9 window — for their
-    # second green: warehouse_ext 11 + tpch wave-3/4 5 = 16 (all 7
-    # tpch_close rotate-ins and two tpch wave-3/4 queries ceded
-    # their slots to the nine NEW r10 queries: streak 0 outranks
-    # streak 1).
+    funnels,  # right/full-outer interval-join batch twins + strict seq
+    winnow,  # winnowing (MOSS) fingerprint dedup
+    _experiment_new,  # CUPED variance-reduced A/B readout
+    _quality_new,  # cross-source contamination matrix
+    _scale_new4,  # CMS inner-product join-size estimate
+    _scale_new5,  # Bloom semi-join pruning audit
+    _sim_new,  # mutual nearest neighbors (reciprocal top-1)
+    # ---- proven tail (every query ≥2 driver greens) --------------
+    # r10 second-greens join the proven tail: warehouse_ext 11 +
+    # tpch wave-3/4 5.
     _wx_tail,
     _tpch_ovf,
-    # ---- outside the window: 79 streak-1 queries ----------------
-    # First the remaining 29 r8-greens (oldest evidence — these
-    # rotate in at r11)...
-    _tpch_ovf2,
-    _tpch_close_ovf,
-    _text_ovf,
-    _winfuncs_ovf,
-    _funcsuite_ovf,
-    _scale_ovf,
-    _eval_ovf,
-    _stats_ovf,
-    _sampling_ovf,
-    gapfill,
-    _ua_ovf,
-    _graph_ovf,
-    _retrieval_tail,
-    # ...then the 50 r9-window queries (freshest greens, rotate back
-    # last).
-    _ua_head,
-    _sequences_head,
-    _graph_head,
-    _stats_head,
-    _drift_head,
-    _analytics_head,
-    divergence,
-    _fuzzy_head,
-    _profile_head,
-    _scale_head,
-    _vocab_head,
-    _wx_head,
-    _assoc_head,
-    _curate_head,
-    _eval_head,
-    _experiment_head,
-    _hyper_head,
-    _od_head,
-    _retrieval_head,
-    _quality_head,
-    # ---- proven tail (every query ≥2 consecutive driver greens) --
     multimodal,
     _sim_proven,
     ivf,

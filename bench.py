@@ -9,7 +9,15 @@ both lost their perf record because a single oversized JSON line (two
 headline "value" — was truncated. Hence the split emission: the last
 line must stay small no matter how many queries the corpus grows to.
 
-Usage: python bench.py
+Usage: python bench.py [--adopt]
+       By default per-query detail is written to the UNTRACKED
+       BENCH_DETAIL.tmp.json sidecar, so driver/CI runs never dirty
+       the committed BENCH_DETAIL.json artifact (rounds 8-10 each
+       ended with the clean committed detail overwritten by a
+       contended driver run). Pass --adopt to replace the committed
+       BENCH_DETAIL.json — refused (detail still goes to the tmp
+       path) when the run is not clean or the floor-inversion tell
+       fired, so only idle-window runs can become the artifact.
 Env:   SPARK_GRAFT_SF_DIR            (default /root/testdata/sf0.1)
        SPARK_GRAFT_SF_DIR_SECONDARY  (default /root/testdata/sf0.01;
                                       "" disables the secondary pass)
@@ -112,7 +120,6 @@ def main() -> int:
         "stat": "p50",
         "clean": load_start < 4.0,
         "loadavg_start": load_start,
-        "detail_file": "BENCH_DETAIL.json",
     }
 
     if (
@@ -142,6 +149,17 @@ def main() -> int:
     # loadavg and the secondary/primary inversion tell so a judge
     # can spot such runs; `clean` keeps its start-only meaning (the
     # end value may include our own still-decaying 1-min average).
+    # Rep asymmetry caveat (r10 advice): the secondary pass is
+    # 1-rep, so each of its per-query times INCLUDES planning +
+    # first-touch I/O, while the primary is a p50-of-REPS dominated
+    # by warmed execution. That asymmetry alone inflates the
+    # secondary sum by roughly the corpus's aggregate planning cost
+    # (~15-20 s at 220+ queries), so `floor_inverted` is a
+    # conservative tell: at a 10x SF gap a genuinely quiet host
+    # keeps the sf0.01 secondary well below the sf0.1 primary even
+    # with the planning surcharge; an inversion therefore still
+    # signals a mid-run floor rise, but the MARGIN of an inversion
+    # is not interpretable as pure contention.
     summary["loadavg_end"] = round(os.getloadavg()[0], 2)
     if "secondary_value" in summary and summary["sf"] > summary.get(
         "secondary_sf", summary["sf"]
@@ -151,8 +169,25 @@ def main() -> int:
         )
 
     # Per-query maps: sidecar file + an EARLY stdout line (truncatable).
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json")
+    # Default target is the UNTRACKED .tmp sidecar; the committed
+    # BENCH_DETAIL.json (which tests/test_scaling_pin.py and the
+    # round-over-round comparisons read) only changes under an
+    # explicit --adopt on a clean, non-inverted run.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    adopt = "--adopt" in sys.argv[1:]
+    adoptable = summary["clean"] and not summary.get("floor_inverted", False)
+    if adopt and not adoptable:
+        print(
+            "bench: --adopt refused (clean=%s floor_inverted=%s); "
+            "detail written to BENCH_DETAIL.tmp.json only"
+            % (summary["clean"], summary.get("floor_inverted")),
+            file=sys.stderr,
+        )
+    adopted = adopt and adoptable
+    sidecar = os.path.join(
+        repo, "BENCH_DETAIL.json" if adopted else "BENCH_DETAIL.tmp.json"
+    )
+    summary["detail_file"] = os.path.basename(sidecar)
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))

@@ -186,6 +186,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "basket_size_profile",  # basket-size lattice cum-share
     # count-of-count / histogram frames (rows = distinct frequencies)
     "skew_report",
+    # calendar-bounded arrival-hour bucket frame (~9k rows/year):
+    # the audit's prior-high-water cummax runs over one row per
+    # bucket, never over events (operators/streamserve.py)
+    "delivery_lag_audit",
     # salted two-stage top-N: the ONLY global window runs over the
     # <= SALTS*N stage-1 survivors (sampling.py / retrieval.py)
     "weighted_sample",
@@ -225,8 +229,16 @@ def _global_windows(plan: str) -> "list[str]":
                     continue
             if cur is not None:
                 cur.append(ch)
+        # The 2-group form is `Window [exprs], [orderSpec]` (empty
+        # partition spec) — but only when the second group really IS
+        # an order spec. Anchor on the full sort-direction token
+        # (`ASC NULLS FIRST` / `DESC NULLS LAST`) rather than a bare
+        # ASC|DESC substring, which an identifier inside a partition
+        # spec (e.g. an alias `..._ASC_...`) could contain (r10
+        # advice).
         if len(groups) == 1 or (
-            len(groups) == 2 and re.search(r"(ASC|DESC)", groups[1])
+            len(groups) == 2
+            and re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\b", groups[1])
         ):
             out.append(line.strip())
     return out

@@ -90,21 +90,25 @@ WINDOW_ROTATEBACKS = frozenset()
 
 # Window overflow (r11): after CORRECTNESS_r10 every registered
 # query has ≥1 driver green — 113 hold streak 1, 110 are proven
-# (streak ≥2); the 2 NEW r11 queries (streamserve) are streak 0 and
-# seat first.  The remaining 48 slots go to the streak-1 queries
-# with the OLDEST evidence: the 29 r8-greens that queued through
-# r9/r10 (tpch wave-3/4 + tpch_close + text/winfuncs/funcsuite/
-# scale/eval/stats/sampling/gapfill/ua/graph/retrieval stragglers)
-# plus the first 19 of the r9 window (useranalytics 10 +
-# sequences 5 + graph 3 + stats 1).  Outside, 65 streak-1 queries
-# queue for r12: the remaining 31 r9-window queries plus the 34
-# r10-window first-greens (freshest evidence, rotate back last).
-# tests/test_rotation.py asserts this set is EXACTLY the unproven
-# (streak<2) queries outside the window.
+# (streak ≥2); the 5 NEW r11 queries (the streamserve twins, the
+# Kneser-Ney LM, the sliding-window HLL, the IVF probe curve) are
+# streak 0 and seat first.  The remaining 45 slots go to the
+# streak-1 queries with the OLDEST evidence: the 29 r8-greens that
+# queued through r9/r10 (tpch wave-3/4 + tpch_close + text/
+# winfuncs/funcsuite/scale/eval/stats/sampling/gapfill/ua/graph/
+# retrieval stragglers) plus the first 16 of the r9 window
+# (useranalytics 10 + sequences 5 + graph 1).  Outside, 68 streak-1
+# queries queue for r12: the remaining 34 r9-window queries plus
+# the 34 r10-window first-greens (freshest evidence, rotate back
+# last).  tests/test_rotation.py asserts this set is EXACTLY the
+# unproven (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
         # ---- r9 window remainder (green r9, streak 1) --------------
-        # stats tail (ceded slots to the r11-new streamserve pair)
+        # stats head + graph tail (ceded slots to the r11-new queries)
+        "od_kcore",
+        "od_shortest_path",
+        "robust_outliers",
         "benford_digits",
         "metric_correlations",
         # drift / analytics_ext / divergence / fuzzy / profile heads
@@ -224,6 +228,7 @@ _quality_tail = _Slice(
 )
 _eval_head = _Slice(evalsuite, ["nbq_gains"])
 _eval_new = _Slice(evalsuite, ["ivf_label_purity", "quantile_error_audit"])
+_eval_probe = _Slice(evalsuite, ["ann_probe_curve"])
 _eval_ovf = _Slice(
     evalsuite, ["ann_recall_ivf", "nbq_confusion", "minhash_error_profile"]
 )
@@ -233,6 +238,8 @@ _fuzzy_head, _fuzzy_tail = _split(
 _graph_head, _graph_tail = _split(
     graph, ["od_reach_hops", "od_kcore", "od_shortest_path"]
 )
+_graph_head_a = _Slice(graph, ["od_reach_hops"])
+_graph_head_b = _Slice(graph, ["od_kcore", "od_shortest_path"])
 _graph_ovf = _Slice(graph, ["od_triangles"])
 _graph_proven = _Slice(
     graph, ["dedup_clusters", "dedup_clusters_lss", "od_pagerank"]
@@ -252,8 +259,9 @@ _scale_head, _scale_tail = _split(
 )
 _scale_ovf = _Slice(scale, ["scale_salted_sums", "scale_grid_quantiles"])
 _scale_proven = _Slice(scale, ["cms_user_counts"])
-_stats_head = _Slice(stats, ["robust_outliers"])
-_stats_head2 = _Slice(stats, ["benford_digits", "metric_correlations"])
+_stats_head2 = _Slice(
+    stats, ["robust_outliers", "benford_digits", "metric_correlations"]
+)
 _stats_new = _Slice(stats, ["winsorized_stats", "theilsen_trend"])
 _stats_ovf = _Slice(stats, ["stats_moments"])
 _sequences_head, _sequences_tail = _split(
@@ -271,6 +279,7 @@ _scale_new2 = _Slice(scale, ["scale_salted_join"])
 _scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _scale_new4 = _Slice(scale, ["cms_join_size"])
 _scale_new5 = _Slice(scale, ["bloom_join_prune"])
+_scale_new6 = _Slice(scale, ["hll_sliding_reach"])
 _sim_new = _Slice(similarity, ["sim_mutual_nn"])
 _sim_proven = _Slice(
     similarity,
@@ -309,6 +318,7 @@ _ua_ovf = _Slice(useranalytics, ["cohort_retention"])
 _vocab_head = _Slice(vocab, ["vocab_bigram_pmi", "vocab_zipf_fit"])
 _vocab_new = _Slice(vocab, ["vocab_heaps_curve"])
 _vocab_proven = _Slice(vocab, ["vocab_summary", "vocab_top_terms"])
+_lm_new, _lm_proven = _split(lm, ["lm_kn_doc_bits"])
 _winfuncs_new = _Slice(winfuncs, ["purchase_value_distribution"])
 _winfuncs_ovf = _Slice(
     winfuncs,
@@ -372,17 +382,18 @@ _tpch_close_ovf = _Slice(
 
 _MODULES = [
     # ---- r11 window (exactly 50 queries) -------------------------
-    # The 2 NEW r11 queries (streaming-serve batch twins: delivery-
-    # lag audit + space-saving top-k serve) are streak 0 and seat
-    # FIRST.  Every other query has ≥1 driver green; the 113
-    # streak-1 queries tie on priority, so the remaining 48 slots go
-    # to the OLDEST evidence: the 29 r8-greens that queued through
-    # r9/r10 (tpch wave-3/4 2 + tpch_close 7 + text 2 + winfuncs 3 +
-    # funcsuite 4 + scale 2 + evalsuite 3 + stats 1 + sampling 1 +
-    # gapfill 1 + ua 1 + graph 1 + retrieval 1 = 29) plus the first
-    # 19 of the r9 window (useranalytics 10 + sequences 5 + graph 3
-    # + stats 1; benford_digits/metric_correlations ceded their
-    # slots to the two new queries).
+    # The 5 NEW r11 queries (streaming-serve batch twins: delivery-
+    # lag audit + space-saving top-k serve; interpolated Kneser-Ney
+    # bigram LM scoring; sliding-window HLL reach; IVF probe-budget
+    # coverage curve) are streak 0 and seat FIRST.  Every other
+    # query has ≥1 driver green; the 113 streak-1 queries tie on
+    # priority, so the remaining 45 slots go to the OLDEST evidence:
+    # the 29 r8-greens that queued through r9/r10 (tpch wave-3/4 2 +
+    # tpch_close 7 + text 2 + winfuncs 3 + funcsuite 4 + scale 2 +
+    # evalsuite 3 + stats 1 + sampling 1 + gapfill 1 + ua 1 +
+    # graph 1 + retrieval 1 = 29) plus the first 16 of the r9 window
+    # (useranalytics 10 + sequences 5 + graph 1; the stats head and
+    # the graph tail ceded slots to the new queries).
     streamserve,  # NEW r11: streaming-serve batch twins
     _tpch_ovf2,
     _tpch_close_ovf,
@@ -397,14 +408,18 @@ _MODULES = [
     _ua_ovf,
     _graph_ovf,
     _retrieval_tail,
-    # ...then the first 19 of the r9 window (green r9 — next-oldest):
-    # useranalytics 10 + sequences 5 + graph 3 + stats 1 = 19.
+    # ...then the first 16 of the r9 window (green r9 — next-oldest):
+    # useranalytics 10 + sequences 5 + graph 1 = 16 (the stats head
+    # and the graph tail ceded slots to the r11-new queries).
     _ua_head,
     _sequences_head,
-    _graph_head,
-    _stats_head,
-    # ---- outside the window: 65 streak-1 queries (r12 drains) ----
-    # First the remaining 31 r9-window queries...
+    _graph_head_a,
+    _lm_new,  # NEW r11: interpolated Kneser-Ney bigram LM scoring
+    _scale_new6,  # NEW r11: sliding-window HLL trailing reach
+    _eval_probe,  # NEW r11: IVF probe-budget routing-coverage curve
+    # ---- outside the window: 68 streak-1 queries (r12 drains) ----
+    # First the remaining 34 r9-window queries...
+    _graph_head_b,
     _stats_head2,
     _drift_head,
     _analytics_head,
@@ -464,7 +479,7 @@ _MODULES = [
     _curate_tail,
     semdedup,
     importance,
-    lm,
+    _lm_proven,
     mixing,
     packing,
     scrub,

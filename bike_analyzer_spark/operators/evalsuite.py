@@ -96,6 +96,95 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+#: probe budgets for the routing-coverage curve (N_PROBE = 4 is the
+#: deployed operating point; 1/2 show the cost of under-probing, 8
+#: the headroom above it)
+PROBE_GRID = (1, 2, 4, 8)
+
+
+def ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-budget tuning curve: for each probe budget p, the
+    ROUTING COVERAGE — the share of true top-k neighbors (exact
+    brute-force baseline) whose inverted list is among the query's
+    first p probes. Coverage@p is the ceiling on recall@p (a
+    neighbor whose list is never probed can never be returned), and
+    it is the number an ANN deployment reads to set N_PROBE: where
+    the curve flattens, extra probes buy latency, not recall.
+
+    Computed WITHOUT re-running the search per budget: one centroid
+    ranking per query (the same (score desc, cid asc) order
+    `topk_for` probes in) joined against each true neighbor's list
+    assignment — the whole sweep is one aggregation over
+    N_QUERIES x k rows, vs |grid| full searches.
+
+    Scale shape: the brute baseline and the assignment argmax are
+    the two parents' documented plans (narrow per-row folds over a
+    broadcast centroid row — no corpus shuffle); everything after is
+    metadata-sized (N_QUERIES x K probe ranks, N_QUERIES x k true
+    pairs, a 1-row wide aggregate exploded to |grid| rows).
+    """
+    from .ivf import _assigned, _centroid_row, _index_centroids, _scored_cents
+    from .similarity import _with_norm
+
+    emb_n = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents_row = _centroid_row(_index_centroids(spark, sf_dir, emb_n))
+    assign = _assigned(emb_n, cents_row).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("nb_cid"),
+    )
+    queries = emb_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    # full probe order per query: pos 0 = best centroid (score desc,
+    # ncid desc == cid asc — the exact order topk_for slices)
+    ranked = queries.crossJoin(F.broadcast(cents_row)).select(
+        "query_id",
+        F.posexplode(
+            F.reverse(
+                F.array_sort(_scored_cents(F.col("qe"), F.col("qn")))
+            )
+        ).alias("pos", "s"),
+    ).select(
+        "query_id",
+        (-F.col("s.ncid")).alias("cid"),
+        (F.col("pos") + 1).alias("probe_rank"),
+    )
+    brute = similarity.sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    true_ranks = brute.join(assign, "neighbor_id").join(
+        ranked,
+        (brute.query_id == ranked.query_id)
+        & (F.col("nb_cid") == ranked.cid),
+    )
+    wide = true_ranks.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        *[
+            F.sum((F.col("probe_rank") <= p).cast("bigint")).alias(f"c{p}")
+            for p in PROBE_GRID
+        ],
+    )
+    structs = ", ".join(
+        f"struct(CAST({p} AS BIGINT) AS n_probe, c{p} AS covered)"
+        for p in PROBE_GRID
+    )
+    return (
+        wide.select(
+            F.expr(f"explode(array({structs})) AS kv"), "n_true"
+        )
+        .select("kv.n_probe", "kv.covered", "n_true")
+        .select(
+            "n_probe",
+            "covered",
+            "n_true",
+            _halfup("covered * 100", "n_true", 2).alias("coverage_pct"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 # ------------------------------------------- classifier calibration
 
 
@@ -209,6 +298,7 @@ def minhash_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_recall_ivf": ann_recall_ivf,
+    "ann_probe_curve": ann_probe_curve,
     "nbq_confusion": nbq_confusion,
     "minhash_error_profile": minhash_error_profile,
 }
@@ -223,7 +313,47 @@ _AGREE = " + ".join(
     for i in range(MINHASH_K)
 )
 
+_PROBE_CASES = ", ".join(
+    f"CAST(sum(CASE WHEN probe_rank <= {p} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS c{p}"
+    for p in PROBE_GRID
+)
+_PROBE_UNION = " UNION ALL ".join(
+    f"SELECT CAST({p} AS BIGINT) AS n_probe, c{p} AS covered, n_true"
+    f" FROM wide"
+    for p in PROBE_GRID
+)
+
 ORACLES = {
+    "ann_probe_curve": f"""
+        WITH {ivf._CENTS_CTES},
+        scored AS ({ivf._SCORED}),
+        assign AS ({ivf._ASSIGN}),
+        brute AS ({similarity.ORACLES["sim_topk_bruteforce"]}),
+        nb AS (
+            SELECT vec_id AS neighbor_id, cid AS nb_cid
+            FROM assign WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT vec_id AS query_id, cid, rn AS probe_rank
+            FROM assign WHERE vec_id < {N_QUERIES}
+        ),
+        t AS (
+            SELECT b.query_id, r.probe_rank
+            FROM brute b
+            JOIN nb ON nb.neighbor_id = b.neighbor_id
+            JOIN ranked r
+              ON r.query_id = b.query_id AND r.cid = nb.nb_cid
+        ),
+        wide AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true, {_PROBE_CASES}
+            FROM t
+        ),
+        curve AS ({_PROBE_UNION})
+        SELECT n_probe, covered, n_true,
+               {_hd("covered * 100", "n_true", 2)} AS coverage_pct
+        FROM curve ORDER BY n_probe
+    """,
     "ann_recall_ivf": f"""
         WITH brute AS ({similarity.ORACLES["sim_topk_bruteforce"]}),
         approx AS ({ivf.ORACLES["sim_ivf_topk"]}),

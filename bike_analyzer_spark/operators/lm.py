@@ -200,9 +200,107 @@ def lm_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Interpolated Kneser-Ney cost in integer micro-bits, as ONE shared
+#: expression text both engines evaluate (per-row scalar — no
+#: accumulation, so IEEE determinism needs only identical text).
+#: With absolute discount D = 3/4 and all corpus bigrams observed
+#: (c2 >= 1, so the max(c2 - D, 0) clamp never binds):
+#:
+#:   P_KN(w2|w1) = (c2 - 3/4)/c1 + (3/4)(n1p_w1/c1)(n1p_w2/n1p_all)
+#:               = [(4*c2 - 3)*n1p_all + 3*n1p_w1*n1p_w2]
+#:                 / (4*c1*n1p_all)
+#:
+#: where c1 = sum_w2 c(w1 w2) (w1's count AS A HISTORY), n1p_w1 =
+#: |{w2 : c(w1 w2) > 0}| (distinct continuations), n1p_w2 =
+#: |{w1 : c(w1 w2) > 0}| (distinct histories — the continuation
+#: probability's numerator), n1p_all = distinct bigram types.  Every
+#: leaf is cast to DOUBLE before arithmetic so both engines follow
+#: the same IEEE promotion; at test scale the products are < 2^53
+#: and therefore exact, at larger scale the representation error is
+#: absorbed by the same micro-bit quantization ulp class the add-one
+#: model accepts (module docstring).
+_KN_COST_EXPR = (
+    f"CAST(round((log2(4 * CAST(c1 AS DOUBLE) * CAST(n1p_all AS DOUBLE))"
+    f" - log2((4 * CAST(c2 AS DOUBLE) - 3) * CAST(n1p_all AS DOUBLE)"
+    f" + 3 * CAST(n1p_w1 AS DOUBLE) * CAST(n1p_w2 AS DOUBLE)))"
+    f" * {QUANT}) AS BIGINT)"
+)
+
+
+def lm_kn_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-bigram under an interpolated KNESER-NEY
+    bigram LM (Kneser & Ney 1995; the Chen & Goodman 1998 interpolated
+    form with a fixed D = 3/4 discount) — the standard n-gram
+    smoothing, complementing `lm_doc_bits`' add-one model: add-one
+    hammers every unseen mass estimate with V, while KN redistributes
+    exactly D per observed type and backs off to CONTINUATION
+    probability (how many contexts a word follows, not how often it
+    occurs — the "San Francisco" effect: "Francisco" is frequent but
+    predicts poorly in new contexts).
+
+    Scoring the corpus under its own model means every doc bigram is
+    observed, so the discount clamp never binds and all three joins
+    are inner and lossless.
+
+    Scale shape: one corpus bigram explode feeding one vocab-sized
+    type table (materialized lazily once for its three consumers),
+    two vocab-sized rollups of THAT TABLE (history and continuation
+    stats — never a second corpus pass), a 1-row type-count
+    broadcast, three vocab-keyed joins back onto the exploded corpus
+    (AQE picks broadcast while the vocab fits), one per-doc
+    aggregate. LM state grows with vocabulary, not corpus rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bg = _doc_bigrams(docs).localCheckpoint(eager=False)
+    typ = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    hist = (
+        typ.withColumn("w1", w1)
+        .groupBy("w1")
+        .agg(
+            F.sum("c2").alias("c1"),
+            F.count(F.lit(1)).alias("n1p_w1"),
+        )
+    )
+    cont = (
+        typ.withColumn("w2", w2)
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n1p_w2"))
+    )
+    tot = typ.agg(F.count(F.lit(1)).alias("n1p_all"))
+    scored = (
+        bg.join(typ, "bg")
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cost_ubits", F.expr(_KN_COST_EXPR))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost_ubits").alias("ubits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            _bits_col().alias("kn_bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "lm_doc_bits": lm_doc_bits,
     "lm_bucket_counts": lm_bucket_counts,
+    "lm_kn_doc_bits": lm_kn_doc_bits,
 }
 
 #: shared CTE chain ending in `bucketed(doc_id, n_bigrams, ubits,
@@ -274,5 +372,42 @@ ORACLES = {
                      / CAST(sum(n_bigrams) AS BIGINT) / {QUANT}, 4)
                    AS avg_bits
         FROM bucketed GROUP BY lm_bucket ORDER BY lm_bucket
+    """,
+    "lm_kn_doc_bits": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, unnest({shingles_duck("toks", 2)}) AS bg
+            FROM t WHERE len(toks) >= 2
+        ),
+        typ AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        hist AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1,
+                   count(*) AS n1p_w1
+            FROM typ GROUP BY 1
+        ),
+        cont AS (
+            SELECT string_split(bg, ' ')[2] AS w2, count(*) AS n1p_w2
+            FROM typ GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n1p_all FROM typ),
+        scored AS (
+            SELECT bg.doc_id, {_KN_COST_EXPR} AS cost_ubits
+            FROM bg
+            JOIN typ USING (bg)
+            JOIN hist ON hist.w1 = string_split(bg.bg, ' ')[1]
+            JOIN cont ON cont.w2 = string_split(bg.bg, ' ')[2]
+            CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(cost_ubits) AS BIGINT) AS ubits
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               round(ubits / n_bigrams / {QUANT}, 4) AS kn_bits_per_bigram
+        FROM per_doc ORDER BY doc_id
     """,
 }

@@ -658,6 +658,166 @@ ORACLES["hll_grouped_estimate"] = f"""
 """
 
 
+#: trailing-window width (days) for the sliding reach
+SLIDE_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def hll_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW HyperLogLog: each day's trailing-7-day
+    distinct-user reach, computed entirely from DAY-GRAIN register
+    state — the time-dimension mergeability story that makes HLL a
+    production rollup primitive: a streaming aggregator lands one
+    (day × m) register table as it goes, and ANY trailing window is
+    a per-register max over the relevant days. Raw events are never
+    rescanned per window; a naive COUNT(DISTINCT) would re-touch 7
+    days of raw data for every report day, and its distinct set
+    doesn't fit at 100 TB.
+
+    Exactness discipline: day registers and the window merge are
+    exact integer max/sum (same _RHO/_EST machinery as
+    `hll_user_estimate`); the per-day estimate is the one
+    shared-text double expression. The exact trailing distinct count
+    rides alongside (from the distinct (day,user) frame, never raw
+    rows) with the signed ppm error — the audit column the gate
+    checks, and the first thing a real deployment would drop.
+
+    Scale shape: one scan -> (day × reg) max-agg (days × m rows —
+    calendar-bounded metadata); the trailing merge is a ≤ |days|-row
+    broadcast lattice range-joined against that register table
+    (fan-out ≤ days × m × 7 — still metadata); the exact twin
+    range-joins the distinct (day,user) frame (≤ 7× its size), one
+    groupBy each.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        hash64(F.col("user_id").cast("string"), HLL_SALT).alias("h"),
+    )
+    regs_day = (
+        ev.select(
+            "day",
+            F.expr(f"h div {1 << HLL_LOW_BITS}").alias("reg"),
+            F.expr(f"h % {1 << HLL_LOW_BITS}").alias("lo"),
+        )
+        .selectExpr("day", "reg", f"{_RHO} AS rho")
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("mr"))
+        # two consumers: the day lattice and the window merge
+        .localCheckpoint(eager=False)
+    )
+    lattice = regs_day.select("day").distinct()
+    merged = (
+        regs_day.alias("r")
+        .join(
+            F.broadcast(lattice.alias("d")),
+            F.expr(f"r.day BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"), "reg")
+        .agg(F.max("mr").alias("mr"))
+    )
+    sums = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_LOW_BITS + 1} - mr)")
+        ).alias("s_filled"),
+    )
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    exact = (
+        du.alias("u")
+        .join(
+            F.broadcast(lattice.alias("d")),
+            F.expr(f"u.day BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        sums.join(exact, "day")
+        .selectExpr(
+            "day",
+            f"CAST({HLL_M} AS BIGINT) AS m",
+            "filled",
+            "n_exact",
+            f"s_filled + (CAST({HLL_M} AS BIGINT) - filled)"
+            f" * {1 << (HLL_LOW_BITS + 1)} AS s",
+            f"CAST({HLL_M} AS BIGINT) - filled AS v",
+        )
+        .selectExpr(
+            "day",
+            "m",
+            "filled",
+            "n_exact",
+            f"{_EST} AS hll_estimate",
+            f"CAST(round(({_EST} - CAST(n_exact AS DOUBLE))"
+            " / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)"
+            " AS err_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["hll_sliding_reach"] = hll_sliding_reach
+
+ORACLES["hll_sliding_reach"] = f"""
+    WITH h AS (
+        SELECT epoch_us(ts) // {_DAY_US} AS day, {_H_DUCK} AS h
+        FROM events
+    ),
+    rl AS (
+        SELECT day, h // {1 << HLL_LOW_BITS} AS reg,
+               h % {1 << HLL_LOW_BITS} AS lo
+        FROM h
+    ),
+    regs AS (
+        SELECT day, reg, max({_RHO}) AS mr FROM rl GROUP BY 1, 2
+    ),
+    lat AS (SELECT DISTINCT day FROM regs),
+    merged AS (
+        SELECT d.day AS day, r.reg, max(r.mr) AS mr
+        FROM regs r JOIN lat d
+          ON r.day BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT day, count(*) AS filled,
+               CAST(sum(CAST(1 AS BIGINT)
+                        << ({HLL_LOW_BITS + 1} - mr)) AS BIGINT)
+                   AS s_filled
+        FROM merged GROUP BY day
+    ),
+    du AS (
+        SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+        FROM events
+    ),
+    exact AS (
+        SELECT d.day AS day, count(DISTINCT u.user_id) AS n_exact
+        FROM du u JOIN lat d
+          ON u.day BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT sums.day, CAST({HLL_M} AS BIGINT) AS m, filled, n_exact,
+               s_filled + (CAST({HLL_M} AS BIGINT) - filled)
+                   * {1 << (HLL_LOW_BITS + 1)} AS s,
+               CAST({HLL_M} AS BIGINT) - filled AS v
+        FROM sums JOIN exact USING (day)
+    )
+    SELECT day, m, filled, n_exact,
+           {_EST} AS hll_estimate,
+           CAST(round(({_EST} - CAST(n_exact AS DOUBLE))
+               / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)
+               AS err_ppm
+    FROM wide
+    ORDER BY day
+"""
+
+
 #: the two audiences whose reach overlap the sketch estimates
 OVERLAP_A, OVERLAP_B = "view", "purchase"
 

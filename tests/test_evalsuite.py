@@ -136,3 +136,29 @@ def test_quantile_audit_bound_holds_and_matches_python(spark):
         assert r.exact_value == xs[rank - 1] / 100
         assert r.within_bound
         assert abs(r.err) <= width
+
+
+def test_probe_curve_monotone_and_ceils_recall(spark):
+    """The two laws the probe curve exists for: coverage is
+    monotone in the probe budget, and coverage at the deployed
+    N_PROBE is an upper bound on the measured recall@k (a neighbor
+    whose list is never probed cannot be returned — the routing
+    ceiling)."""
+    from bike_analyzer_spark.operators.ivf import N_PROBE
+
+    curve = {
+        r.n_probe: (r.covered, r.n_true)
+        for r in evalsuite.ann_probe_curve(spark, SF_DIR_ORACLE).collect()
+    }
+    budgets = sorted(curve)
+    for lo, hi in zip(budgets, budgets[1:]):
+        assert curve[lo][0] <= curve[hi][0], "coverage must be monotone"
+    covered_at_deploy, n_true = curve[N_PROBE]
+    total_hits = sum(
+        r.n_hits
+        for r in evalsuite.ann_recall_ivf(spark, SF_DIR_ORACLE).collect()
+    )
+    assert total_hits <= covered_at_deploy, (
+        "measured recall exceeded the routing ceiling: "
+        f"{total_hits} hits vs {covered_at_deploy}/{n_true} covered"
+    )

@@ -53,6 +53,16 @@ _BOUNDED_CROSSJOIN_OK = {
     "dsir_select",
     "lm_doc_bits",
     "lm_bucket_counts",
+    # 1-row broadcast: the distinct-bigram-type count the KN
+    # continuation probability normalizes by
+    "lm_kn_doc_bits",
+    # two broadcast range joins against the ≤|days|-row day lattice
+    # (calendar-bounded): the trailing-window register merge and the
+    # exact-twin distinct-(day,user) window count
+    "hll_sliding_reach",
+    # the parents' 1-row centroid-array broadcasts (assignment fold
+    # + per-query probe ranking), same allowance as sim_ivf_*
+    "ann_probe_curve",
     "nbq_model",
     "nbq_select",
     "mix_weights",

@@ -235,3 +235,68 @@ def test_bloom_never_false_negative(spark):
     assert 0 <= r.fpr_bp <= 10000
     # the audit is non-degenerate at this SF: real non-members exist
     assert r.n_probe_keys > r.n_members
+
+
+def test_hll_sliding_vs_oracle(spark, duck):
+    from tests.oracle import assert_matches_oracle
+
+    df = scale.hll_sliding_reach(spark, SF_DIR_ORACLE)
+    assert_matches_oracle(
+        df, duck, scale.ORACLES["hll_sliding_reach"], name="hll_sliding"
+    )
+
+
+def test_hll_sliding_window_merge_law(spark):
+    """Mergeability in the TIME dimension — the property the day-
+    grain register table exists for: for every report day, the
+    trailing-window register state (per-register max over the day
+    sketches) must equal the register state computed DIRECTLY from
+    the union of that window's raw events; therefore the sliding
+    estimate equals the direct estimate bit-for-bit. Checked on
+    every day of the smoke corpus."""
+    from pyspark.sql import functions as F
+
+    from bike_analyzer_spark.functions.textfns import hash64
+    from tests.conftest import SF_DIR_SMOKE
+
+    sliding = {
+        r.day: (r.filled, r.hll_estimate)
+        for r in scale.hll_sliding_reach(spark, SF_DIR_SMOKE).collect()
+    }
+    ev = scale.load(spark, SF_DIR_SMOKE, "events").select(
+        F.expr(f"unix_micros(ts) div {scale._DAY_US}").alias("day"),
+        hash64(F.col("user_id").cast("string"), scale.HLL_SALT).alias("h"),
+    )
+    for day in sorted(sliding):
+        direct = (
+            ev.where(
+                (F.col("day") >= day - (scale.SLIDE_DAYS - 1))
+                & (F.col("day") <= day)
+            )
+            .select(
+                F.expr(f"h div {1 << scale.HLL_LOW_BITS}").alias("reg"),
+                F.expr(f"h % {1 << scale.HLL_LOW_BITS}").alias("lo"),
+            )
+            .selectExpr("reg", f"{scale._RHO} AS rho")
+            .groupBy("reg")
+            .agg(F.max("rho").alias("mr"))
+            .agg(
+                F.count(F.lit(1)).alias("filled"),
+                F.sum(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        f"{scale.HLL_LOW_BITS + 1} - mr)"
+                    )
+                ).alias("s_filled"),
+            )
+            .selectExpr(
+                f"CAST({scale.HLL_M} AS BIGINT) AS m",
+                "filled",
+                f"s_filled + (CAST({scale.HLL_M} AS BIGINT) - filled)"
+                f" * {1 << (scale.HLL_LOW_BITS + 1)} AS s",
+                f"CAST({scale.HLL_M} AS BIGINT) - filled AS v",
+            )
+            .selectExpr("filled", f"{scale._EST} AS est")
+            .collect()[0]
+        )
+        assert (direct.filled, direct.est) == sliding[day], f"day {day}"

@@ -88,78 +88,22 @@ from bike_analyzer_spark.operators import (
 # operator edit (od_kcore) re-proved green in CORRECTNESS_r09.
 WINDOW_ROTATEBACKS = frozenset()
 
-# Window overflow (r11): after CORRECTNESS_r10 every registered
-# query has ≥1 driver green — 113 hold streak 1, 110 are proven
-# (streak ≥2); the 5 NEW r11 queries (the streamserve twins, the
-# Kneser-Ney LM, the sliding-window HLL, the IVF probe curve) are
-# streak 0 and seat first.  The remaining 45 slots go to the
-# streak-1 queries with the OLDEST evidence: the 29 r8-greens that
-# queued through r9/r10 (tpch wave-3/4 + tpch_close + text/
-# winfuncs/funcsuite/scale/eval/stats/sampling/gapfill/ua/graph/
-# retrieval stragglers) plus the first 16 of the r9 window
-# (useranalytics 10 + sequences 5 + graph 1).  Outside, 68 streak-1
-# queries queue for r12: the remaining 34 r9-window queries plus
-# the 34 r10-window first-greens (freshest evidence, rotate back
-# last).  tests/test_rotation.py asserts this set is EXACTLY the
+# Window overflow (r12): after CORRECTNESS_r11 (50/50 green) the 45
+# r11 rotate-ins reached streak 2 (proven) and the 5 r11-new queries
+# hold streak 1 — leaving 73 streak-1 queries total.  The r12 window
+# drains the OLDEST 50: the full 34-query r9-window remainder plus
+# the first 16 of the 34 r10-window first-greens.  Outside, 23
+# streak-1 queries queue for r13: the remaining 18 r10 first-greens
+# plus the 5 r11-new queries (freshest evidence, rotate back last).
+# Streak-2 completion horizon: r13's window (23 + r13-new ≤ 50)
+# finishes the backlog — after r13 every query has ≥2 driver greens.
+# tests/test_rotation.py asserts WINDOW_OVERFLOW is EXACTLY the
 # unproven (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
-        # ---- r9 window remainder (green r9, streak 1) --------------
-        # stats head + graph tail (ceded slots to the r11-new queries)
-        "od_kcore",
-        "od_shortest_path",
-        "robust_outliers",
-        "benford_digits",
-        "metric_correlations",
-        # drift / analytics_ext / divergence / fuzzy / profile heads
-        "cusum_changepoint",
-        "psi_drift",
-        "seasonal_anomalies",
-        "value_reversals",
-        "skyline_parts",
-        "monthly_revenue_yoy",
-        "domain_entropy",
-        "domain_jsd_pairs",
-        "entity_clusters",
-        "entity_golden_record",
-        "integrity_audit",
-        "skew_report",
-        "event_disorder_profile",
-        # scale / vocab / warehouse_ext heads
-        "hll_user_estimate",
-        "hll_grouped_estimate",
-        "vocab_bigram_pmi",
-        "vocab_zipf_fit",
-        "fulfillment_latency",
-        "basket_size_profile",
-        "revenue_pareto",
-        # assoc / curate / eval / misc heads
-        "event_cooccurrence",
-        "source_data_card",
-        "corpus_build_card",
-        "nbq_gains",
-        "ab_test_chi2",
-        "time_weighted_avg",
-        "geo_hotspots",
-        "rrf_fusion",
-        "ngram_novelty",
         # ---- r10 window first-greens (green r10, streak 1) ---------
-        "purchase_value_distribution",
-        "f_map_ops",
-        "f_struct_ops",
-        "ivf_label_purity",
-        "quantile_error_audit",
-        "winsorized_stats",
-        "theilsen_trend",
-        "retention_survival",
-        "markov_eval",
-        "activity_ccf",
-        "hll_overlap_estimate",
-        "type_affinity_cosine",
-        "od_link_prediction",
-        "sim_ivfpq_topk",
-        "text_readability",
-        "scale_salted_join",
+        # setjoin onward — the tail of the r10 block after the 16 that
+        # took window slots this round.
         "dedup_prefix_filter",
         "dedup_sorted_neighborhood",
         "sim_sparse_cosine",
@@ -178,6 +122,12 @@ WINDOW_OVERFLOW = frozenset(
         "cms_join_size",
         "bloom_join_prune",
         "sim_mutual_nn",
+        # ---- r11 first-greens (green r11, streak 1) ----------------
+        "delivery_lag_audit",
+        "heavy_hitters_serve",
+        "lm_kn_doc_bits",
+        "hll_sliding_reach",
+        "ann_probe_curve",
     }
 )
 
@@ -381,44 +331,16 @@ _tpch_close_ovf = _Slice(
 )
 
 _MODULES = [
-    # ---- r11 window (exactly 50 queries) -------------------------
-    # The 5 NEW r11 queries (streaming-serve batch twins: delivery-
-    # lag audit + space-saving top-k serve; interpolated Kneser-Ney
-    # bigram LM scoring; sliding-window HLL reach; IVF probe-budget
-    # coverage curve) are streak 0 and seat FIRST.  Every other
-    # query has ≥1 driver green; the 113 streak-1 queries tie on
-    # priority, so the remaining 45 slots go to the OLDEST evidence:
-    # the 29 r8-greens that queued through r9/r10 (tpch wave-3/4 2 +
-    # tpch_close 7 + text 2 + winfuncs 3 + funcsuite 4 + scale 2 +
-    # evalsuite 3 + stats 1 + sampling 1 + gapfill 1 + ua 1 +
-    # graph 1 + retrieval 1 = 29) plus the first 16 of the r9 window
-    # (useranalytics 10 + sequences 5 + graph 1; the stats head and
-    # the graph tail ceded slots to the new queries).
-    streamserve,  # NEW r11: streaming-serve batch twins
-    _tpch_ovf2,
-    _tpch_close_ovf,
-    _text_ovf,
-    _winfuncs_ovf,
-    _funcsuite_ovf,
-    _scale_ovf,
-    _eval_ovf,
-    _stats_ovf,
-    _sampling_ovf,
-    gapfill,
-    _ua_ovf,
-    _graph_ovf,
-    _retrieval_tail,
-    # ...then the first 16 of the r9 window (green r9 — next-oldest):
-    # useranalytics 10 + sequences 5 + graph 1 = 16 (the stats head
-    # and the graph tail ceded slots to the r11-new queries).
-    _ua_head,
-    _sequences_head,
-    _graph_head_a,
-    _lm_new,  # NEW r11: interpolated Kneser-Ney bigram LM scoring
-    _scale_new6,  # NEW r11: sliding-window HLL trailing reach
-    _eval_probe,  # NEW r11: IVF probe-budget routing-coverage curve
-    # ---- outside the window: 68 streak-1 queries (r12 drains) ----
-    # First the remaining 34 r9-window queries...
+    # ---- r12 window (exactly 50 queries) -------------------------
+    # All 73 remaining streak-1 queries tie on priority; the 50
+    # window slots go to the OLDEST evidence: the full 34-query
+    # r9-window remainder (graph 2 + stats 3 + drift 3 +
+    # analytics_ext 3 + divergence 2 + fuzzy 2 + profile 3 +
+    # scale 2 + vocab 2 + warehouse_ext 3 + assoc 1 + curate 2 +
+    # eval 1 + experiment 1 + hypertable 1 + od 1 + retrieval 1 +
+    # quality 1) plus the first 16 of the 34 r10-window first-greens
+    # (winfuncs 1 + funcsuite 2 + eval 2 + stats 2 + ua 1 +
+    # sequences 2 + scale 2 + assoc 1 + graph 1 + ivfpq 1 + text 1).
     _graph_head_b,
     _stats_head2,
     _drift_head,
@@ -437,8 +359,7 @@ _MODULES = [
     _od_head,
     _retrieval_head,
     _quality_head,
-    # ...then the 34 r10-window first-greens (freshest evidence,
-    # rotate back last).
+    # ...then the first 16 of the r10 first-greens (next-oldest):
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -451,6 +372,8 @@ _MODULES = [
     ivfpq,  # composed IVF-PQ ANN top-k
     _text_new,  # FORCAST readability
     _scale_new2,  # salted skew-proof join rollup
+    # ---- outside the window: 23 streak-1 queries (r13 drains) ----
+    # First the remaining 18 r10-window first-greens...
     setjoin,  # prefix-filter/SNM/sparse-cosine/containment joins
     _scale_new3,  # k-mins cardinality sketch
     _graph_new2,  # synchronous label-propagation communities
@@ -464,9 +387,34 @@ _MODULES = [
     _scale_new4,  # CMS inner-product join-size estimate
     _scale_new5,  # Bloom semi-join pruning audit
     _sim_new,  # mutual nearest neighbors (reciprocal top-1)
+    # ...then the 5 r11 first-greens (freshest evidence, rotate
+    # back last — these close the streak-2 backlog at r13).
+    streamserve,  # streaming-serve batch twins (r11)
+    _lm_new,  # interpolated Kneser-Ney bigram LM scoring (r11)
+    _scale_new6,  # sliding-window HLL trailing reach (r11)
+    _eval_probe,  # IVF probe-budget routing-coverage curve (r11)
     # ---- proven tail (every query ≥2 driver greens) --------------
-    # r10 second-greens join the proven tail: warehouse_ext 11 +
-    # tpch wave-3/4 5.
+    # r11 second-greens join the proven tail: tpch_ovf2 2 +
+    # tpch_close 7 + text_ovf 2 + winfuncs_ovf 3 + funcsuite_ovf 4 +
+    # scale_ovf 2 + eval_ovf 3 + stats_ovf 1 + sampling_ovf 1 +
+    # gapfill 1 + ua_ovf 1 + graph_ovf 1 + retrieval_tail 1 +
+    # ua_head 10 + sequences_head 5 + graph_head_a 1 = 45.
+    _tpch_ovf2,
+    _tpch_close_ovf,
+    _text_ovf,
+    _winfuncs_ovf,
+    _funcsuite_ovf,
+    _scale_ovf,
+    _eval_ovf,
+    _stats_ovf,
+    _sampling_ovf,
+    gapfill,
+    _ua_ovf,
+    _graph_ovf,
+    _retrieval_tail,
+    _ua_head,
+    _sequences_head,
+    _graph_head_a,
     _wx_tail,
     _tpch_ovf,
     multimodal,

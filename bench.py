@@ -16,8 +16,11 @@ Usage: python bench.py [--adopt]
        ended with the clean committed detail overwritten by a
        contended driver run). Pass --adopt to replace the committed
        BENCH_DETAIL.json — refused (detail still goes to the tmp
-       path) when the run is not clean or the floor-inversion tell
-       fired, so only idle-window runs can become the artifact.
+       path) when the start loadavg is >= ADOPT_LOADAVG_MAX (1.0,
+       stricter than the summary `clean` flag's 4.0) or the
+       floor-inversion tell fired, so only idle-window runs can
+       become the artifact. A successful adopt also rewrites the
+       tmp sidecar so it never lags the committed file.
 Env:   SPARK_GRAFT_SF_DIR            (default /root/testdata/sf0.1)
        SPARK_GRAFT_SF_DIR_SECONDARY  (default /root/testdata/sf0.01;
                                       "" disables the secondary pass)
@@ -53,6 +56,39 @@ SF_DIR_SECONDARY = os.environ.get(
     "SPARK_GRAFT_SF_DIR_SECONDARY", "/root/testdata/sf0.01"
 )
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+#: --adopt refuses runs that start above this 1-min loadavg. The
+#: summary `clean` flag keeps its looser < 4.0 provenance meaning;
+#: adoption of the committed BENCH_DETAIL.json artifact demands a
+#: genuinely idle start (r11: a loadavg-3.95 "clean" run measured a
+#: uniform 1.28x median per-query inflation vs the idle artifact).
+ADOPT_LOADAVG_MAX = 1.0
+
+
+def adoptable(
+    load_start: float,
+    floor_inverted: bool,
+    sf: float = 0.1,
+    secondary_sf: "float | None" = 0.01,
+) -> bool:
+    """Gate for replacing the committed BENCH_DETAIL.json artifact.
+
+    Stricter than the summary ``clean`` flag on purpose: adoption
+    demands an idle start (< ADOPT_LOADAVG_MAX) AND no mid-run
+    floor inversion; ``clean`` (< 4.0) remains only a coarse
+    provenance marker on the summary line. The artifact is BY
+    DEFINITION the sf0.1 primary + sf0.01 secondary sweep
+    (tests/test_scaling_pin.py and scripts/scaling_report.py read
+    it as such, and the pin silently SKIPS on a malformed artifact
+    rather than failing), so a debugging run at another SF is
+    refused outright.
+    """
+    return (
+        sf == 0.1
+        and secondary_sf == 0.01
+        and load_start < ADOPT_LOADAVG_MAX
+        and not floor_inverted
+    )
 
 
 def _sf_from_dir(path: str) -> float:
@@ -172,24 +208,46 @@ def main() -> int:
     # Default target is the UNTRACKED .tmp sidecar; the committed
     # BENCH_DETAIL.json (which tests/test_scaling_pin.py and the
     # round-over-round comparisons read) only changes under an
-    # explicit --adopt on a clean, non-inverted run.
+    # explicit --adopt on an IDLE-window run. Adoption is stricter
+    # than the summary `clean` flag: r11 proved a loadavg-3.95 run
+    # carries clean:true while executing at a uniform 1.28x median
+    # per-query inflation (host tenancy), so `clean` (< 4.0) stays a
+    # coarse provenance flag while --adopt demands loadavg_start <
+    # ADOPT_LOADAVG_MAX and no floor inversion.
     repo = os.path.dirname(os.path.abspath(__file__))
     adopt = "--adopt" in sys.argv[1:]
-    adoptable = summary["clean"] and not summary.get("floor_inverted", False)
-    if adopt and not adoptable:
+    can_adopt = adoptable(
+        load_start,
+        summary.get("floor_inverted", False),
+        sf=summary["sf"],
+        secondary_sf=summary.get("secondary_sf"),
+    )
+    if adopt and not can_adopt:
         print(
-            "bench: --adopt refused (clean=%s floor_inverted=%s); "
-            "detail written to BENCH_DETAIL.tmp.json only"
-            % (summary["clean"], summary.get("floor_inverted")),
+            "bench: --adopt refused (sf=%s/secondary=%s need 0.1/0.01; "
+            "loadavg_start=%s vs < %s required; floor_inverted=%s); "
+            "detail written to BENCH_DETAIL.tmp.json only" % (
+                summary["sf"],
+                summary.get("secondary_sf"),
+                load_start,
+                ADOPT_LOADAVG_MAX,
+                summary.get("floor_inverted"),
+            ),
             file=sys.stderr,
         )
-    adopted = adopt and adoptable
+    adopted = adopt and can_adopt
     sidecar = os.path.join(
         repo, "BENCH_DETAIL.json" if adopted else "BENCH_DETAIL.tmp.json"
     )
     summary["detail_file"] = os.path.basename(sidecar)
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    if adopted:
+        # Keep the tmp sidecar in lockstep: a stale tmp from an older
+        # run must never outlive an adoption, or the documented
+        # "cp the best clean tmp" workflow could resurrect it.
+        with open(os.path.join(repo, "BENCH_DETAIL.tmp.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
     sys.stdout.flush()
 

@@ -30,6 +30,38 @@ def cents(col: Column) -> Column:
     return F.round(col * 100, 0).cast("long")
 
 
+def floordiv_sql(num: str, den: int) -> str:
+    """Spark-SQL text for exact-integer FLOOR division of bigints.
+
+    Spark's ``div`` truncates toward zero — and so does DuckDB
+    1.0.0's integer ``//`` (measured: ``-1 // 3 = 0``, ``-5 // 3 =
+    -1``), so the two engines AGREE on negatives, but both give the
+    semantically wrong bucket: a timestamp one hour before the epoch
+    must land in bucket -1, not share bucket 0 with the first
+    post-epoch hour. Every ts-derived bucket therefore uses this
+    floor form paired with :func:`floordiv_duck` in the oracle.
+    ``pmod`` returns the non-negative remainder for a positive
+    modulus, so ``(x - pmod(x, d)) div d`` is exact-integer floor
+    division for any sign of x. Plain ``div`` remains fine for
+    provably non-negative numerators (counts, ranks, hashes) and for
+    numerators that are exact multiples of the divisor (already-
+    truncated timestamps).
+    """
+    assert den > 0, "floor/pmod identity requires a positive divisor"
+    return f"(({num}) - pmod(({num}), {den})) div {den}"
+
+
+def floordiv_duck(num: str, den: int) -> str:
+    """DuckDB twin of :func:`floordiv_sql`. DuckDB's integer ``%``
+    follows the dividend's sign, so ``((x % d) + d) % d`` is the
+    non-negative residue; subtracting it leaves an exact multiple of
+    d, where truncating ``//`` equals floor."""
+    assert den > 0, "floor/residue identity requires a positive divisor"
+    return (
+        f"(({num}) - (((({num}) % {den}) + {den}) % {den})) // {den}"
+    )
+
+
 def halfup_ratio_sql(
     num: str, den: str, digits: int = 4, engine: str = "spark"
 ) -> str:

@@ -50,7 +50,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import halfup_ratio_wide_sql
+from ..functions.exact import (
+    floordiv_duck,
+    floordiv_sql,
+    halfup_ratio_wide_sql,
+)
 from ..sources.catalog import load
 
 #: micro-nat quantizer — shared text, applied ONCE per transcendental
@@ -59,12 +63,17 @@ _L = "CAST(round(ln(CAST({} AS DOUBLE)) * 1000000) AS BIGINT)"
 #: microseconds per hour (gapfill.py's integer hour index)
 HOUR_US = 3_600_000_000
 
+#: floor-division hour bucket for the DuckDB oracles — the twin of
+#: the Spark side's floordiv_sql (both are mathematical floor; the
+#: engines' raw div/// both truncate, see functions/exact.py)
+_H_FLOOR = floordiv_duck("epoch_us(CAST(ts AS TIMESTAMP))", HOUR_US)
+
 
 def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
-        .groupBy(F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"))
+        .groupBy(F.expr(floordiv_sql("unix_micros(ts)", HOUR_US)).alias("h"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -116,7 +125,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hb = ev.select(
         "event_type",
-        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"),
+        F.expr(floordiv_sql("unix_micros(ts)", HOUR_US)).alias("h"),
     )
     lim = hb.agg(
         # first half: h <= mid where mid splits [h0, h1] evenly
@@ -208,7 +217,7 @@ _CUSUM_MEAN_A = halfup_ratio_wide_sql("s - p", "n - pos", 4, "duck")
 ORACLES = {
     "cusum_changepoint": f"""
         WITH counts AS (
-            SELECT epoch_us(ts) // {HOUR_US} AS h,
+            SELECT {_H_FLOOR} AS h,
                    CAST(count(*) AS BIGINT) AS c
             FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
@@ -247,7 +256,7 @@ ORACLES = {
     """,
     "psi_drift": f"""
         WITH hb AS (
-            SELECT event_type, epoch_us(ts) // {HOUR_US} AS h
+            SELECT event_type, {_H_FLOOR} AS h
             FROM events WHERE ts IS NOT NULL
         ),
         lim AS (
@@ -355,7 +364,7 @@ def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     shu = lambda n, d: _SHU.format(n=n, d=d, div="div")  # noqa: E731
     hours = (
         load(spark, sf_dir, "events")
-        .groupBy(F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h"))
+        .groupBy(F.expr(floordiv_sql("unix_micros(ts)", HOUR_US)).alias("h"))
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
@@ -426,7 +435,7 @@ def _seasonal_oracle() -> str:
     )
     return f"""
         WITH hours AS (
-            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US} AS h,
+            SELECT {_H_FLOOR} AS h,
                    count(*) AS c
             FROM events GROUP BY 1
         ),
@@ -537,9 +546,14 @@ def seasonal_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull())
         .groupBy(
             "event_type",
+            # pmod over floor-div: a canonical NON-NEGATIVE
+            # hour-of-week for any epoch sign (Spark `div`+`%` and
+            # DuckDB `//`+`%` disagree on negatives — both fixed to
+            # the same mathematical residue; see the oracle's
+            # double-% form)
             F.expr(
-                f"CAST((unix_micros(ts) div {HOUR_US}) % {SEASON_HOW}"
-                " AS INT)"
+                f"CAST(pmod({floordiv_sql('unix_micros(ts)', HOUR_US)},"
+                f" {SEASON_HOW}) AS INT)"
             ).alias("how"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
@@ -586,8 +600,9 @@ def _seasonal_circular_oracle() -> str:
         WITH consts(how, ck, sk) AS (VALUES {vals}),
         hist AS (
             SELECT event_type,
-                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US})
-                        % {SEASON_HOW} AS INT) AS how,
+                   CAST((((({_H_FLOOR})
+                        % {SEASON_HOW}) + {SEASON_HOW})
+                        % {SEASON_HOW}) AS INT) AS how,
                    count(*) AS c
             FROM events WHERE ts IS NOT NULL
             GROUP BY 1, 2

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import floordiv_duck, floordiv_sql
 from ..functions.textfns import tokens
 from ..sources.catalog import load
 
@@ -28,6 +29,10 @@ from ..sources.catalog import load
 ARRAY_PROBES = ("the", "of")
 #: value-bucket width (milli-units) that manufactures rank ties
 RANK_BUCKET_M = 1000
+
+#: floor-division value bucket for the DuckDB oracle (twin of the
+#: Spark side's floordiv_sql — value CAN be negative in general)
+_VB_FLOOR = floordiv_duck("CAST(round(value * 1000) AS BIGINT)", RANK_BUCKET_M)
 
 
 def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +113,7 @@ def f_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.expr(
-            f"CAST(round(value * 1000) AS BIGINT) div {RANK_BUCKET_M}"
+            floordiv_sql("CAST(round(value * 1000) AS BIGINT)", RANK_BUCKET_M)
         ).alias("v_bucket"),
     )
     w = Window.partitionBy("event_type").orderBy("v_bucket")
@@ -240,8 +245,7 @@ ORACLES = {
     "f_rank_ties": f"""
         WITH e AS (
             SELECT event_type, event_id,
-                   CAST(round(value * 1000) AS BIGINT)
-                       // {RANK_BUCKET_M} AS v_bucket
+                   {_VB_FLOOR} AS v_bucket
             FROM events
         ),
         r AS (

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import floordiv_duck, floordiv_sql
 from ..functions.textfns import hash64, hash64_duck
 from ..sources.catalog import load
 
@@ -662,6 +663,10 @@ ORACLES["hll_grouped_estimate"] = f"""
 SLIDE_DAYS = 7
 _DAY_US = 86_400_000_000
 
+#: floor-division day bucket for the DuckDB oracles (twin of the
+#: Spark side's floordiv_sql; see functions/exact.py)
+_DAY_FLOOR = floordiv_duck("epoch_us(ts)", _DAY_US)
+
 
 def hll_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING-WINDOW HyperLogLog: each day's trailing-7-day
@@ -690,7 +695,7 @@ def hll_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy each.
     """
     ev = load(spark, sf_dir, "events").select(
-        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        F.expr(floordiv_sql("unix_micros(ts)", _DAY_US)).alias("day"),
         hash64(F.col("user_id").cast("string"), HLL_SALT).alias("h"),
     )
     regs_day = (
@@ -724,7 +729,8 @@ def hll_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         load(spark, sf_dir, "events")
         .select(
-            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"), "user_id"
+            F.expr(floordiv_sql("unix_micros(ts)", _DAY_US)).alias("day"),
+            "user_id",
         )
         .distinct()
     )
@@ -766,7 +772,7 @@ QUERIES["hll_sliding_reach"] = hll_sliding_reach
 
 ORACLES["hll_sliding_reach"] = f"""
     WITH h AS (
-        SELECT epoch_us(ts) // {_DAY_US} AS day, {_H_DUCK} AS h
+        SELECT {_DAY_FLOOR} AS day, {_H_DUCK} AS h
         FROM events
     ),
     rl AS (
@@ -792,7 +798,7 @@ ORACLES["hll_sliding_reach"] = f"""
         FROM merged GROUP BY day
     ),
     du AS (
-        SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+        SELECT DISTINCT {_DAY_FLOOR} AS day, user_id
         FROM events
     ),
     exact AS (

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import halfup_ratio_sql
+from ..functions.exact import floordiv_duck, floordiv_sql, halfup_ratio_sql
 from ..sources.catalog import load
 
 #: displayed digits of the transition probability
@@ -60,6 +60,10 @@ ACF_LAGS = 6
 
 #: microseconds per hour — the integer hour index base (gapfill.py)
 HOUR_US = 3_600_000_000
+
+#: floor-division hour bucket for the DuckDB oracles (twin of the
+#: Spark side's floordiv_sql; see functions/exact.py)
+_H_FLOOR = floordiv_duck("epoch_us(ts)", HOUR_US)
 
 
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +121,7 @@ def activity_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
         .groupBy(
-            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h")
+            F.expr(floordiv_sql("unix_micros(ts)", HOUR_US)).alias("h")
         )
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
@@ -231,7 +235,7 @@ ORACLES = {
     """,
     "activity_acf": f"""
         WITH counts AS (
-            SELECT epoch_us(ts) // {HOUR_US} AS h,
+            SELECT {_H_FLOOR} AS h,
                    CAST(count(*) AS BIGINT) AS c
             FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
@@ -314,7 +318,7 @@ def activity_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
         .groupBy(
-            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("h")
+            F.expr(floordiv_sql("unix_micros(ts)", HOUR_US)).alias("h")
         )
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
@@ -398,7 +402,7 @@ def _anova_oracle() -> str:
 
     return f"""
         WITH counts AS (
-            SELECT epoch_us(ts) // {HOUR_US} AS h,
+            SELECT {_H_FLOOR} AS h,
                    CAST(count(*) AS BIGINT) AS c
             FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
@@ -848,7 +852,7 @@ def activity_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-hours- or K-sized. No global window, no dense grid.
     """
     ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    hour = F.expr(f"unix_micros(ts) div {HOUR_US}")
+    hour = F.expr(floordiv_sql("unix_micros(ts)", HOUR_US))
 
     def series(t: str):
         return (
@@ -861,8 +865,8 @@ def activity_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs, ys = series(CCF_X_TYPE), series(CCF_Y_TYPE)
     bounds = (
         ev.agg(
-            F.expr(f"min(unix_micros(ts) div {HOUR_US})").alias("h0"),
-            F.expr(f"max(unix_micros(ts) div {HOUR_US})").alias("h1"),
+            F.expr(f"min({floordiv_sql('unix_micros(ts)', HOUR_US)})").alias("h0"),
+            F.expr(f"max({floordiv_sql('unix_micros(ts)', HOUR_US)})").alias("h1"),
         )
         .withColumn("n", F.col("h1") - F.col("h0") + F.lit(1))
         .localCheckpoint(eager=False)
@@ -954,7 +958,7 @@ QUERIES["activity_ccf"] = activity_ccf
 
 ORACLES["activity_ccf"] = f"""
     WITH ev AS (
-        SELECT epoch_us(ts) // {HOUR_US} AS h, event_type
+        SELECT {_H_FLOOR} AS h, event_type
         FROM events WHERE ts IS NOT NULL
     ),
     xs AS (

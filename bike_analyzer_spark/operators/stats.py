@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import cents
+from ..functions.exact import cents, floordiv_duck, floordiv_sql
+
+#: floor-division hour bucket for the DuckDB oracle (twin of the
+#: Spark side's floordiv_sql; see functions/exact.py)
+_h_floor = floordiv_duck("epoch_us(CAST(ts AS TIMESTAMP))", 3_600_000_000)
 from ..sources.catalog import load
 
 _D = "CAST({} AS DOUBLE)"
@@ -438,7 +442,7 @@ def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .groupBy(
-            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.expr(floordiv_sql("unix_micros(ts)", 3_600_000_000)).alias("h"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("c"))
@@ -490,7 +494,7 @@ QUERIES["metric_correlations"] = metric_correlations
 
 ORACLES["metric_correlations"] = f"""
     WITH ev AS (
-        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        SELECT {_h_floor} AS h,
                event_type, count(*) AS c
         FROM events GROUP BY 1, 2
     ),

@@ -56,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import floordiv_duck, floordiv_sql
 from ..sources.catalog import load
 from ..streaming.lateaudit import LATE_DELAY_US
 from ..streaming.topk import CAPACITY, HASH_SHARDS, current_top_k
@@ -71,6 +72,13 @@ JITTER_STEP_US = 15 * 60 * 1_000_000
 
 #: arrival bucket width (the batch twin's "micro-batch")
 BUCKET_US = 3600 * 1_000_000
+
+#: floor-division arrival bucket for the DuckDB oracle (twin of the
+#: Spark side's floordiv_sql; see functions/exact.py)
+_BUCKET_FLOOR = floordiv_duck(
+    f"epoch_us(ts) + (event_id % {JITTER_MOD}) * {JITTER_STEP_US}",
+    BUCKET_US,
+)
 
 #: sentinel for the first bucket's absent prior mark (NULL-free
 #: output contract; epoch micros are non-negative)
@@ -130,8 +138,11 @@ def delivery_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts)").alias("us"),
         F.expr(
-            f"(unix_micros(ts) + (event_id % {JITTER_MOD})"
-            f" * {JITTER_STEP_US}) div {BUCKET_US}"
+            floordiv_sql(
+                f"unix_micros(ts) + (event_id % {JITTER_MOD})"
+                f" * {JITTER_STEP_US}",
+                BUCKET_US,
+            )
         ).alias("bucket"),
     )
     return audit_frame(ev)
@@ -142,8 +153,7 @@ QUERIES["delivery_lag_audit"] = delivery_lag_audit
 ORACLES["delivery_lag_audit"] = f"""
     WITH ev AS (
         SELECT epoch_us(ts) AS us,
-               (epoch_us(ts) + (event_id % {JITTER_MOD})
-                * {JITTER_STEP_US}) // {BUCKET_US} AS bucket
+               {_BUCKET_FLOOR} AS bucket
         FROM events
     ),
     stats AS (

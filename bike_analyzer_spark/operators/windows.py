@@ -35,7 +35,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import cents, halfup_avg_sql
+from ..functions.exact import (
+    cents,
+    floordiv_duck,
+    floordiv_sql,
+    halfup_avg_sql,
+)
+
+#: floor-division second bucket for the DuckDB oracle (twin of the
+#: Spark side's floordiv_sql; see functions/exact.py)
+_TS_S_FLOOR = floordiv_duck("epoch_us(ts)", 1_000_000)
 from ..sources.catalog import load
 
 def lag_delta(events: DataFrame, minutes: int | None = None) -> DataFrame:
@@ -237,7 +246,7 @@ def w4_sliding_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").selectExpr(
         "event_id",
         "event_type",
-        "unix_micros(ts) div 1000000 AS ts_s",
+        floordiv_sql("unix_micros(ts)", 1_000_000) + " AS ts_s",
         "CAST(round(value * 1000) AS BIGINT) AS v_m",
     )
     w = (
@@ -292,13 +301,13 @@ ORACLES = {
                    0), 4) AS delta
         FROM events
     """,
-    "w4_sliding_hour_avg": """
+    "w4_sliding_hour_avg": f"""
         WITH fr AS (
             SELECT event_id, event_type, ts_s,
                    count(*) OVER w AS n_1h,
                    CAST(sum(v_m) OVER w AS BIGINT) AS sum_mv
             FROM (SELECT event_id, event_type,
-                         epoch_us(ts) // 1000000 AS ts_s,
+                         {_TS_S_FLOOR} AS ts_s,
                          CAST(round(value * 1000) AS BIGINT) AS v_m
                   FROM events)
             WINDOW w AS (PARTITION BY event_type ORDER BY ts_s

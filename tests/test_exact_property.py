@@ -203,3 +203,47 @@ def test_signed_halfup_cross_engine_on_negatives(spark):
         [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
         sign = -1 if num < 0 else 1
         assert sh.h == dh == sign * _want(abs(num), den, digits)
+
+
+negatives = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**15), max_value=10**15),
+        st.sampled_from([3_600_000_000, 86_400_000_000, 1_000_000, 1000, 7]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(negatives)
+def test_floordiv_pair_is_python_floor_on_any_sign(spark, cases):
+    """floordiv_sql (Spark) and floordiv_duck (DuckDB) both equal
+    Python's // (mathematical floor) for ANY numerator sign — the
+    bucket-semantics fix for pre-epoch timestamps (r11 ADVICE).
+    Note the raw operators aren't floor: Spark `div` truncates
+    toward zero, and DuckDB 1.0.0's integer `//` ALSO truncates
+    (asserted below), so a naive div-vs-// pair agrees cross-engine
+    but puts an hour-before-epoch event in bucket 0, not -1."""
+    from bike_analyzer_spark.functions.exact import (
+        floordiv_duck,
+        floordiv_sql,
+    )
+
+    con = duckdb.connect()
+    for num, den in cases:
+        sexpr = floordiv_sql(str(num), den)
+        dexpr = floordiv_duck(str(num), den)
+        [row] = spark.range(1).selectExpr(f"{sexpr} AS q").collect()
+        [(dq,)] = con.execute(f"SELECT {dexpr}").fetchall()
+        assert row.q == dq == num // den, (num, den, row.q, dq)
+
+
+def test_raw_integer_division_truncates_on_both_engines():
+    """Pins the measured baseline the floordiv pair exists to fix:
+    both engines' raw integer division truncates toward zero (if a
+    DuckDB upgrade ever flips `//` to true floor, this fails and the
+    oracle helper can be simplified)."""
+    con = duckdb.connect()
+    assert con.execute("SELECT (-1) // 3").fetchone()[0] == 0
+    assert con.execute("SELECT (-5) // 3").fetchone()[0] == -1

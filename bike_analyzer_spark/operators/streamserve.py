@@ -253,3 +253,52 @@ ORACLES["heavy_hitters_serve"] = f"""
     FROM ranked WHERE rn <= {CAPACITY}
     ORDER BY est DESC, item LIMIT 10
 """
+
+
+def rollup_partials_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the continuous-aggregate SERVE path's
+    partial-merge law, run through the REAL streaming code — events
+    split into three disjoint shards (pmod(event_id, 3), standing in
+    for three micro-batches), each reduced by the write side's
+    `batch_hour_partials`, the union re-aggregated and displayed by
+    the read side's `merge_partials` (the exact function
+    `serve_rollup` calls on the partials store). The oracle computes
+    the hour rollup DIRECTLY from raw events, so a lossy merge, a
+    dropped shard, or a display-expression drift between the serve
+    and `hypertable_rollup`'s grain all hash-mismatch.
+
+    Scale shape: three filtered map-side-combinable hour aggregates
+    + one (hours x types x shards)-sized merge — partials, never
+    events, cross the second exchange; identical to the production
+    store whose size tracks (hours x types x batches)."""
+    from ..streaming.rollupserve import batch_hour_partials, merge_partials
+
+    ev = load(spark, sf_dir, "events")
+    shards = [
+        batch_hour_partials(ev.where(F.expr(f"pmod(event_id, 3) = {i}")))
+        for i in range(3)
+    ]
+    parts = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    return merge_partials(parts)
+
+
+QUERIES["rollup_partials_merge"] = rollup_partials_merge
+
+# the same exact-cents + half-up display discipline as
+# hypertable_rollup's hour grain (operators/hypertable.py)
+from ..functions.exact import halfup_avg_sql as _havg  # noqa: E402
+
+ORACLES["rollup_partials_merge"] = f"""
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+               AS bucket_us,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 4) AS sum_v,
+           {_havg("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)", "count(*)", engine="duck")} AS avg_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_us, event_type
+"""

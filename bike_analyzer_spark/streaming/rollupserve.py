@@ -75,13 +75,14 @@ def run_rollup_to_parquet(
     q.awaitTermination()
 
 
-def serve_rollup(spark: SparkSession, out_path: str) -> DataFrame:
-    """The current hour-grain rollup: re-aggregate the partials
-    store (lossless for algebraic partials) and derive the display
-    columns exactly as the batch query does."""
+def merge_partials(partials: DataFrame) -> DataFrame:
+    """Re-aggregate a frame of hour-grain algebraic partials (from
+    any number of micro-batch shards) and derive the display columns
+    exactly as the batch query does — the serve path's read-side
+    merge, shared verbatim by `serve_rollup` and its driver-gated
+    batch twin (`operators.streamserve.rollup_partials_merge`)."""
     return (
-        spark.read.parquet(out_path)
-        .groupBy("bucket", "event_type")
+        partials.groupBy("bucket", "event_type")
         .agg(
             F.sum("n").alias("n"),
             F.sum("sum_c").alias("sum_c"),
@@ -99,3 +100,10 @@ def serve_rollup(spark: SparkSession, out_path: str) -> DataFrame:
         )
         .orderBy("bucket_us", "event_type")
     )
+
+
+def serve_rollup(spark: SparkSession, out_path: str) -> DataFrame:
+    """The current hour-grain rollup: re-aggregate the partials
+    store (lossless for algebraic partials) and derive the display
+    columns exactly as the batch query does."""
+    return merge_partials(spark.read.parquet(out_path))

@@ -146,3 +146,101 @@ def test_heavy_hitters_serve_matches_stream_no_eviction(spark, tdir):
     ]
     assert len(got_batch) > 0
     assert got_stream == got_batch
+
+
+def test_heavy_hitters_stream_bounds_under_eviction(spark, tdir):
+    """The eviction regime the no-eviction parity test can't reach
+    (r11 ADVICE): a skewed fixture with far more distinct items per
+    murmur shard than CAPACITY forces space-saving evictions, and
+    the REAL stream's serve is then checked against exact GLOBAL
+    counts (per-item truth is sharding-independent, so the
+    murmur-vs-mod sharding difference between the stream and the
+    batch twin cannot hide an error) via the documented bounds:
+    no undercount, overcount within err, err within N_shard/CAPACITY
+    under the stream's OWN murmur sharding, and every sufficiently
+    heavy item served."""
+    # 6 heavy users (IDs spread across murmur shards) with 60 events
+    # each + 120 light users with 1 event: >> CAPACITY distinct items
+    # per shard, so eviction fires on every shard.
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(60):
+            rows.append((eid, u, eid * 1_000_000))
+            eid += 1
+    for u in range(1000, 1120):
+        rows.append((eid, u, eid * 1_000_000))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts")
+    landing = os.path.join(tdir, "landing")
+    ev.repartition(3).write.mode("overwrite").parquet(landing)
+
+    # distinct-per-shard must exceed CAPACITY or this test is the
+    # no-eviction regime again
+    per_shard = (
+        ev.selectExpr(
+            f"pmod(hash(user_id), {topk.HASH_SHARDS}) AS shard", "user_id"
+        )
+        .distinct()
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] > topk.CAPACITY for r in per_shard), per_shard
+
+    name = f"hhevict_{uuid.uuid4().hex[:6]}"
+    q = (
+        topk.streaming_heavy_hitters(events_stream(spark, landing))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    served = topk.current_top_k(
+        spark.sql(f"SELECT * FROM {name}"), k=10
+    ).collect()
+    assert served, "serve returned nothing"
+
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shard_n = {
+        r.shard: r.n
+        for r in ev.selectExpr(
+            f"pmod(hash(user_id), {topk.HASH_SHARDS}) AS shard"
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shard_of = {
+        r.user_id: r.shard
+        for r in ev.selectExpr(
+            "user_id", f"pmod(hash(user_id), {topk.HASH_SHARDS}) AS shard"
+        )
+        .distinct()
+        .collect()
+    }
+    evicted_err = [r for r in served if r.err > 0]
+    for r in served:
+        true = truth.get(r.item, 0)
+        assert r.est >= true, "space-saving must never undercount"
+        assert r.est - r.err <= true, "overcount must be bounded by err"
+        assert r.err <= shard_n[shard_of[r.item]] // topk.CAPACITY + 1
+    # completeness: every heavy user (true count 60, far above any
+    # shard's N/CAPACITY here) must be served in the top-10
+    served_items = {r.item for r in served}
+    for u in range(6):
+        assert u in served_items, f"heavy user {u} missing from serve"
+    # and the fixture genuinely exercised eviction error accounting:
+    # at least one served light-tail row carries nonzero err
+    assert evicted_err or all(
+        truth.get(r.item, 0) == r.est for r in served
+    ), served

@@ -712,12 +712,15 @@ def cosine_threshold_pairs(
         .filter(F.col("df") <= df_cap)
         .localCheckpoint(eager=False)
     )
+    # df rides along so the index walk's rank order never re-joins
+    # dfreq downstream
     w = (
         tf.join(dfreq, "sh")
         .crossJoin(F.broadcast(n1))
         .select(
             "doc_id",
             "sh",
+            "df",
             (
                 F.col("tf")
                 * F.expr(
@@ -750,7 +753,6 @@ def cosine_threshold_pairs(
     )
     idx = (
         nw.join(maxw, "sh")
-        .join(dfreq, "sh")
         .withColumn("bound", F.sum(F.col("xn") * F.col("mx")).over(wd))
         .filter(F.col("bound") >= F.lit(tau * _BOUND_PAD))
         .select("doc_id", "sh")

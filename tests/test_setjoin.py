@@ -456,9 +456,13 @@ def test_cosine_threshold_index_prunes(spark):
     thresh = 1_000_000 * COS_TAU_NUM * COS_TAU_NUM // (
         COS_TAU_DEN * COS_TAU_DEN
     )
+    # k bounds TakeOrdered's PER-PARTITION priority queue, so it must
+    # be corpus-sane: k=10**9 allocates a billion-slot queue per task
+    # and kills the JVM (found the hard way). sf0.001 has ~1.3k
+    # scoring pairs; 100k covers every pair with margin.
     naive = {
         (r.a, r.b): r.cos2_ppm
-        for r in sparse_cosine_topk(docs, k=10**9).collect()
+        for r in sparse_cosine_topk(docs, k=100_000).collect()
         # integer-exact boundary: replicate the cross-multiplied
         # predicate, not the divided display value
         if r.cos2_ppm >= thresh

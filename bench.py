@@ -96,6 +96,29 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _free_leaked_blocks(spark) -> None:
+    """Unpersist every lingering persistent RDD (localCheckpoint
+    blocks) and cached relation.
+
+    The operators use `localCheckpoint` for multi-consumer reuse and
+    lineage truncation INSIDE one query; the blocks are only freed
+    when Python GC, py4j and the JVM ContextCleaner all happen to
+    run, which over a 230-query x 4-pass bench they effectively never
+    do. Measured r12 (OPTIMIZATION_r12.md): by the late alphabet the
+    accumulated blocks had the block manager squeezing execution
+    memory hard enough that queries ran ~2x their fresh-JVM time
+    (integrity_audit 3.93 s in-run vs 1.77 s fresh). Freeing between
+    queries (outside every timed region) measures each query on the
+    clean block manager it would see in isolation — a measurement-
+    hygiene fix per the optimization guide §5 ("unpersist when
+    done"), not a change to any query's timed work.
+    """
+    spark.catalog.clearCache()
+    # py4j surfaces the java Map as a dict view
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 def _run_corpus(
     spark, qs, sf_dir: str, reps: int
 ) -> tuple[dict[str, float], dict[str, str]]:
@@ -117,6 +140,8 @@ def _run_corpus(
             except Exception as e:  # one bad query must not kill the number
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 break
+            finally:
+                _free_leaked_blocks(spark)
         if samples:
             timings[name] = round(statistics.median(samples), 3)
     return timings, errors

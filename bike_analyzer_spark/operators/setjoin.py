@@ -674,35 +674,45 @@ def cosine_threshold_pairs(
     driver gate proves losslessness end-to-end because the DuckDB
     oracle is the NAIVE all-pairs tau-join.
 
-    Verification is PPJoin-shaped: candidates join per-document
-    weight MAPS (one map<shingle,weight> row per doc, bounded by
-    document length) and the exact integer dot is a JVM-side
-    `aggregate` over one map's entries with lookups into the other —
-    no per-candidate explode. The measured alternative (re-joining
-    each candidate to both exploded weight frames) costs ~16M rows
-    at sf0.1 (`containment_pairs` docstring); the map form moves
-    |cand| rows with two doc-length map columns instead.
+    Verification is the codegen postings-join dot: the `sparse_cosine
+    _topk` pair-dot shape (w self-join on the shingle, map-side
+    partial sums, fan-out sum_f min(df,cap)^2 — the df cap is the
+    designed bound) INNER-joined to the candidate set, so only
+    candidate pairs survive the aggregate's output. The r12
+    optimization round replaced the previous per-pair weight-MAP dot
+    (`aggregate` over `map_zip_with`): higher-order functions never
+    enter whole-stage codegen, and the interpreted lambda over ~35M
+    map entries at sf0.1 was 3-10x the cost of the entire codegen
+    postings join (measured: 17.4 s -> see OPTIMIZATION_r12.md); it
+    also forced a localCheckpoint barrier purely to stop Catalyst
+    duplicating the lambda into the join condition, which the plain
+    integer aggregate does not need.
 
     Exactness: the SCORE path is the `sparse_cosine_topk` integer
     discipline end-to-end — integer milli-nat weights, bigint dot,
     DECIMAL(38,0) cross-multiplied threshold, cos^2 ppm display.
+    Every candidate pair shares >= 1 indexed (hence w>0) shingle, so
+    the inner join against the postings dots drops no candidate that
+    the map form would have kept: a pair absent from the dots frame
+    has dot 0 and 0 >= tau^2*n2a*n2b is false for w>0 docs.
 
     Scale shape: one corpus explode; one vocab-sized df aggregate +
-    one vocab-sized maxweight aggregate; per-doc rank windows are
-    doc_id-partitioned (bounded by document length); the index
-    self-join's fan-out is sum_f idxdf(f)^2 <= sum_f min(df,cap)^2
-    with idxdf << df wherever weights discriminate; the verify is
-    candidate-sized. At this synthetic corpus's flat shingle
-    spectrum (sf0.1: max df 13, maxŷ ~= 0.2 everywhere) the index
-    join yields 339k candidates vs the 1.13M all-pairs the top-k
-    variant aggregates (sf0.01: 25 candidates — exactly the 25
-    result pairs); see PLANS.md for the stage budget.
+    one vocab-sized maxweight aggregate; per-doc windows (norm and
+    the AllPairs bound walk) are doc_id-partitioned, bounded by
+    document length; the index self-join's fan-out is
+    sum_f idxdf(f)^2 <= sum_f min(df,cap)^2 with idxdf << df
+    wherever weights discriminate. At this synthetic corpus's flat
+    shingle spectrum (sf0.1: max df 13, maxŷ ~= 0.2 everywhere) the
+    index join yields 339k candidates vs the 1.13M all-pairs the
+    top-k variant aggregates (sf0.01: 25 candidates — exactly the
+    25 result pairs); see PLANS.md for the stage budget.
     """
     tf = (
         docs.withColumn("toks", tokens("text"))
         .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # two consumers (the df aggregate and the weight join)
         .localCheckpoint(eager=False)
     )
     n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -710,10 +720,12 @@ def cosine_threshold_pairs(
         tf.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= df_cap)
-        .localCheckpoint(eager=False)
     )
     # df rides along so the index walk's rank order never re-joins
-    # dfreq downstream
+    # dfreq downstream; the per-doc norm and the normalized weight
+    # ride the SAME doc_id-partitioned window exchange (one shuffle,
+    # no norms-frame join — r12: two barriers and two joins removed)
+    per_doc = Window.partitionBy("doc_id")
     w = (
         tf.join(dfreq, "sh")
         .crossJoin(F.broadcast(n1))
@@ -729,22 +741,12 @@ def cosine_threshold_pairs(
             ).alias("w"),
         )
         .filter(F.col("w") > 0)
-        .localCheckpoint(eager=False)
-    )
-    # three consumers (nw, and the two vec sides) — materialize once
-    norms = (
-        w.groupBy("doc_id")
-        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-        .localCheckpoint(eager=False)
-    )
-    # two consumers (maxw and the index walk) — without this the
-    # whole w-join-norms lineage runs twice
-    nw = (
-        w.join(norms, "doc_id")
+        .withColumn("n2", F.sum(F.col("w") * F.col("w")).over(per_doc))
         .withColumn("xn", F.col("w") / F.sqrt(F.col("n2").cast("double")))
+        # four consumers (maxw, the index walk, both postings sides)
         .localCheckpoint(eager=False)
     )
-    maxw = nw.groupBy("sh").agg(F.max("xn").alias("mx"))
+    maxw = w.groupBy("sh").agg(F.max("xn").alias("mx"))
     tau = tau_num / tau_den
     wd = (
         Window.partitionBy("doc_id")
@@ -752,72 +754,50 @@ def cosine_threshold_pairs(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     idx = (
-        nw.join(maxw, "sh")
+        w.join(maxw, "sh")
         .withColumn("bound", F.sum(F.col("xn") * F.col("mx")).over(wd))
         .filter(F.col("bound") >= F.lit(tau * _BOUND_PAD))
         .select("doc_id", "sh")
         # BOTH sides of the candidate self-join read this frame —
-        # checkpoint or the 3-join + window index pipeline runs twice
+        # checkpoint or the join + window index pipeline runs twice
         .localCheckpoint(eager=False)
     )
+    # NO distinct: the candidate frame is consumed only by the LEFT
+    # SEMI join below, which is duplicate-insensitive — dropping the
+    # dedup aggregate saves one full pair-frame exchange (r12)
     cand = (
         idx.select(F.col("doc_id").alias("a"), "sh")
         .join(idx.select(F.col("doc_id").alias("b"), "sh"), "sh")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
-    # per-doc weight map + norm: the PPJoin "fetch the two vectors"
-    # verify, one bounded map column per side instead of an explode
-    vec = (
-        w.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("sh", "w"))
-            ).alias("m")
+    # exact pair dots, all inside whole-stage codegen: the top-k
+    # variant's postings self-join + partial-aggregated sum
+    dots = (
+        w.select(F.col("doc_id").alias("a"), "sh", F.col("w").alias("wa"))
+        .join(
+            w.select(
+                F.col("doc_id").alias("b"), "sh", F.col("w").alias("wb")
+            ),
+            "sh",
         )
-        .join(norms, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
+    norms = w.groupBy("doc_id").agg(F.max("n2").alias("n2"))
     num2 = tau_num * tau_num
     den2 = tau_den * tau_den
     return (
-        cand.join(
-            vec.select(
-                F.col("doc_id").alias("a"),
-                F.col("m").alias("ma"),
-                F.col("n2").alias("n2a"),
-            ),
+        dots.join(cand, ["a", "b"], "left_semi")
+        .join(
+            norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("n2a")),
             "a",
         )
         .join(
-            vec.select(
-                F.col("doc_id").alias("b"),
-                F.col("m").alias("mb"),
-                F.col("n2").alias("n2b"),
-            ),
+            norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("n2b")),
             "b",
         )
-        .withColumn(
-            "dot",
-            # map_zip_with hashes the key union (O(|a|+|b|));
-            # aggregate-with-element_at lookups would be O(|a|*|b|)
-            # linear scans per pair (measured 5s of interpreted
-            # string-compares at sf0.1)
-            F.expr(
-                "aggregate(map_values(map_zip_with(ma, mb,"
-                " (k, x, y) -> coalesce(x, CAST(0 AS BIGINT))"
-                " * coalesce(y, CAST(0 AS BIGINT)))),"
-                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ),
-        )
-        .select("a", "b", "dot", "n2a", "n2b")
-        # optimization barrier: without it Catalyst pushes the
-        # interpreted higher-order `aggregate` into the SortMergeJoin
-        # CONDITION and duplicates it into the projection — the
-        # lambda then runs twice per candidate row outside codegen
-        # (measured 2x the whole query). Past the barrier the frame
-        # is |cand| rows of five bigints.
-        .localCheckpoint(eager=False)
         .filter(
             F.expr(
                 f"CAST(dot AS DECIMAL(38,0)) * dot * {den2}"

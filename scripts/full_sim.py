@@ -11,7 +11,10 @@ BigDecimal HALF_UP and DuckDB's double rounding, and which groups
 hit the boundary depends on the corpus size.
 
 Usage: python scripts/full_sim.py [sf_dir] [shuffle_partitions]
-Exit code 0 iff every query matches.
+                                  [--only=name1,name2]
+Exit code 0 iff every (selected) query matches. --only restricts the
+sweep to named queries — the dev loop for verifying a single operator
+rewrite; the pre-commit gate is always the unrestricted sweep.
 """
 
 from __future__ import annotations
@@ -30,8 +33,15 @@ TABLES = (
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    parts = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    only: set[str] | None = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    parts = int(args[1]) if len(args) > 1 else 32
 
     import __spark_entry__ as em
     from bike_analyzer_spark.session import get_spark
@@ -43,6 +53,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs, oracles = em.queries(), em.oracle_sql()
+    if only is not None:
+        missing = only - qs.keys()
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
+    from bench import _free_leaked_blocks
+
     bad = []
     for i, (name, fn) in enumerate(qs.items()):
         try:
@@ -52,6 +70,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             ok = False
             print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}")
+        finally:
+            # free leaked localCheckpoint blocks between queries —
+            # the 230-query sweep otherwise degrades like the bench
+            # did before the same fix there (see bench.py)
+            _free_leaked_blocks(spark)
         print(f"{i + 1}/{len(qs)} {name} {'ok' if ok else 'MISMATCH'}")
         if not ok:
             bad.append(name)

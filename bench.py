@@ -112,11 +112,20 @@ def _free_leaked_blocks(spark) -> None:
     clean block manager it would see in isolation — a measurement-
     hygiene fix per the optimization guide §5 ("unpersist when
     done"), not a change to any query's timed work.
+
+    BLOCKING on purpose: unpersist(blocking=False) only *schedules*
+    block removal, and the removal work then lands inside the NEXT
+    query's timed window. Measured on the sim_* alphabetical run at
+    sf0.1 (3 reps each, same host, minutes apart): async cleanup
+    timed sim_pq_topk at [17.9, 5.8, 3.8] s and sim_sparse_cosine at
+    [9.5, 4.5, 4.8] s; blocking cleanup timed the same queries at
+    [1.8, 1.2, 1.2] s and [4.1, 3.3, 2.9] s. The wait happens here,
+    between reps, outside every timed region.
     """
     spark.catalog.clearCache()
     # py4j surfaces the java Map as a dict view
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
 
 
 def _run_corpus(

@@ -105,6 +105,40 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_sketch_weighted(freq: DataFrame, key: str, weight: str) -> DataFrame:
+    """D x W sketch from a KEY-LEVEL frequency table: counter
+    cnt(d, b) = sum of `weight` over the keys row d hashes into
+    bucket b — integer-identical to `cms_sketch` over the raw rows
+    (cnt(d,b) = sum_{k: h_d(k)=b} freq(k), and a cell is non-empty
+    iff some key hashes there iff some raw row does).
+
+    The r12 optimization shape (guide §2.3, shuffle fewer bytes /
+    pre-aggregate): when the caller ALREADY pays the per-key groupBy
+    (cms_join_size's exact side must), fanning out D hashes per
+    DISTINCT KEY instead of per raw row drops the explode + hash
+    volume from D*N rows to D*|keys| — at 100 TB the difference
+    between a corpus-sized pass and a key-cardinality one. Skew is
+    unchanged: the per-key groupBy combines map-side, and the
+    (d, bucket) groupBy stays hash-uniform."""
+    pairs = freq.select(
+        F.col(weight).alias("_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(d, F.col(key)).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    ).agg(F.sum("_w").alias("cnt"))
+
+
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates vs exact counts for a bounded key set:
     (user_id, exact_n, cms_est, overcount). cms_est >= exact_n always
@@ -1218,17 +1252,18 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counters and products are exact integers end-to-end.
 
-    Scale shape: each sketch is ONE skew-free pass (bounded D-way
-    fan-out, groupBy on hash-uniform buckets, 1 KB of state); the
-    inner product joins two 1024-row frames; the exact side is one
-    groupBy per input plus a key-sized join. Nothing scales with the
-    join's OUTPUT size — the whole point."""
+    Scale shape (r12, guide §2.3): the exact side REQUIRES a per-key
+    frequency table for each input, so the sketches are built FROM
+    those tables (`cms_sketch_weighted` — integer-identical counters,
+    see its proof) instead of re-fanning out every raw row: each
+    input is scanned once into one key-level groupBy (map-side
+    combined, the only corpus-sized exchange), and everything
+    downstream — D-way fan-out, 1 KB sketch state, the 1024-row
+    inner-product joins, the key-sized exact join — is
+    key-cardinality bounded. Nothing scales with the join's OUTPUT
+    size — the whole point."""
     events = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
-    ev_sketch = cms_sketch(events, "user_id").localCheckpoint(eager=False)
-    ord_sketch = cms_sketch(
-        orders.withColumnRenamed("o_custkey", "user_id"), "user_id"
-    )
 
     def inner_product(sa: DataFrame, sb: DataFrame) -> DataFrame:
         prod = (
@@ -1249,10 +1284,24 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("fa") * F.col("fb")).alias("exact"))
         )
 
-    ev_freq = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("fa"))
-    ord_freq = orders.groupBy(
-        F.col("o_custkey").alias("user_id")
-    ).agg(F.count(F.lit(1)).alias("fb"))
+    # the frequency tables feed BOTH the exact side and the sketches
+    ev_freq = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("fa"))
+        .localCheckpoint(eager=False)  # 3 consumers
+    )
+    ord_freq = (
+        orders.groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("fb"))
+        .localCheckpoint(eager=False)  # 2 consumers
+    )
+    # ev_sketch is read three times (both sides of the self inner
+    # product + the cross one) but NOT checkpointed: it derives from
+    # the checkpointed ev_freq through one 1024-cell aggregate, so
+    # recomputation is key-cardinality work while a checkpoint would
+    # be another materialization barrier (measured: dropping it wins)
+    ev_sketch = cms_sketch_weighted(ev_freq, "user_id", "fa")
+    ord_sketch = cms_sketch_weighted(ord_freq, "user_id", "fb")
     self_est = inner_product(ev_sketch, ev_sketch.select(
         "d", "bucket", "cnt"
     ))

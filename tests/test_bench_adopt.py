@@ -55,3 +55,49 @@ def test_wrong_sf_run_is_refused_regardless_of_idleness():
     assert not bench.adoptable(0.0, False, sf=0.1, secondary_sf=None)
     assert not bench.adoptable(0.0, False, sf=0.01, secondary_sf=0.001)
     assert bench.adoptable(0.0, False, sf=0.1, secondary_sf=0.01)
+
+
+def test_cpu_jiffies_shape():
+    # steal provenance (r12): (steal, total) jiffies, total > steal
+    # >= 0 on Linux; None is tolerated off-Linux but not here.
+    j = bench._cpu_jiffies()
+    assert j is not None
+    steal, total = j
+    assert 0 <= steal < total
+
+
+def test_bench_health_flags_localized_contention(tmp_path):
+    # The r12 failure mode the loadavg gate cannot see: a run that
+    # starts idle but carries a contiguous block of queries at
+    # several times their reference (hypervisor steal window). The
+    # health gate must reject it, and must NOT punish queries that
+    # got FASTER (that is what an optimization round produces).
+    import json
+    import subprocess
+    import sys as _sys
+
+    ref = {"kind": "bench_detail", "queries": {f"q{i:03d}": 1.0 for i in range(60)}}
+    cand = {"kind": "bench_detail", "queries": dict(ref["queries"])}
+    cand["queries"]["q000"] = 0.2          # optimized: never a spike
+    for i in range(30, 36):                # contention window
+        cand["queries"][f"q{i:03d}"] = 4.0
+    rp, cp = tmp_path / "ref.json", tmp_path / "cand.json"
+    rp.write_text(json.dumps(ref))
+    cp.write_text(json.dumps(cand))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "bench_health.py"),
+         str(cp), str(rp)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1 and "CONTAMINATED" in r.stdout
+
+    cand["queries"] = dict(ref["queries"])
+    cand["queries"]["q000"] = 0.2
+    cp.write_text(json.dumps(cand))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "bench_health.py"),
+         str(cp), str(rp)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and "CLEAN" in r.stdout

@@ -68,7 +68,16 @@ def halfup_ratio_sql(
     """SQL expression: half-up `num/den` at `digits` decimals where
     BOTH operands are exact integers — the general form behind
     `halfup_avg_sql` (which pre-scales cents). Positive operands
-    only (div/// truncate toward zero)."""
+    only (div/// truncate toward zero).
+
+    Display domain: decimal-exact while the scaled half-up integer
+    (~ num*10^digits/den) fits 2^53; past that the bigint→double
+    conversion itself rounds, so the value double-rounds vs a
+    single Decimal quantize (one ulp). Both engines stay
+    bit-identical with each other even there — IEEE on both sides
+    (tests/test_exact_property.py::test_beyond_mantissa_engines_agree)
+    — so oracle parity is unaffected; only the absolute decimal
+    claim narrows."""
     scale = 10**digits
     div = "div" if engine == "spark" else "//"
     # CAST(... AS BIGINT) on both operands: bare integer literals are
@@ -159,7 +168,8 @@ def halfup_signed_ratio_sql(
     The positive-only form is wrong here twice over — truncating
     division rounds negatives toward zero, and Spark's `div`
     (truncate) disagrees with DuckDB's `//` (floor) on them — so
-    the sign is factored out before any integer division."""
+    the sign is factored out before any integer division.
+    Same 2^53 display domain as `halfup_ratio_sql` (see there)."""
     scale = 10**digits
     div = "div" if engine == "spark" else "//"
     n = f"CAST(({num}) AS BIGINT)"

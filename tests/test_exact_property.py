@@ -3,13 +3,23 @@ display arithmetic every money/average column rides. The reference
 semantics is decimal.Decimal ROUND_HALF_UP; both engine spellings
 (`div` / `//`) must reproduce it bit-for-bit for any nonnegative
 integer operands, INCLUDING the .5 boundaries where naive
-round-a-double diverges between Spark and DuckDB."""
+round-a-double diverges between Spark and DuckDB.
+
+Domain bound (same contract the wide form documents below): the
+decimal-exactness claim holds while the scaled half-up integer fits a
+double's 53-bit mantissa. Past 2^53 the final bigint-to-double
+conversion itself rounds, so the SQL value double-rounds (int→double,
+then /10^digits) while Decimal single-rounds — a one-ulp divergence
+hypothesis found at num=7481119858165, den=3, digits=4. The engines
+still agree bit-for-bit with EACH OTHER there (both are IEEE; pinned
+in test_beyond_mantissa_engines_agree), which is the invariant the
+DuckDB oracle gate actually needs."""
 
 from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from bike_analyzer_spark.functions.exact import (
@@ -35,6 +45,14 @@ def _want(num: int, den: int, digits: int) -> float:
     )
 
 
+def _display_exact(num: int, den: int, digits: int) -> bool:
+    """True iff the scaled half-up integer fits 2^53, i.e. the final
+    /10^digits division is the ONLY rounding step (see module
+    docstring)."""
+    scale = 10**digits
+    return (abs(num) * 2 * scale + den) // (den * 2) <= 2**53
+
+
 @settings(max_examples=10, deadline=None)
 @given(pairs)
 def test_spark_halfup_matches_decimal(spark, cases):
@@ -55,6 +73,8 @@ def test_spark_halfup_matches_decimal(spark, cases):
         ).collect()
     ]
     for num, den, digits, h in got:
+        if not _display_exact(num, den, digits):
+            continue
         assert h == _want(num, den, digits), (num, den, digits, h)
 
 
@@ -65,6 +85,7 @@ def test_spark_halfup_matches_decimal(spark, cases):
     st.sampled_from([2, 4]),
 )
 def test_duck_halfup_matches_decimal(num, den, digits):
+    assume(_display_exact(num, den, digits))
     con = duckdb.connect()
     expr = halfup_ratio_sql(str(num), str(den), digits, engine="duck")
     [(h,)] = con.execute(f"SELECT {expr}").fetchall()
@@ -176,11 +197,36 @@ def test_duck_signed_halfup_matches_decimal(case):
     )
 
     num, den, digits = case
+    assume(_display_exact(num, den, digits))
     con = duckdb.connect()
     expr = halfup_signed_ratio_sql(str(num), str(den), digits, "duck")
     [(h,)] = con.execute(f"SELECT {expr}").fetchall()
     sign = -1 if num < 0 else 1
     assert h == sign * _want(abs(num), den, digits), (num, den, h)
+
+
+def test_beyond_mantissa_engines_agree(spark):
+    """Past the 2^53 display bound no form is decimal-exact (the
+    bigint→double conversion rounds before the /10^digits divide),
+    but both engines take the same IEEE double path, so the oracle
+    gate's Spark==DuckDB invariant must still hold bit-for-bit.
+    Pins hypothesis' falsifying example and its neighborhood."""
+    from bike_analyzer_spark.functions.exact import (
+        halfup_signed_ratio_sql,
+    )
+
+    con = duckdb.connect()
+    cases = [(7481119858165, 3, 4), (-7481119858165, 3, 4),
+             (9999999999999, 7, 4), (10**13, 3, 4)]
+    for num, den, digits in cases:
+        assert not _display_exact(num, den, digits)
+        sexpr = halfup_signed_ratio_sql(str(num), str(den), digits,
+                                        "spark")
+        dexpr = halfup_signed_ratio_sql(str(num), str(den), digits,
+                                        "duck")
+        [sh] = spark.range(1).selectExpr(f"{sexpr} AS h").collect()
+        [(dh,)] = con.execute(f"SELECT {dexpr}").fetchall()
+        assert sh.h == dh, (num, den, digits, sh.h, dh)
 
 
 def test_signed_halfup_cross_engine_on_negatives(spark):

@@ -88,53 +88,17 @@ from bike_analyzer_spark.operators import (
 # operator edit (od_kcore) re-proved green in CORRECTNESS_r09.
 WINDOW_ROTATEBACKS = frozenset()
 
-# Window overflow (r12): after CORRECTNESS_r11 (50/50 green) the 45
-# r11 rotate-ins reached streak 2 (proven) and the 5 r11-new queries
-# hold streak 1 — leaving 73 streak-1 queries total.  The r12 window
-# drains the OLDEST queries: r12-new streak-0 queries seat first,
-# then the full 34-query r9-window remainder, then the oldest of
-# the 34 r10-window first-greens fill the rest.  Outside, 25
-# streak-1 queries queue for r13: the remaining 20 r10 first-greens
-# plus the 5 r11-new queries (freshest evidence, rotate back last).
-# Streak-2 completion horizon: r13's window (25 + the 2 r12-new at
-# streak 1 + r13-new ≤ 50) finishes the backlog — after r13 every
-# query has ≥2 driver greens.
-# tests/test_rotation.py asserts WINDOW_OVERFLOW is EXACTLY the
-# unproven (streak<2) queries outside the window.
-WINDOW_OVERFLOW = frozenset(
-    {
-        # ---- r10 window first-greens (green r10, streak 1) ---------
-        # setjoin onward — the tail of the r10 block after the 15
-        # that kept window slots this round (scale_salted_join ceded
-        # its slot to the r12-new sim_cosine_threshold).
-        "scale_salted_join",
-        "text_readability",
-        "dedup_prefix_filter",
-        "dedup_sorted_neighborhood",
-        "sim_sparse_cosine",
-        "dedup_containment",
-        "kmins_user_estimate",
-        "od_label_propagation",
-        "seasonal_circular",
-        "vocab_heaps_curve",
-        "geo_dbscan_clusters",
-        "funnel_attribution_audit",
-        "funnel_full_ledger",
-        "funnel_strict_sequence",
-        "dedup_winnowing",
-        "ab_cuped_readout",
-        "source_overlap_matrix",
-        "cms_join_size",
-        "bloom_join_prune",
-        "sim_mutual_nn",
-        # ---- r11 first-greens (green r11, streak 1) ----------------
-        "delivery_lag_audit",
-        "heavy_hitters_serve",
-        "lm_kn_doc_bits",
-        "hll_sliding_reach",
-        "ann_probe_curve",
-    }
-)
+# Window overflow (r13): empty — the backlog is drained.  After
+# CORRECTNESS_r12 (50/50 green) exactly 27 queries hold streak 1:
+# the 25 that queued outside the r12 window (20 r10-window
+# first-greens + 5 r11 first-greens) plus the 2 r12-new queries
+# (sim_cosine_threshold, rollup_partials_merge).  All 27 fit inside
+# the 50-slot r13 window, so the streak-2 completion horizon lands
+# this round: after CORRECTNESS_r13 every one of the 230 queries has
+# ≥2 driver greens.  The remaining 23 slots go to proven (streak ≥2)
+# queries in the existing registration order — ties may cross the
+# window boundary (tests/test_rotation.py).
+WINDOW_OVERFLOW = frozenset()
 
 
 class _Slice:
@@ -340,18 +304,39 @@ _tpch_close_ovf = _Slice(
 )
 
 _MODULES = [
-    # ---- r12 window (exactly 50 queries) -------------------------
-    # All 73 remaining streak-1 queries tie on priority; the 50
-    # window slots go to the OLDEST evidence: the full 34-query
-    # r9-window remainder (graph 2 + stats 3 + drift 3 +
-    # analytics_ext 3 + divergence 2 + fuzzy 2 + profile 3 +
-    # scale 2 + vocab 2 + warehouse_ext 3 + assoc 1 + curate 2 +
-    # eval 1 + experiment 1 + hypertable 1 + od 1 + retrieval 1 +
-    # quality 1) plus the oldest 14 of the 34 r10-window first-greens
-    # (winfuncs 1 + funcsuite 2 + eval 2 + stats 2 + ua 1 +
-    # sequences 2 + scale 2 + assoc 1 + graph 1 + ivfpq 1 + text 1).
-    _setjoin_new,  # NEW r12: lossless tau-gated AllPairs cosine join
-    _streamserve_new,  # NEW r12: serve-path partial-merge law twin
+    # ---- r13 window (first 50 queries) ----------------------------
+    # The 27 streak-1 queries seat first (priority 1 < proven 2):
+    # the 2 r12-new queries, the 20 r10-window first-greens that
+    # queued outside the r12 window, and the 5 r11 first-greens.
+    # The remaining 23 slots fall to proven queries in the prior
+    # registration order (graph 2 + stats 3 + drift 3 + analytics 3 +
+    # divergence 2 + fuzzy 2 + profile 3 + scale 2 + vocab 2 +
+    # warehouse_ext 1) — after CORRECTNESS_r13 every query is ≥2
+    # driver greens and rotation pressure is gone.
+    _setjoin_new,  # r12-new: lossless tau-gated AllPairs cosine join
+    _streamserve_new,  # r12-new: serve-path partial-merge law twin
+    # ...the 20 r10-window first-greens completing streak 2:
+    _text_new,  # FORCAST readability
+    _scale_new2,  # salted skew-proof join rollup
+    _setjoin_tail,  # prefix-filter/SNM/sparse-cosine/containment joins
+    _scale_new3,  # k-mins cardinality sketch
+    _graph_new2,  # synchronous label-propagation communities
+    _drift_tail,  # circular seasonality
+    _vocab_new,  # Heaps-law vocab growth curve
+    _od_new,  # grid-density DBSCAN
+    funnels,  # right/full-outer interval-join batch twins + strict seq
+    winnow,  # winnowing (MOSS) fingerprint dedup
+    _experiment_new,  # CUPED variance-reduced A/B readout
+    _quality_new,  # cross-source contamination matrix
+    _scale_new4,  # CMS inner-product join-size estimate
+    _scale_new5,  # Bloom semi-join pruning audit
+    _sim_new,  # mutual nearest neighbors (reciprocal top-1)
+    # ...the 5 r11 first-greens completing streak 2:
+    _streamserve_tail,  # streaming-serve batch twins (r11)
+    _lm_new,  # interpolated Kneser-Ney bigram LM scoring (r11)
+    _scale_new6,  # sliding-window HLL trailing reach (r11)
+    _eval_probe,  # IVF probe-budget routing-coverage curve (r11)
+    # ...proven queries fill the remaining 23 slots:
     _graph_head_b,
     _stats_head2,
     _drift_head,
@@ -370,7 +355,6 @@ _MODULES = [
     _od_head,
     _retrieval_head,
     _quality_head,
-    # ...then the oldest 14 of the r10 first-greens (next-oldest):
     _winfuncs_new,  # percent_rank/cume_dist value distribution
     _funcsuite_new,  # MAP + STRUCT function suites
     _eval_new,  # IVF cluster purity, quantile-sketch error audit
@@ -381,36 +365,7 @@ _MODULES = [
     _assoc_tail,  # type-affinity cosine
     _graph_new,  # Adamic-Adar link prediction
     ivfpq,  # composed IVF-PQ ANN top-k
-    # ---- outside the window: 25 streak-1 queries (r13 drains) ----
-    # First the remaining 20 r10-window first-greens (scale_salted_join
-    # and text_readability ceded their slots to the r12-new queries)...
-    _text_new,  # FORCAST readability
-    _scale_new2,  # salted skew-proof join rollup
-    _setjoin_tail,  # prefix-filter/SNM/sparse-cosine/containment joins
-    _scale_new3,  # k-mins cardinality sketch
-    _graph_new2,  # synchronous label-propagation communities
-    _drift_tail,  # circular seasonality
-    _vocab_new,  # Heaps-law vocab growth curve
-    _od_new,  # grid-density DBSCAN
-    funnels,  # right/full-outer interval-join batch twins + strict seq
-    winnow,  # winnowing (MOSS) fingerprint dedup
-    _experiment_new,  # CUPED variance-reduced A/B readout
-    _quality_new,  # cross-source contamination matrix
-    _scale_new4,  # CMS inner-product join-size estimate
-    _scale_new5,  # Bloom semi-join pruning audit
-    _sim_new,  # mutual nearest neighbors (reciprocal top-1)
-    # ...then the 5 r11 first-greens (freshest evidence, rotate
-    # back last — these close the streak-2 backlog at r13).
-    _streamserve_tail,  # streaming-serve batch twins (r11)
-    _lm_new,  # interpolated Kneser-Ney bigram LM scoring (r11)
-    _scale_new6,  # sliding-window HLL trailing reach (r11)
-    _eval_probe,  # IVF probe-budget routing-coverage curve (r11)
     # ---- proven tail (every query ≥2 driver greens) --------------
-    # r11 second-greens join the proven tail: tpch_ovf2 2 +
-    # tpch_close 7 + text_ovf 2 + winfuncs_ovf 3 + funcsuite_ovf 4 +
-    # scale_ovf 2 + eval_ovf 3 + stats_ovf 1 + sampling_ovf 1 +
-    # gapfill 1 + ua_ovf 1 + graph_ovf 1 + retrieval_tail 1 +
-    # ua_head 10 + sequences_head 5 + graph_head_a 1 = 45.
     _tpch_ovf2,
     _tpch_close_ovf,
     _text_ovf,

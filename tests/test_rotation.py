@@ -23,7 +23,14 @@ Green streaks are derived straight from the committed
 CORRECTNESS_r*.json history — present+green extends the streak,
 present+red resets it, absent leaves it unchanged (the query was not
 checked that round, which is neither evidence for nor against). A
-query never recorded (e.g. newly added) has streak 0.
+query never recorded (e.g. newly added) has streak 0.  "Committed"
+is literal: only git-TRACKED CORRECTNESS files count.  The round
+driver drops the current round's CORRECTNESS_r{N}.json untracked
+into the worktree *before* running pytest, and for five rounds
+running that artifact tripped these invariants mid-verify (the
+window is planned against the committed history; the brand-new
+artifact shifts every streak by one round).  Evidence the builder
+has not yet rotated against is not evidence of a stale window.
 
 Two amendments to the base rule:
 
@@ -51,9 +58,37 @@ import glob
 import json
 import os
 import re
+import subprocess
 
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tracked_correctness_paths() -> "list[str]":
+    """CORRECTNESS_r*.json files that are committed (git-tracked).
+
+    The driver's own fresh artifact for the round in progress sits
+    untracked in the worktree while pytest runs; including it would
+    judge the window against history the builder could not have
+    rotated on yet. Outside a git checkout (sdist, CI export) fall
+    back to every file on disk — there untracked artifacts cannot
+    exist.
+    """
+    on_disk = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_of
+    )
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout.split()
+    except (OSError, subprocess.SubprocessError):
+        return on_disk
+    tracked = {os.path.basename(p) for p in out}
+    return [p for p in on_disk if os.path.basename(p) in tracked]
 
 #: Queries whose round-≤5 results (green, red, or unrecorded) are void:
 #: they consume events.ts, which the loader read at 1000x the true
@@ -92,10 +127,7 @@ def _round_of(path: str) -> int:
 
 def _green_streaks() -> dict[str, int]:
     streak: dict[str, int] = {}
-    paths = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_of
-    )
-    for path in paths:
+    for path in _tracked_correctness_paths():
         with open(path) as f:
             recs = json.load(f)
         for q, rec in recs.items():

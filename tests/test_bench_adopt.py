@@ -101,3 +101,41 @@ def test_bench_health_flags_localized_contention(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 0 and "CLEAN" in r.stdout
+
+
+def test_bench_median_merges_per_query(tmp_path):
+    # r13: the committed artifact is the per-query MEDIAN of K
+    # gate-passing runs, not the running minimum of every run ever
+    # adopted (the r12-verdict ratchet). A steal window inflating one
+    # query in one run must not survive the merge.
+    import json
+    import subprocess
+    import sys as _sys
+
+    def det(a, b, sa, sb):
+        return {
+            "kind": "bench_detail", "sf": 0.1,
+            "queries": {"qa": a, "qb": b},
+            "secondary": {"sf": 0.01, "queries": {"qa": sa, "qb": sb},
+                          "reps": 1},
+        }
+
+    paths = []
+    for i, d in enumerate([det(1.0, 2.0, 0.5, 0.6),
+                           det(1.2, 9.0, 0.5, 0.7),   # qb hit by steal
+                           det(1.1, 2.1, 0.6, 0.8)]):
+        p = tmp_path / f"in{i}.json"
+        p.write_text(json.dumps(d))
+        paths.append(str(p))
+    out = tmp_path / "out.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "bench_median.py"),
+         str(out), *paths],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    merged = json.loads(out.read_text())
+    assert merged["queries"] == {"qa": 1.1, "qb": 2.1}
+    assert merged["secondary"]["queries"] == {"qa": 0.5, "qb": 0.7}
+    assert merged["merged_from"] == 3

@@ -76,11 +76,19 @@ def _mh_abx(i: int) -> tuple[int, int, int]:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the set-semantics base for
-    both MinHash and exact Jaccard."""
-    return (
-        docs.withColumn("toks", tokens("text"))
-        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
-        .distinct()
+    both MinHash and exact Jaccard.
+
+    Dedup happens INSIDE the row (`array_distinct` on the shingle
+    array, then explode), not via `.distinct()` on the exploded
+    frame: distinctness is per-document (doc_id is in the key), so
+    the full-corpus exchange the old distinct paid moved zero rows
+    between documents — pure waste. r13 measured 0.55 s -> 0.31 s
+    for the bare frame at sf0.1 (row-identical, oracle green), and
+    every consumer of the checkpointed frame saves the same exchange
+    at any scale (guide §2.4: remove the shuffle outright)."""
+    return docs.withColumn("toks", tokens("text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_exprs("toks", 3))).alias("sh"),
     )
 
 
@@ -301,12 +309,18 @@ def dedup_ngram_jaccard(
     # `source` rides through the explode (functionally dependent on
     # doc_id, so the distinct cardinality is unchanged) — saves the
     # docs⋈shingles join the round-3 plan paid to re-attach it.
+    # Set semantics via array_distinct INSIDE the row (doc_id is in
+    # the key, so the old `.distinct()` exchange moved zero rows
+    # between documents — r13, same rewrite as _doc_shingles).
     ds0 = (
         docs.withColumn("toks", tokens("text"))
         .select(
-            "doc_id", "source", F.explode(shingle_exprs("toks", 3)).alias("sh")
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingle_exprs("toks", 3))).alias(
+                "sh"
+            ),
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
     hot = (

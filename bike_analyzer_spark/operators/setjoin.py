@@ -81,11 +81,16 @@ SNM_KEY_LEN = 24
 
 
 def _doc_shingle_sets(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, sh) 3-token shingle rows — the set frame."""
-    return (
-        docs.withColumn("toks", tokens("text"))
-        .select("doc_id", F.explode(shingle_exprs("toks", 3)).alias("sh"))
-        .distinct()
+    """Distinct (doc_id, sh) 3-token shingle rows — the set frame.
+
+    Set semantics via `array_distinct` inside the row: distinctness
+    is per-document, so the exploded-frame `.distinct()` this used
+    through r12 paid a full-corpus exchange that moved zero rows
+    between documents (r13; same rewrite as dedup._doc_shingles,
+    measured 1.8x on the bare frame, row-identical)."""
+    return docs.withColumn("toks", tokens("text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_exprs("toks", 3))).alias("sh"),
     )
 
 

@@ -33,8 +33,14 @@ def main() -> int:
             t0 = time.perf_counter()
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            # same inter-rep hygiene as bench.py:_free_leaked_blocks —
+            # leaked localCheckpoint blocks otherwise contaminate the
+            # NEXT measurement (r12 §0)
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
         print(f"{name}: p50={statistics.median(samples):.3f}s "
-              f"(all={[round(s, 3) for s in samples]})")
+              f"(all={[round(s, 3) for s in samples]})", flush=True)
     return 0
 
 

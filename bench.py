@@ -305,6 +305,18 @@ def main() -> int:
     summary["detail_file"] = os.path.basename(sidecar)
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-core-count sidecar (r13): the driver benches the SAME corpus
+    # at two core counts to measure scaling, and both runs previously
+    # wrote the one tmp path — the second overwrote the first, so no
+    # per-query join across core counts was ever possible (PERF_r12's
+    # scaling.per_query came back empty). The cpu-suffixed copy is
+    # additive provenance; detail_file and the final summary line are
+    # unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpu_sidecar = os.path.join(repo, f"BENCH_DETAIL.tmp.c{cpus}.json")
+    with open(cpu_sidecar, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    summary["detail_file_cpus"] = os.path.basename(cpu_sidecar)
     if adopted:
         # Keep the tmp sidecar in lockstep: a stale tmp from an older
         # run must never outlive an adoption, or the documented

@@ -967,10 +967,19 @@ def od_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("aw") + F.col("bw")).alias("w"),
         )
     )
+    # repartition on eo BEFORE the checkpoint: the per-round relax
+    # join reads edges BY eo twelve times, and the groupBy leaves the
+    # checkpoint hash(eo, ed)-partitioned — one exchange here removes
+    # the per-round edges re-exchange (r13 A/B: base p50 3.78-4.39 s,
+    # +eo-partitioning & round-pair checkpoints 3.35-3.54 s at sf0.1;
+    # od_pagerank's r6 rejection of trans pre-partitioning does not
+    # transfer because edges here is checkpoint-materialized once and
+    # re-read, not re-planned under AQE each round)
     edges = (
         edges.unionAll(two_hop)
         .groupBy("eo", "ed")
         .agg(F.min("w").alias("w"))
+        .repartition("eo")
         .localCheckpoint(eager=False)
     )
     dist = (
@@ -996,8 +1005,15 @@ def od_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cost").alias("cost"))
         )
 
-    for _ in range(SP_MAX_ROUNDS):
-        dist = _relax(dist).localCheckpoint(eager=False)
+    # checkpoint every SECOND round: lineage depth stays constant (two
+    # rounds) while half the materialization barriers disappear; the
+    # round COUNT is untouched (it is a correctness parameter asserted
+    # by the fixpoint check below). SP_MAX_ROUNDS is even, so the
+    # final round is always a checkpoint boundary.
+    for r in range(SP_MAX_ROUNDS):
+        dist = _relax(dist)
+        if r % 2 == 1:
+            dist = dist.localCheckpoint(eager=False)
     # fixpoint check: one more relaxation must change nothing —
     # per-side RENAMES before the join (relaxed shares lineage with
     # dist, the classic self-join alias misresolution trap)
